@@ -1,0 +1,113 @@
+"""Vectorized geotag + text extraction from the ``html`` binary column.
+
+The web-scale analog of the reference's EXIF loader
+(/root/reference/landlensdb/handlers/image.py:294-415): where the reference
+walks a directory and calls PIL per image, we scan the pages table and run
+one Arrow-batched pandas UDF per partition — pandas C-level ``.str`` regex
+ops, no per-row Python.
+
+Extraction semantics re-expressed from the reference:
+- geo-microdata ``<meta property="place:location:latitude" content=...>``
+  float parse (the straightforward path);
+- EXIF-style DMS with rational seconds ``(d,m,num/den)`` + hemisphere refs
+  N/S/E/W -> decimal degrees: ``d + m/60 + (num/den)/3600`` with S/W negation
+  (image.py:140-163 DMS conversion, :250-255 hemisphere sign, :258-292
+  rational parse), rounded to 6 dp (micro-degree resolution);
+- rows with no geotag yield NULL lat/lon and are filtered by the caller
+  (image.py:334-338 skip path);
+- ``text``: the byte-identical extraction contract (BASELINE.json
+  input_hint) — content of the ``<p data-text="1">`` element, UTF-8.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TEXT_RE = r'<p data-text="1">(.*?)</p>'
+_META_LAT_RE = r'<meta property="place:location:latitude" content="([^"]+)"'
+_META_LON_RE = r'<meta property="place:location:longitude" content="([^"]+)"'
+_DMS_LAT_RE = r"GPSLatitude=\((\d+),(\d+),(\d+)/(\d+)\);GPSLatitudeRef=([NS])"
+_DMS_LON_RE = r"GPSLongitude=\((\d+),(\d+),(\d+)/(\d+)\);GPSLongitudeRef=([EW])"
+
+GEOTAG_STRUCT = StructType(
+    [
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _dms_to_decimal(g: pd.DataFrame, neg_ref: str) -> pd.Series:
+    """(d, m, num, den, ref) capture frame -> signed decimal degrees."""
+    d = pd.to_numeric(g[0], errors="coerce")
+    m = pd.to_numeric(g[1], errors="coerce")
+    num = pd.to_numeric(g[2], errors="coerce")
+    den = pd.to_numeric(g[3], errors="coerce")
+    dec = d + m / 60.0 + (num / den) / 3600.0
+    sign = pd.Series(
+        np.where(g[4].fillna("").eq(neg_ref), -1.0, 1.0), index=g.index
+    )
+    return (dec * sign).round(6)
+
+
+def extract_geotag_pdf(html: pd.Series) -> pd.DataFrame:
+    """Pure-pandas extraction kernel (also the pytest unit under test).
+
+    ``html``: Series of bytes. Returns DataFrame(lat, lon, text) with NaN
+    lat/lon where no geotag is present.
+    """
+    s = html.map(lambda b: b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else b)
+    s = s.astype("string")
+
+    text = s.str.extract(_TEXT_RE, expand=False)
+
+    lat = pd.to_numeric(s.str.extract(_META_LAT_RE, expand=False), errors="coerce").round(6)
+    lon = pd.to_numeric(s.str.extract(_META_LON_RE, expand=False), errors="coerce").round(6)
+
+    dms_lat = s.str.extract(_DMS_LAT_RE)
+    has_dms = dms_lat[0].notna()
+    if has_dms.any():
+        dms_lon = s.str.extract(_DMS_LON_RE)
+        lat = lat.where(~has_dms, _dms_to_decimal(dms_lat, "S"))
+        lon = lon.where(~has_dms, _dms_to_decimal(dms_lon, "W"))
+
+    return pd.DataFrame(
+        {"lat": lat.astype("float64"), "lon": lon.astype("float64"), "text": text}
+    )
+
+
+@F.pandas_udf(GEOTAG_STRUCT)
+def geotag_udf(html: pd.Series) -> pd.DataFrame:
+    return extract_geotag_pdf(html)
+
+
+def extract_geotags(
+    df: DataFrame, html: str | Column = "html", drop_untagged: bool = True
+) -> DataFrame:
+    """Attach ``lat``/``lon``/``text_extracted`` columns from ``html``.
+
+    ``drop_untagged=True`` filters rows with no geotag (the reference skips
+    GPS-less images, image.py:334-338). Runs as a single Arrow-batched
+    projection — no shuffle.
+    """
+    html_col = F.col(html) if isinstance(html, str) else html
+    out = df.withColumn("_geo", geotag_udf(html_col))
+    out = (
+        out.withColumn("lat", F.col("_geo.lat"))
+        .withColumn("lon", F.col("_geo.lon"))
+        .withColumn("text_extracted", F.col("_geo.text"))
+        .drop("_geo")
+    )
+    if drop_untagged:
+        out = out.filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    return out

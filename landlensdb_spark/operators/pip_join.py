@@ -1,0 +1,122 @@
+"""Two-phase point-in-polygon join: cell equi-join -> exact ray-cast refine.
+
+The reference's spatial join is an R-tree index nested loop on one machine
+(/root/reference/landlensdb/process/snap.py:203-214). The Spark-native shape
+(SURVEY.md §2.3 J1/J7) is:
+
+1. **Coarse phase** — polygons are covered with spatial cells (adaptive
+   resolution, bounded cells/polygon); points get a cell id via pure column
+   math (:func:`landlensdb_spark.geo.cells.cell_encode`, no UDF). The join is
+   a plain equi-join on the cell long against the broadcast cover table —
+   hash-relation build on executors, zero shuffle of the (huge) point side.
+2. **Exact phase** — candidate (point, polygon) pairs are refined with a
+   vectorized numpy ray-cast inside one Arrow-batched pandas UDF; polygon
+   coordinate arrays ride a Spark broadcast variable, grouped per polygon
+   inside each batch so the kernel is N-points x M-edges vectorized.
+
+Scale notes (100 TB point side): the point table is touched exactly once,
+filter/projection push down beneath the UDF, and the only wide operation is
+the broadcast join. A polygon side too big to broadcast degrades gracefully:
+pass ``broadcast_cover=False`` and the same plan becomes a shuffled hash join
+on the cell key (AQE skew-split handles dense-city cells).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from landlensdb_spark.geo.cells import cell_encode, cover_res_for_bbox, np_bbox_cover
+from landlensdb_spark.geo.geometry import points_in_polygon
+
+#: max cover cells per polygon before coarsening its cover resolution.
+MAX_COVER_CELLS = 64
+
+
+def _collect_polygons(polygons: DataFrame, id_col: str, rings_col: str):
+    """Driver-side prep of the build side (reference does the same:
+    simplify/dedupe/index the network before the join, road_network.py:83-129).
+
+    Returns (rings_by_id, cover_rows, res_set): polygon coordinate arrays
+    keyed by id, the (res, cell, id) cover triples, and the distinct cover
+    resolutions in use.
+    """
+    rows = polygons.select(id_col, rings_col).collect()
+    rings_by_id: dict[int, list[np.ndarray]] = {}
+    cover_rows: list[tuple[int, int, int]] = []
+    res_set: set[int] = set()
+    for r in rows:
+        pid = r[0]
+        raw = r[1]
+        # accept a single ring (list of [x,y]) or a list of rings
+        if raw and isinstance(raw[0][0], (int, float)):
+            rings = [np.asarray(raw, dtype=np.float64)]
+        else:
+            rings = [np.asarray(ring, dtype=np.float64) for ring in raw]
+        rings_by_id[pid] = rings
+        shell = rings[0]
+        minx, miny = shell[:, 0].min(), shell[:, 1].min()
+        maxx, maxy = shell[:, 0].max(), shell[:, 1].max()
+        res = cover_res_for_bbox(minx, miny, maxx, maxy, MAX_COVER_CELLS)
+        res_set.add(res)
+        for c in np_bbox_cover(minx, miny, maxx, maxy, res):
+            cover_rows.append((res, int(c), pid))
+    return rings_by_id, cover_rows, res_set
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    polygon_id: str = "admin_id",
+    rings_col: str = "ring",
+    keep_polygon_cols: list[str] | None = None,
+    broadcast_cover: bool = True,
+) -> DataFrame:
+    """Inner-join ``points`` to the polygon containing them.
+
+    Returns the point rows + the polygon id column (+ ``keep_polygon_cols``).
+    A point inside k overlapping polygons yields k rows (standard spatial
+    inner join). Boundary semantics are the ray-cast half-open rule (left/
+    bottom edges inside, right/top outside for rectilinear polygons).
+    """
+    spark = points.sparkSession
+    rings_by_id, cover_rows, res_set = _collect_polygons(polygons, polygon_id, rings_col)
+    bc = spark.sparkContext.broadcast(rings_by_id)
+
+    cover_df = spark.createDataFrame(
+        cover_rows, f"_res int, _cell long, {polygon_id} long"
+    )
+    if broadcast_cover:
+        cover_df = F.broadcast(cover_df)
+
+    @F.pandas_udf(BooleanType())
+    def _contains(lon_s: pd.Series, lat_s: pd.Series, pid_s: pd.Series) -> pd.Series:
+        rings = bc.value
+        out = np.zeros(len(lon_s), dtype=bool)
+        px = lon_s.to_numpy(dtype=np.float64)
+        py = lat_s.to_numpy(dtype=np.float64)
+        pids = pid_s.to_numpy()
+        for pid in np.unique(pids):
+            ii = np.where(pids == pid)[0]
+            out[ii] = points_in_polygon(px[ii], py[ii], rings[pid])
+        return pd.Series(out)
+
+    # one cell column per distinct cover resolution (pure column math)
+    candidates = None
+    for res in sorted(res_set):
+        pts = points.withColumn("_cell", cell_encode(lon, lat, res))
+        cov = cover_df.filter(F.col("_res") == res).drop("_res")
+        part = pts.join(cov, "_cell", "inner").drop("_cell")
+        candidates = part if candidates is None else candidates.unionByName(part)
+
+    refined = candidates.filter(_contains(F.col(lon), F.col(lat), F.col(polygon_id)))
+
+    if keep_polygon_cols:
+        extra = polygons.select(polygon_id, *keep_polygon_cols)
+        refined = refined.join(F.broadcast(extra), polygon_id, "left")
+    return refined

@@ -1,0 +1,125 @@
+"""Tile / cell / mercator math: Spark column expressions vs numpy twins vs
+the reference's golden formulas (cloud.py:860-911 executed directly)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from landlensdb_spark.geo import cells, mercator, tiles
+
+
+def ref_tile_xy(lon: float, lat: float, zoom: int) -> tuple[int, int]:
+    """The reference's formula verbatim (cloud.py:869-873) as the oracle."""
+    n = 2 ** zoom
+    x = int((lon + 180.0) / 360.0 * n)
+    lat_rad = math.radians(lat)
+    y = int((1.0 - math.asinh(math.tan(lat_rad)) / math.pi) / 2.0 * n)
+    return min(max(x, 0), n - 1), min(max(y, 0), n - 1)
+
+
+def _sample_lonlat(n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-179.9, 179.9, n)
+    lat = rng.uniform(-84.9, 84.9, n)
+    return lon, lat
+
+
+def test_np_tile_matches_reference_formula():
+    lon, lat = _sample_lonlat()
+    x, y = tiles.np_tile_xy(lon, lat, 14)
+    for i in range(len(lon)):
+        rx, ry = ref_tile_xy(lon[i], lat[i], 14)
+        assert (x[i], y[i]) == (rx, ry)
+
+
+def test_spark_tile_matches_numpy(spark):
+    lon, lat = _sample_lonlat(300)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    out = tiles.with_tile(df, zoom=14).select("tile_x", "tile_y", "quadkey").toPandas()
+    x, y = tiles.np_tile_xy(lon, lat, 14)
+    qk = tiles.np_quadkey(x, y, 14)
+    assert (out["tile_x"].to_numpy() == x).all()
+    assert (out["tile_y"].to_numpy() == y).all()
+    assert (out["quadkey"].to_numpy() == qk).all()
+
+
+def test_tile_bounds_roundtrip(spark):
+    df = spark.createDataFrame([(8192, 5461), (0, 0), (16383, 16383)], "x long, y long")
+    w, s, e, nn = tiles.tile_bounds("x", "y", 14)
+    out = df.select(
+        w.alias("w"), s.alias("s"), e.alias("e"), nn.alias("n"), "x", "y"
+    ).toPandas()
+    # reference inverse formula (cloud.py:897-907)
+    for _, r in out.iterrows():
+        n = 2.0 ** 14
+        assert abs(r["w"] - (r["x"] / n * 360.0 - 180.0)) < 1e-9
+        lat_n = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * r["y"] / n))))
+        assert abs(r["n"] - lat_n) < 1e-9
+        # tile of the cell center maps back to the same tile
+        cx = (r["w"] + r["e"]) / 2
+        cy = (r["s"] + r["n"]) / 2
+        assert ref_tile_xy(cx, cy, 14) == (r["x"], r["y"])
+
+
+def test_cell_encode_spark_vs_numpy(spark):
+    lon, lat = _sample_lonlat(300, seed=11)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    got = df.select(cells.cell_encode("lon", "lat", 15).alias("c")).toPandas()["c"]
+    want = cells.np_cell_encode(lon, lat, 15)
+    assert (got.to_numpy() == want).all()
+    # decode roundtrip
+    res, x, y = cells.np_cell_decode(want)
+    assert (res == 15).all()
+    tx, ty = tiles.np_tile_xy(lon, lat, 15)
+    assert (x == tx).all() and (y == ty).all()
+
+
+def test_k_ring(spark):
+    df = spark.createDataFrame([(2.35, 48.85)], "lon double, lat double")
+    out = (
+        df.select(cells.cell_encode("lon", "lat", 15).alias("c"))
+        .select(F.col("c"), F.explode(cells.k_ring("c", 1, 15)).alias("n"))
+        .toPandas()
+    )
+    assert len(out) == 9
+    res, x, y = cells.np_cell_decode(out["n"].to_numpy())
+    assert (res == 15).all()
+    _, cx, cy = cells.np_cell_decode(out["c"].to_numpy())
+    assert (np.abs(x - cx) <= 1).all() and (np.abs(y - cy) <= 1).all()
+    assert len(set(map(tuple, np.stack([x, y], axis=1)))) == 9
+
+
+def test_k_ring_antimeridian_wrap(spark):
+    df = spark.createDataFrame([(-179.999, 10.0)], "lon double, lat double")
+    out = (
+        df.select(F.explode(cells.k_ring(cells.cell_encode("lon", "lat", 10), 1, 10)).alias("n"))
+        .toPandas()
+    )
+    assert len(out) == 9  # x wraps, nothing dropped
+    _, x, _ = cells.np_cell_decode(out["n"].to_numpy())
+    assert (x == 0).sum() == 3 and (x == (1 << 10) - 1).sum() == 3
+
+
+def test_mercator_roundtrip(spark):
+    lon, lat = _sample_lonlat(100, seed=3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    out = df.select(
+        mercator.inv_merc_lon(mercator.merc_x("lon")).alias("lon2"),
+        mercator.inv_merc_lat(mercator.merc_y("lat")).alias("lat2"),
+        "lon",
+        "lat",
+    ).toPandas()
+    assert np.allclose(out["lon2"], out["lon"], atol=1e-9)
+    assert np.allclose(out["lat2"], out["lat"], atol=1e-9)
+    # numpy twins agree with column math
+    mx = df.select(mercator.merc_x("lon").alias("x")).toPandas()["x"].to_numpy()
+    assert np.allclose(mx, mercator.np_merc_x(lon), atol=1e-6)
