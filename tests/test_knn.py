@@ -1,0 +1,80 @@
+"""kNN join vs brute-force numpy oracle (exact sets incl. tie-break by id)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from landlensdb_spark import synth
+from landlensdb_spark.operators.knn import knn_join
+
+
+def _points(n, probe=False):
+    i = np.arange(n, dtype=np.int64)
+    if probe:
+        return synth.np_probe_lon(i * 13 + 7), synth.np_probe_lat(i * 13 + 7)
+    return synth.np_probe_lon(i), synth.np_probe_lat(i)
+
+
+def brute_force_knn(plon, plat, nlon, nlat, k):
+    from landlensdb_spark.geo.mercator import np_merc_x, np_merc_y
+
+    px = np.round(np_merc_x(plon), 3)[:, None]
+    py = np.round(np_merc_y(plat), 3)[:, None]
+    nx = np.round(np_merc_x(nlon), 3)[None, :]
+    ny = np.round(np_merc_y(nlat), 3)[None, :]
+    d2 = (px - nx) ** 2 + (py - ny) ** 2
+    ids = np.arange(d2.shape[1])
+    out = []
+    for i in range(d2.shape[0]):
+        order = np.lexsort((ids, d2[i]))[:k]
+        out.append([(int(j), float(d2[i, j])) for j in order])
+    return out
+
+
+def test_knn_matches_brute_force(spark):
+    n_pts, n_probes, k = 2000, 150, 5
+    nlon, nlat = _points(n_pts)
+    plon, plat = _points(n_probes, probe=True)
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(nlon, nlat))],
+        "point_id long, lon double, lat double",
+    )
+    prb = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(plon, plat))],
+        "probe_id long, lon double, lat double",
+    )
+    got = (
+        knn_join(prb, pts, k=k, res=14)
+        .orderBy("probe_id", "rank")
+        .toPandas()
+    )
+    want = brute_force_knn(plon, plat, nlon, nlat, k)
+    assert len(got) == n_probes * k
+    for pid in range(n_probes):
+        rows = got[got["probe_id"] == pid]
+        got_ids = list(rows["point_id"])
+        want_ids = [j for j, _ in want[pid]]
+        assert got_ids == want_ids, f"probe {pid}: {got_ids} != {want_ids}"
+        assert np.allclose(rows["dist2"].to_numpy(), [d for _, d in want[pid]])
+
+
+def test_knn_sparse_fallback_still_exact(spark):
+    # 10 points scattered world-wide at a fine grid res -> rings stay empty,
+    # fallback brute-force path must fire and stay exact
+    i = np.arange(10, dtype=np.int64)
+    nlon, nlat = synth.np_lon(i * 101), synth.np_lat(i * 101)
+    pts = spark.createDataFrame(
+        [(int(j), float(a), float(b)) for j, (a, b) in enumerate(zip(nlon, nlat))],
+        "point_id long, lon double, lat double",
+    )
+    prb = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 100.0, -40.0)], "probe_id long, lon double, lat double"
+    )
+    got = knn_join(prb, pts, k=3, res=14, max_rounds=2).orderBy("probe_id", "rank").toPandas()
+    want = brute_force_knn(
+        np.array([0.0, 100.0]), np.array([0.0, -40.0]), nlon, nlat, 3
+    )
+    assert len(got) == 6
+    for pid in (0, 1):
+        got_ids = list(got[got["probe_id"] == pid]["point_id"])
+        assert got_ids == [j for j, _ in want[pid]]
