@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (extract -> PIP join -> tile
+assign -> per-admin/tile rollup) on sf0.001. ``queries()`` / ``oracle_sql()``
+pairs live in :mod:`landlensdb_spark.entry_queries`, one per operator from
+SURVEY.md §2; coordinates derive from table keys via integer formulas shared
+between the Spark columns and the DuckDB SQL (landlensdb_spark/synth.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Pipeline: synthesize pages from the documents keys -> extract geotags
+    from html (Arrow UDF) -> PIP join vs admin polygons (cell equi-join +
+    ray-cast refine) -> z14 tile assignment (column math) -> rollup.
+    """
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark import synth, tables
+    from landlensdb_spark.extract import extract_geotags
+    from landlensdb_spark.operators.pip_join import pip_join
+    from landlensdb_spark.operators.tiles import assign_tiles
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    pages = tables.pages(spark, n)
+    geo = extract_geotags(pages)
+    polys = synth.admin_polygons(spark)
+    joined = pip_join(geo, polys, keep_polygon_cols=["name"])
+    tiled = assign_tiles(joined)
+    return tiled.groupBy("admin_id", "name", "tile_z", "tile_x", "tile_y").agg(
+        F.count("*").alias("n_pages"),
+        F.min("url").alias("first_url"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from landlensdb_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from landlensdb_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,69 @@
+"""Tile assignment + per-tile export records (the reference's mapping output).
+
+The reference renders folium maps with per-point markers
+(/root/reference/landlensdb/geoclasses/geoimageframe.py:381-456) and consumes
+Mapillary vector tiles keyed by zoom (cloud.py:729-737). The engine-side
+contract (SURVEY.md §2.9 M1) is tile *assignment* — the slippy-map formula of
+cloud.py:860-887 — plus a grouped export: one record list per (z, x, y) tile,
+the distributed analog of a vector-tile layer build.
+
+Assignment is pure column math (landlensdb_spark.geo.tiles); the groupBy is
+the only shuffle and it keys on the quadkey long, which AQE skew-splits for
+dense urban tiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from landlensdb_spark.geo.tiles import ZOOM_LEVEL, with_tile
+
+
+def assign_tiles(
+    df: DataFrame, lon: str = "lon", lat: str = "lat", zoom: int = ZOOM_LEVEL
+) -> DataFrame:
+    """Attach tile_z/tile_x/tile_y/quadkey (no shuffle)."""
+    return with_tile(df, lon=lon, lat=lat, zoom=zoom)
+
+
+def tile_stats(
+    df: DataFrame, lon: str = "lon", lat: str = "lat", zoom: int = ZOOM_LEVEL
+) -> DataFrame:
+    """Per-tile record counts + bbox of contained points (tile catalog)."""
+    return (
+        assign_tiles(df, lon, lat, zoom)
+        .groupBy("tile_z", "tile_x", "tile_y", "quadkey")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.round(F.min(lon), 6).alias("min_lon"),
+            F.round(F.max(lon), 6).alias("max_lon"),
+            F.round(F.min(lat), 6).alias("min_lat"),
+            F.round(F.max(lat), 6).alias("max_lat"),
+        )
+    )
+
+
+def tile_export(
+    df: DataFrame,
+    record_cols: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    zoom: int = ZOOM_LEVEL,
+    max_records_per_tile: int | None = None,
+) -> DataFrame:
+    """Per-tile sorted record lists — the vector-tile-layer analog.
+
+    Each output row is one tile with an array of record structs (sorted by
+    the first record col for determinism). ``max_records_per_tile`` caps the
+    per-tile payload like the reference's page-size limit (cloud.py:48).
+    """
+    tagged = assign_tiles(df, lon, lat, zoom)
+    rec = F.struct(*[F.col(c) for c in record_cols])
+    out = tagged.groupBy("tile_z", "tile_x", "tile_y", "quadkey").agg(
+        F.array_sort(F.collect_list(rec)).alias("records"),
+        F.count("*").alias("n_records"),
+    )
+    if max_records_per_tile is not None:
+        out = out.withColumn("records", F.slice("records", 1, max_records_per_tile))
+    return out
