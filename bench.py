@@ -1,0 +1,159 @@
+"""Headline benchmark: spatial-join + tiling throughput.
+
+Runs the engine's flagship operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", "rows", "rows_per_sec", "cpus"}.
+
+The workload is the north-rule pipeline on a *clustered* (skewed) point
+field — 60% of geotagged pages in 3 urban cells:
+
+- extract_pip_tile: pages parquet scan -> Arrow-UDF geotag extraction ->
+  PIP join vs 1024 admin polygons -> z14 tile assignment -> tile rollup
+- snap: 20%-of-rows probe set snapped to the road network (mapInPandas,
+  zero shuffle)
+- knn: k=10 neighbors for 2,000 probes among the urban points
+- tile_export: per-tile record lists at z12
+
+Setup (pages materialization to parquet) is NOT timed; each timed query ends
+in a count/write action. ``--scaling`` mode is handled by
+tools/scaling_bench.py which invokes this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from landlensdb_spark import synth, tables  # noqa: E402
+from landlensdb_spark.extract import extract_geotags  # noqa: E402
+from landlensdb_spark.operators.knn import knn_join  # noqa: E402
+from landlensdb_spark.operators.pip_join import pip_join  # noqa: E402
+from landlensdb_spark.operators.snap import snap_to_network  # noqa: E402
+from landlensdb_spark.operators.tiles import assign_tiles, tile_stats  # noqa: E402
+from landlensdb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark(
+        "landlensdb-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- setup (not timed): materialize the pages table ------------------
+    n_pages = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    work = os.environ.get("SPARK_GRAFT_WORKDIR", f"/tmp/llb_bench_{cpus}")
+    pages_path = f"{work}/pages.parquet"
+    shutil.rmtree(work, ignore_errors=True)
+    tables.pages(spark, n_pages, clustered=True, num_partitions=4 * cpus).write.mode(
+        "overwrite"
+    ).parquet(pages_path)
+    polys = synth.admin_polygons(spark)
+    net = synth.road_network(spark)
+
+    queries: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+    def timed(name: str, fn):
+        """Best-of-N timing: the sandbox VM has noisy-neighbor variance of
+        2-4x; min-of-two measures the engine rather than host contention."""
+        best, out = None, None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+        return out
+
+    # ---- q1: extract -> PIP -> tile -> rollup -----------------------------
+    def q_pipeline():
+        pages = spark.read.parquet(pages_path)
+        geo = extract_geotags(pages).select("url", "lon", "lat", "lang")
+        joined = pip_join(geo, polys)
+        tiled = assign_tiles(joined)
+        return tiled.groupBy("admin_id", "tile_x", "tile_y").count().count()
+
+    n_tiles = timed("extract_pip_tile", q_pipeline)
+
+    # ---- q2: snap probes to the road network ------------------------------
+    def q_snap():
+        k = F.col("id")
+        probes = spark.range(n_pages // 5).select(
+            k.alias("key"),
+            synth.probe_lon_col(k).alias("lon"),
+            synth.probe_lat_col(k).alias("lat"),
+        )
+        snapped = snap_to_network(probes, net, tolerance_m=100.0)
+        return snapped.filter(F.col("line_id").isNotNull()).count()
+
+    n_snapped = timed("snap", q_snap)
+
+    # ---- q3: kNN among urban points ---------------------------------------
+    def q_knn():
+        k = F.col("id")
+        pts = spark.range(n_pages // 4).select(
+            k.alias("point_id"),
+            synth.probe_lon_col(k).alias("lon"),
+            synth.probe_lat_col(k).alias("lat"),
+        )
+        prb = spark.range(2000).select(
+            (k * 13 + 7).alias("pk"),
+        ).select(
+            F.col("pk").alias("probe_id"),
+            synth.probe_lon_col(F.col("pk")).alias("lon"),
+            synth.probe_lat_col(F.col("pk")).alias("lat"),
+        )
+        return knn_join(prb, pts, k=10, res=16).count()
+
+    n_knn = timed("knn", q_knn)
+
+    # ---- q4: per-tile export catalog at z12 --------------------------------
+    def q_tiles():
+        pages = spark.read.parquet(pages_path)
+        geo = extract_geotags(pages).select("url", "lon", "lat")
+        return tile_stats(geo, zoom=12).count()
+
+    n_exp = timed("tile_export", q_tiles)
+
+    total = round(sum(queries.values()), 3)
+    # headline throughput: pipeline rows/sec (extraction+join+tile rollup)
+    rows_per_sec = round(n_pages / queries["extract_pip_tile"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tiling total wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "rows": n_pages,
+                "rows_per_sec": rows_per_sec,
+                "cpus": cpus,
+                "checks": {
+                    "tiles": n_tiles,
+                    "snapped": n_snapped,
+                    "knn_rows": n_knn,
+                    "export_tiles": n_exp,
+                },
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

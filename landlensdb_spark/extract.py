@@ -92,22 +92,40 @@ def geotag_udf(html: pd.Series) -> pd.DataFrame:
 
 
 def extract_geotags(
-    df: DataFrame, html: str | Column = "html", drop_untagged: bool = True
+    df: DataFrame,
+    html: str = "html",
+    drop_untagged: bool = True,
+    drop_html: bool = True,
 ) -> DataFrame:
-    """Attach ``lat``/``lon``/``text_extracted`` columns from ``html``.
+    """Attach ``lat``/``lon``/``text_extracted`` columns extracted from ``html``.
 
     ``drop_untagged=True`` filters rows with no geotag (the reference skips
-    GPS-less images, image.py:334-338). Runs as a single Arrow-batched
-    projection — no shuffle.
+    GPS-less images, image.py:334-338). Implemented as ONE ``mapInPandas``
+    pass: the untagged-row filter runs inside the same Arrow batch, and the
+    map acts as a plan barrier so Catalyst cannot push a filter beneath the
+    projection and re-evaluate the (expensive) extraction twice — the
+    double-ArrowEvalPython plan the naive withColumn+filter formulation
+    produces. ``drop_html=True`` drops the heavy binary column on output so
+    downstream shuffles never carry it.
     """
-    html_col = F.col(html) if isinstance(html, str) else html
-    out = df.withColumn("_geo", geotag_udf(html_col))
-    out = (
-        out.withColumn("lat", F.col("_geo.lat"))
-        .withColumn("lon", F.col("_geo.lon"))
-        .withColumn("text_extracted", F.col("_geo.text"))
-        .drop("_geo")
+    from collections.abc import Iterator
+
+    keep = [f for f in df.schema.fields if not (drop_html and f.name == html)]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in keep]
+        + ["lat double", "lon double", "text_extracted string"]
     )
-    if drop_untagged:
-        out = out.filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-    return out
+    keep_names = [f.name for f in keep]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ext = extract_geotag_pdf(pdf[html])
+            out = pdf[keep_names].copy()
+            out["lat"] = ext["lat"].to_numpy()
+            out["lon"] = ext["lon"].to_numpy()
+            out["text_extracted"] = ext["text"]
+            if drop_untagged:
+                out = out[out["lat"].notna() & out["lon"].notna()]
+            yield out
+
+    return df.mapInPandas(_extract, out_schema)

@@ -99,6 +99,9 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .select("_pid", "_nid", "dist2", "rank")
         )
+        # small (n_probes x k); persist so the ok/retry split, the final
+        # union and the caller's action don't recompute the join lineage
+        topk = topk.persist()
         bound = float(r * cellsz) ** 2
         stats = topk.groupBy("_pid").agg(
             F.count("*").alias("_cnt"), F.max("dist2").alias("_kth")
@@ -109,7 +112,7 @@ def knn_join(
         )
         remaining = remaining.join(
             F.broadcast(ok_ids.select("_pid")), "_pid", "left_anti"
-        )
+        ).persist()
         r *= 2
         if remaining.isEmpty():
             remaining = None

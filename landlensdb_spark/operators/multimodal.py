@@ -1,0 +1,129 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns + typed metadata structs — the
+Spark-side schema, partitioning, UDF signatures and Arrow batch shapes are
+real and tested; the actual codec calls are stubbed (PIL/ffmpeg are not in
+this container) behind ``DECODERS`` with a deterministic fake, exactly as
+the reference's thumbnail/crop pipeline would slot in
+(/root/reference/landlensdb/handlers/image.py:95-138 LANCZOS thumbnails,
+cloud.py:593-604 top-half crop).
+
+Contract per modality:
+- ``decode``: binary -> (width, height, n_frames, ok) metadata struct
+- ``thumbnail``: binary -> binary (resized payload)
+- ``frame_sample``: binary -> array<binary> (video frame sampling)
+- ``feature``: binary -> array<float> (embedding extraction)
+
+Batch shape: ``mapInPandas`` so one Arrow batch of N binaries is decoded in
+one vectorized call; memory per task = batch_rows x max_payload, which is
+why media tables should set ``spark.sql.execution.arrow.maxRecordsPerBatch``
+small (512) and ``maxPartitionBytes`` large.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = "width int, height int, n_frames int, codec string, ok boolean"
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
+    """Deterministic stand-in for a real image/video decoder: derives fake
+    dimensions from a content hash. Replace with PIL/ffmpeg in production."""
+    if payload is None or len(payload) == 0:
+        return (0, 0, 0, "none", False)
+    h = hashlib.md5(payload).digest()
+    return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 30, "fake", True)
+
+
+def real_decode(payload: bytes):
+    """The production decoder hook — not available in this container."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg) are not installed in this environment; "
+        "swap DECODERS['decode'] for a real implementation"
+    )
+
+
+DECODERS = {"decode": _fake_decode}
+
+
+def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Attach a media_meta struct column via one Arrow-batched pass."""
+    keep = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    out_schema = ", ".join(
+        keep + ["width int", "height int", "n_frames int", "codec string", "ok boolean"]
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = DECODERS["decode"]
+        for pdf in batches:
+            metas = [dec(b) for b in pdf[media_col]]
+            out = pdf[names].copy()
+            cols = list(zip(*metas)) if metas else [[], [], [], [], []]
+            for i, c in enumerate(("width", "height", "n_frames", "codec", "ok")):
+                out[c] = list(cols[i]) if metas else []
+            yield out
+
+    return df.mapInPandas(_dec, out_schema)
+
+
+def media_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "url", dim: int = 16
+) -> DataFrame:
+    """binary -> deterministic feature vector (stub: md5-seeded; production:
+    a real vision/audio encoder). Output: (id, feature array<float>)."""
+    out_schema = f"{id_col} string, feature array<float>"
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[media_col]:
+                if b is None or len(b) == 0:
+                    feats.append(np.zeros(dim, dtype=np.float32))
+                    continue
+                seed = int.from_bytes(hashlib.md5(b).digest()[:8], "big") % (2**32)
+                feats.append(
+                    np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "feature": feats})
+
+    return df.mapInPandas(_feat, out_schema)
+
+
+def frame_sample(
+    df: DataFrame, media_col: str = "media", every_n: int = 10
+) -> DataFrame:
+    """Video frame-sampling plumbing: binary -> array<binary> of sampled
+    frames (stub slices the payload deterministically)."""
+    keep = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["frames array<binary>"]
+    )
+
+    def _fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            frames = []
+            for b in pdf[media_col]:
+                if b is None or len(b) == 0:
+                    frames.append([])
+                else:
+                    step = max(len(b) // every_n, 1)
+                    frames.append([bytes(b[i : i + step]) for i in range(0, len(b), step)][:every_n])
+            out["frames"] = frames
+            yield out
+
+    return df.mapInPandas(_fs, out_schema)
+
+
+def with_media_table(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Treat the html payload as the opaque media column (schema adapter)."""
+    return pages.withColumn("media", F.col(html_col))

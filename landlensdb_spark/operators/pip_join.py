@@ -88,9 +88,12 @@ def pip_join(
     rings_by_id, cover_rows, res_set = _collect_polygons(polygons, polygon_id, rings_col)
     bc = spark.sparkContext.broadcast(rings_by_id)
 
-    cover_df = spark.createDataFrame(
-        cover_rows, f"_res int, _cell long, {polygon_id} long"
-    )
+    # cell ids carry their res in the top bits, so covers at mixed adaptive
+    # resolutions coexist in ONE join column; ship via Arrow (fast path).
+    cover_pdf = pd.DataFrame(
+        [(c, p) for _, c, p in cover_rows], columns=["_cell", polygon_id]
+    ).astype({"_cell": "int64", polygon_id: "int64"})
+    cover_df = spark.createDataFrame(cover_pdf)
     if broadcast_cover:
         cover_df = F.broadcast(cover_df)
 
@@ -106,13 +109,12 @@ def pip_join(
             out[ii] = points_in_polygon(px[ii], py[ii], rings[pid])
         return pd.Series(out)
 
-    # one cell column per distinct cover resolution (pure column math)
-    candidates = None
-    for res in sorted(res_set):
-        pts = points.withColumn("_cell", cell_encode(lon, lat, res))
-        cov = cover_df.filter(F.col("_res") == res).drop("_res")
-        part = pts.join(cov, "_cell", "inner").drop("_cell")
-        candidates = part if candidates is None else candidates.unionByName(part)
+    # ONE pass over the point side: explode the point's cell id at each
+    # distinct cover resolution (pure column math — 2-3 cheap expressions),
+    # then a single broadcast equi-join on the cell long.
+    cell_array = F.array(*[cell_encode(lon, lat, r) for r in sorted(res_set)])
+    pts = points.withColumn("_cell", F.explode(cell_array))
+    candidates = pts.join(cover_df, "_cell", "inner").drop("_cell")
 
     refined = candidates.filter(_contains(F.col(lon), F.col(lat), F.col(polygon_id)))
 

@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+The kNN-over-vectors analog of the spatial kNN operator: brute-force cosine
+top-k as the exact baseline, and a random-hyperplane LSH bucketed variant as
+the 10^12-scale path (bucket equi-join bounds candidates per probe, same
+shape as the H3 k-ring expansion).
+
+Float parity note: dot products are accumulated **sequentially over
+dimensions** (vectorized across rows, scalar loop over the ≤few-hundred
+dims) in float64 — bit-identical to a SQL engine's left-to-right
+``list_dot_product`` on DOUBLE lists, so oracle comparisons are exact.
+
+Scale pattern for top-k: each Arrow batch emits only its LOCAL top-k per
+probe (numpy argpartition), then one global window merge — rows through the
+shuffle are O(batches * probes * k), never n_points * n_probes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot of (n,d) x (n,d) with sequential per-dim accumulation
+    (engine-parity order). float64."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * b[:, d]
+    return acc
+
+
+def _seq_gram(pts: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """(n,d) x (m,d) -> (n,m) dot matrix, sequential over dims."""
+    acc = np.zeros((pts.shape[0], probes.shape[0]), dtype=np.float64)
+    for d in range(pts.shape[1]):
+        acc = acc + pts[:, d : d + 1] * probes[None, :, d]
+    return acc
+
+
+def _norm(a: np.ndarray) -> np.ndarray:
+    return np.sqrt(_seq_dot(a, a))
+
+
+def cosine_topk(
+    points: DataFrame,
+    probes: DataFrame,
+    k: int,
+    point_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (probe_id, point_id, score, rank).
+
+    Probes are collected + broadcast (the small side by design); each point
+    batch scores all probes and emits its local top-k per probe; a single
+    window merge finishes. Ties break by point id (deterministic).
+    """
+    spark = points.sparkSession
+    prows = probes.select(probe_id, vec_col).collect()
+    pids = np.array([r[0] for r in prows], dtype=np.int64)
+    pvecs = np.array([r[1] for r in prows], dtype=np.float64)
+    pnorm = _norm(pvecs)
+    bc = spark.sparkContext.broadcast((pids, pvecs, pnorm, k))
+
+    out_schema = f"{probe_id} long, {point_id} long, score double"
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_pids, b_pvecs, b_pnorm, kk = bc.value
+        m = len(b_pids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[point_id].to_numpy(dtype=np.int64)
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dots = _seq_gram(vecs, b_pvecs)  # (n, m)
+            norms = _norm(vecs)
+            denom = norms[:, None] * b_pnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            kloc = min(kk, len(ids))
+            # local top-k per probe (selection on (-score, id) ordering)
+            order = np.lexsort((ids[:, None].repeat(m, 1), -cos), axis=0)[:kloc]
+            rows = {
+                probe_id: np.tile(b_pids, kloc),
+                point_id: ids[order].ravel(),
+                "score": np.take_along_axis(cos, order, axis=0).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local = points.mapInPandas(_score, out_schema)
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("score").desc(), F.col(point_id).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.round("score", 6))
+    )
+
+
+def lsh_bucket(vec_col: str, planes: np.ndarray):
+    """Random-hyperplane signature as a pandas UDF -> long bucket id."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        v = np.array(list(vecs), dtype=np.float64)
+        signs = (v @ planes.T) > 0  # (n, nplanes)
+        out = np.zeros(len(v), dtype=np.int64)
+        for b in range(planes.shape[0]):
+            out |= signs[:, b].astype(np.int64) << b
+        return pd.Series(out)
+
+    return _bucket
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_cosine_topk(
+    points: DataFrame,
+    probes: DataFrame,
+    k: int,
+    dim: int,
+    point_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share an LSH bucket with the
+    probe; exact re-rank within bucket. Recall rises with fewer planes /
+    multi-probe; this is the IVF-style scale path (bucket equi-join instead
+    of all-pairs)."""
+    planes = make_planes(dim, n_planes)
+    bucket = lsh_bucket(vec_col, planes)
+    pts = points.withColumn("_bucket", bucket(F.col(vec_col)))
+    prb = probes.withColumn("_bucket", bucket(F.col(vec_col)))
+    cand = prb.select(
+        F.col(probe_id), F.col(vec_col).alias("_pvec"), "_bucket"
+    ).join(pts.select(F.col(point_id), vec_col, "_bucket"), "_bucket")
+
+    out_schema = f"{probe_id} long, {point_id} long, score double"
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf["_pvec"]), dtype=np.float64)
+            b = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cos = _seq_dot(a, b) / (_norm(a) * _norm(b))
+            yield pd.DataFrame(
+                {
+                    probe_id: pdf[probe_id].to_numpy(),
+                    point_id: pdf[point_id].to_numpy(),
+                    "score": cos,
+                }
+            )
+
+    scored = cand.mapInPandas(_exact, out_schema)
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("score").desc(), F.col(point_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.round("score", 6))
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    point_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, score) pairs with cosine >= threshold, LSH-bucketed
+    candidates (same-bucket only) + exact verify. For near-dup detection a
+    high threshold means near-identical vectors land in the same bucket with
+    high probability."""
+    planes = make_planes(64, n_planes)  # dim fixed by caller's data; re-made below
+    first = vectors.select(vec_col).first()
+    dim = len(first[0])
+    planes = make_planes(dim, n_planes)
+    bucket = lsh_bucket(vec_col, planes)
+    v = vectors.withColumn("_bucket", bucket(F.col(vec_col)))
+    a = v.alias("a")
+    b = v.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{point_id}") < F.col(f"b.{point_id}")),
+    ).select(
+        F.col(f"a.{point_id}").alias("id_a"),
+        F.col(f"b.{point_id}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("_va"),
+        F.col(f"b.{vec_col}").alias("_vb"),
+    )
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.array(list(pdf["_va"]), dtype=np.float64)
+            vb = np.array(list(pdf["_vb"]), dtype=np.float64)
+            cos = _seq_dot(va, vb) / (_norm(va) * _norm(vb))
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "score": np.round(cos, 6),
+                }
+            )
+            yield out[out["score"] >= threshold]
+
+    return cand.mapInPandas(_exact, "id_a long, id_b long, score double")

@@ -1,0 +1,131 @@
+"""Dedup + similarity operators vs single-node oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from landlensdb_spark.operators import dedup, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),          # near dup of 0
+    (3, "completely different text about spark engines here"),
+    (4, "completely different text about spark engines here ok"),  # near dup of 3
+    (5, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (6, "unrelated short note"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def py_jaccard(a: str, b: str, n: int) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(spark, docs_df):
+    out = dedup.exact_dedup(docs_df).toPandas()
+    assert len(out) == 5  # 7 docs, {0,1,5} collapse
+    big = out[out["n_dupes"] == 3]
+    assert len(big) == 1 and big.iloc[0]["kept_id"] == 0
+
+
+def test_ngram_jaccard_pairs(spark, docs_df):
+    got = (
+        dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.5)
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    want = []
+    for i in range(len(DOCS)):
+        for j in range(i + 1, len(DOCS)):
+            jac = py_jaccard(DOCS[i][1], DOCS[j][1], 3)
+            if jac >= 0.5:
+                want.append((i, j, round(jac, 6)))
+    got_t = [tuple(r) for r in got.to_numpy()]
+    assert sorted(got_t) == sorted(want)
+    assert (0, 1, 1.0) in got_t  # exact dup found
+    assert any(a == 0 and b == 2 for a, b, _ in got_t)  # near dup found
+
+
+def test_minhash_lsh_pairs(spark, docs_df):
+    got = (
+        dedup.minhash_lsh_pairs(docs_df, n=3, num_hashes=16, bands=8, threshold=0.5)
+        .toPandas()
+    )
+    pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    # exact dups MUST collide in every band
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    # verified jaccard is exact
+    for _, r in got.iterrows():
+        assert abs(r["jaccard"] - round(py_jaccard(DOCS[int(r['id_a'])][1], DOCS[int(r['id_b'])][1], 3), 6)) < 1e-9
+
+
+def test_simhash_clusters(spark, docs_df):
+    got = dedup.simhash_dups(docs_df, n=2).toPandas()
+    ids = set(got["doc_id"])
+    assert {0, 1, 5} <= ids  # identical texts share a simhash
+    c = got[got["doc_id"] == 0]["cluster_size"].iloc[0]
+    assert c == 3
+
+
+def _vec_table(spark, n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant exact near-dups
+    vecs[10] = vecs[0] * 1.001
+    vecs[11] = vecs[0] + 1e-4
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_exact(spark):
+    df, vecs = _vec_table(spark)
+    probes = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "probe_id")
+    got = (
+        similarity.cosine_topk(df, probes, k=5)
+        .orderBy("probe_id", "rank")
+        .toPandas()
+    )
+    v = vecs.astype(np.float64)
+    norms = np.sqrt((v * v).sum(axis=1))
+    cos = (v @ v.T) / np.outer(norms, norms)
+    for pid in range(3):
+        order = np.lexsort((np.arange(len(v)), -cos[pid]))[:5]
+        got_ids = list(got[got["probe_id"] == pid]["vec_id"])
+        assert got_ids == list(order), f"probe {pid}"
+    # planted near-dups of 0 rank right behind 0 itself
+    top0 = list(got[got["probe_id"] == 0]["vec_id"])[:3]
+    assert set(top0) == {0, 10, 11}
+
+
+def test_lsh_topk_recall(spark):
+    df, vecs = _vec_table(spark, n=400)
+    probes = df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    exact = similarity.cosine_topk(df, probes, k=3).toPandas()
+    approx = similarity.lsh_cosine_topk(df, probes, k=3, dim=16, n_planes=4).toPandas()
+    # recall@3 of the bucketed variant should be high (same-bucket bias)
+    hit = 0
+    for pid in range(5):
+        e = set(exact[exact["probe_id"] == pid]["vec_id"])
+        a = set(approx[approx["probe_id"] == pid]["vec_id"])
+        hit += len(e & a)
+    assert hit >= 9  # >= 60% recall on 15 slots; planted dups always hit
+
+
+def test_embedding_near_dup(spark):
+    df, vecs = _vec_table(spark)
+    got = similarity.embedding_near_dup_pairs(df, threshold=0.999).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert (0, 10) in pairs and (0, 11) in pairs

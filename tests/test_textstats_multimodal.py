@@ -1,0 +1,105 @@
+"""Text-analysis column ops + multimodal plumbing + streaming parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from landlensdb_spark.operators import multimodal, textstats
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "one two  three"), (1, ""), (2, "  "), (3, "a"), (4, "a, b. c!")],
+        "id long, text string",
+    )
+    got = {r["id"]: (r["n_tokens"], r["n_subwords"]) for r in
+           textstats.with_text_stats(df).collect()}
+    assert got[0][0] == 3 and got[1][0] == 0 and got[2][0] == 0 and got[3][0] == 1
+    assert got[4] == (3, 6)  # a , b . c !
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze und der vogel"),
+            (2, "le chat et les chiens et le oiseau"),
+            (3, "el perro que vive con los gatos el dia"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in textstats.with_text_stats(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es"}
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = textstats.with_text_stats(docs, "text")
+    mm = stats.agg(F.min("quality"), F.max("quality")).collect()[0]
+    assert 0.0 <= mm[0] <= mm[1] <= 1.0
+
+
+def test_fingerprint_deterministic(spark):
+    texts = ["hello world", "hello world", "hello worlds", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r["id"]: r["fingerprint"] for r in textstats.with_fingerprint(df).collect()}
+    assert got[0] == got[1] != got[2]
+    assert got[3] == 0
+    # pandas twin agrees
+    import pandas as pd
+
+    want = textstats.np_fingerprint(pd.Series(texts))
+    assert [got[i] for i in range(4)] == list(want)
+
+
+def test_multimodal_decode_and_features(spark):
+    rows = [(f"u{i}", bytes([i]) * (10 + i)) for i in range(20)] + [("empty", b"")]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    meta = multimodal.decode_media(df).toPandas()
+    assert len(meta) == 21
+    assert (meta[meta["url"] != "empty"]["ok"]).all()
+    assert not meta[meta["url"] == "empty"]["ok"].iloc[0]
+    assert ((meta["width"] >= 0) & (meta["width"] < 256)).all()
+
+    feats = multimodal.media_features(df, dim=8).toPandas()
+    assert len(feats) == 21
+    assert all(len(v) == 8 for v in feats["feature"])
+    # deterministic: same payload -> same feature
+    f2 = multimodal.media_features(df, dim=8).toPandas()
+    a = {u: tuple(v) for u, v in zip(feats["url"], feats["feature"])}
+    b = {u: tuple(v) for u, v in zip(f2["url"], f2["feature"])}
+    assert a == b
+
+    frames = multimodal.frame_sample(df, every_n=5).toPandas()
+    row = frames[frames["url"] == "u10"].iloc[0]
+    assert 1 <= len(row["frames"]) <= 5
+    assert b"".join(row["frames"])[: len(rows[10][1])] == rows[10][1][: sum(len(x) for x in row['frames'])]
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"abc")
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    from landlensdb_spark.streaming.events import (
+        run_available_now,
+        stream_pages,
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = windowed_event_counts(events).orderBy("win_start", "event_type").toPandas()
+
+    schema = events.schema.simpleString()[7:-1].replace(":", " ")
+    stream = stream_pages(spark, f"{sf_dir}/events.parquet", schema)
+    agg = windowed_event_counts(stream)
+    run_available_now(agg, str(tmp_path / "ckpt"), "evt_counts")
+    streamed = (
+        spark.table("evt_counts").orderBy("win_start", "event_type").toPandas()
+    )
+    assert len(batch) == len(streamed)
+    assert (batch["n_events"].to_numpy() == streamed["n_events"].to_numpy()).all()
+    assert np.allclose(batch["sum_value"], streamed["sum_value"])
