@@ -93,8 +93,11 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     batch = windowed_event_counts(events).orderBy("win_start", "event_type").toPandas()
 
+    # file-source streams consume a growing DIRECTORY; stage the fixture
+    src_dir = str(tmp_path / "events_feed")
+    events.write.parquet(src_dir)
     schema = events.schema.simpleString()[7:-1].replace(":", " ")
-    stream = stream_pages(spark, f"{sf_dir}/events.parquet", schema)
+    stream = stream_pages(spark, src_dir, schema)
     agg = windowed_event_counts(stream)
     run_available_now(agg, str(tmp_path / "ckpt"), "evt_counts")
     streamed = (
