@@ -283,3 +283,546 @@ def q_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.filter(
         F.col("lon").between(-30.0, 30.0) & F.col("lat").between(-20.0, 45.0)
     ).select("key", F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"))
+
+
+# ===========================================================================
+# Relational operator coverage (SURVEY §2.2/2.4/2.6/2.7: P4/P7, A1-A5, O5, S9)
+# ===========================================================================
+
+@query(
+    "filter_dsl",
+    "SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'",
+)
+def q_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: the reference's field__op DSL (db.py:82-124) over orders."""
+    from landlensdb_spark.dsl import Catalog
+
+    cat = Catalog(spark, base_dir=sf_dir)
+    return (
+        cat.table("orders")
+        .filter(o_totalprice__gt=150000.0, o_orderstatus="F")
+        .all()
+        .select("o_orderkey")
+    )
+
+
+@query("distinct_priority", "SELECT DISTINCT o_orderpriority FROM orders")
+def q_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct values (db.py:162-196)."""
+    return tables.load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+@query(
+    "anti_join",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/J5: anti-membership resume filter (~isin, cloud.py:531-542)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    bad = tables.load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return orders.join(
+        F.broadcast(bad.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    ).select("o_orderkey")
+
+
+@query(
+    "agg_doc_stats",
+    """
+    SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_agg_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: counts / count-distinct / mean (test_tutorial_core.py:209-216)."""
+    return (
+        tables.load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "bounds_agg",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT round(min(lon), 6) AS min_lon, round(min(lat), 6) AS min_lat,
+           round(max(lon), 6) AS max_lon, round(max(lat), 6) AS max_lat
+    FROM pts
+    """,
+)
+def q_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: total_bounds aggregation (snap.py:173-174)."""
+    pts = _points(spark, sf_dir)
+    return pts.agg(
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+    )
+
+
+@query(
+    "argmin_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+      SELECT l_orderkey, l_linenumber, l_shipdate,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) rn
+      FROM lineitem WHERE l_orderkey < 3000
+    ) WHERE rn = 1
+    """,
+)
+def q_argmin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O5: sort+group-first argmin (snap.py:218-221) as a window."""
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@query(
+    "upsert_orders",
+    """
+    WITH existing AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders WHERE o_orderkey < 1000
+    ), incoming AS (
+      SELECT o_orderkey AS k, round(o_totalprice * 2, 6) AS price FROM orders
+      WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    )
+    SELECT k, price FROM existing WHERE k NOT IN (SELECT k FROM incoming)
+    UNION ALL SELECT k, price FROM incoming
+    """,
+)
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: ON CONFLICT DO UPDATE upsert semantics (db.py:198-238)."""
+    from landlensdb_spark.dsl import upsert
+
+    o = tables.load(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    incoming = o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500)).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 2, 6).alias("price"),
+    )
+    return upsert(existing, incoming, "k", conflict="update")
+
+
+@query(
+    "window_events",
+    """
+    SELECT cast(floor(epoch(ts) / 300) AS bigint) AS bucket, event_type,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min window rollup (streaming semantics, batch parity)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 300).cast("long"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+# ===========================================================================
+# Dedup / text-analysis / similarity (training-pipeline ops)
+# ===========================================================================
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS kept_id, count(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(tables.load(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = """
+  toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+           ))) AS shingle
+    FROM toks WHERE len(w) >= 3
+  )
+"""
+
+
+@query(
+    "ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        F.col("id_a"), F.col("id_b"), F.col("jaccard")
+    )
+
+
+@query(
+    "minhash_sigs",
+    f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_id AS _id, seed, min(md5(shingle || '#' || seed)) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+    GROUP BY 1, 2
+    """,
+)
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators.dedup import minhash_signatures
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return minhash_signatures(docs, n=3, num_hashes=8).withColumn(
+        "seed", F.col("seed").cast("long")
+    )
+
+
+@query("simhash_docs")  # rows-only: 64-bit sign aggregation not SQL-expressible
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators.dedup import simhash_udf
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_udf(2)(F.col("text")).alias("simhash"))
+
+
+@query("fingerprint_docs")  # rows-only: byte-rolling hash not SQL-expressible
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators.textstats import with_fingerprint
+
+    return with_fingerprint(tables.load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z0-9]+|[^A-Za-z0-9\s])', 1)) AS n_subwords
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators import textstats as T2
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T2.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T2.word_count_bpe_ish(F.col("text")).cast("long").alias("n_subwords"),
+    )
+
+
+_QUALITY_SQL = r"""
+  q AS (
+    SELECT doc_id, text,
+      ' ' || lower(text) || ' ' AS padded,
+      CASE WHEN len(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+    FROM documents
+  ),
+  scored AS (
+    SELECT doc_id,
+      least(length(text) / 400.0, 1.0) AS len_band,
+      least(((length(text) - length(replace(text, '.', ''))) * 1.0
+           + (length(text) - length(replace(text, ',', '')))) / greatest(n_tok, 1.0), 1.0) AS punct_ratio,
+      least((
+          (length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+        + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+        + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0
+      ) / greatest(n_tok, 1.0) * 5.0, 1.0) AS stop_ratio
+    FROM q
+  )
+"""
+
+
+@query(
+    "quality_docs",
+    f"""
+    WITH {_QUALITY_SQL}
+    SELECT doc_id, round((len_band + punct_ratio + stop_ratio) / 3.0, 6) AS quality
+    FROM scored
+    """,
+)
+def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators.textstats import quality_score
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_scores_sql() -> str:
+    from landlensdb_spark.operators.textstats import LANG_MARKERS
+
+    parts = []
+    for code in sorted(LANG_MARKERS):
+        terms = " + ".join(
+            f"(length(padded) - length(replace(padded, ' {wrd} ', ''))) / {len(wrd) + 2}.0"
+            for wrd in LANG_MARKERS[code]
+        )
+        parts.append(f"({terms}) AS s_{code}")
+    return ", ".join(parts)
+
+
+def _lang_case_sql() -> str:
+    from landlensdb_spark.operators.textstats import LANG_MARKERS
+
+    codes = sorted(LANG_MARKERS)
+    cases = []
+    for c in codes:
+        conds = " AND ".join(f"s_{c} >= s_{o}" for o in codes if o != c)
+        cases.append(f"WHEN {conds} THEN '{c}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{codes[-1]}' END"
+
+
+@query(
+    "lang_pred",
+    f"""
+    WITH padded_t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+    scores AS (SELECT doc_id, {_lang_scores_sql()} FROM padded_t)
+    SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM scores
+    """,
+)
+def q_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators.textstats import lang_id
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+_EMB_SQL = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings"
+)
+
+
+@query(
+    "embed_topk",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    prb AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT probe_id, vec_id,
+             list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS score
+      FROM prb CROSS JOIN e
+    )
+    SELECT probe_id, vec_id, round(score, 6) AS score, rank FROM (
+      SELECT probe_id, vec_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force-exact cosine top-k (ANN baseline; LSH variant below)."""
+    from landlensdb_spark.operators.similarity import cosine_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = cosine_topk(emb, probes, k=5)
+    return out.select("probe_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@query("embed_ann_lsh")  # rows-only: LSH bucketing is approximate by design
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landlensdb_spark.operators.similarity import lsh_cosine_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_cosine_topk(emb, probes, k=5, dim=dim, n_planes=6)
+
+
+@query(
+    "embed_near_dup",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    p AS (
+      SELECT a.vec_id id_a, b.vec_id id_b,
+             list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(score, 6) AS score FROM p WHERE round(score, 6) >= 0.45
+    """,
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= 0.45 on this corpus)."""
+    from landlensdb_spark.operators.similarity import cosine_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    probes = emb.select(F.col("vec_id").alias("probe_id"), "embedding")
+    topk = cosine_topk(emb, probes, k=60)
+    return (
+        topk.filter((F.col("score") >= 0.45) & (F.col("probe_id") < F.col("vec_id")))
+        .select(F.col("probe_id").alias("id_a"), F.col("vec_id").alias("id_b"), "score")
+    )
+
+
+# ===========================================================================
+# Geo extras: inverse tile math, named PIP, full snap outputs, Hilbert cells
+# ===========================================================================
+
+def _sinh_sql(x: str) -> str:
+    return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+
+@query(
+    "tile_bounds",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    t AS (SELECT DISTINCT {synth.tile_x_sql('lon', 6)} AS tile_x,
+                          {synth.tile_y_sql('lat', 6)} AS tile_y FROM pts)
+    SELECT tile_x, tile_y,
+      round(tile_x / 64.0 * 360.0 - 180.0, 6) AS west,
+      round(degrees(atan({_sinh_sql('pi() * (1.0 - 2.0 * (tile_y + 1.0) / 64.0)')})), 6) AS south,
+      round((tile_x + 1.0) / 64.0 * 360.0 - 180.0, 6) AS east,
+      round(degrees(atan({_sinh_sql('pi() * (1.0 - 2.0 * tile_y / 64.0)')})), 6) AS north
+    FROM t
+    """,
+)
+def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: inverse slippy formula (cloud.py:889-911) as column math."""
+    from landlensdb_spark.geo.tiles import tile_bounds, with_tile
+
+    pts = _points(spark, sf_dir)
+    t = with_tile(pts, zoom=6).select("tile_x", "tile_y").distinct()
+    w, s, e, n = tile_bounds("tile_x", "tile_y", 6)
+    return t.select(
+        "tile_x",
+        "tile_y",
+        F.round(w, 6).alias("west"),
+        F.round(s, 6).alias("south"),
+        F.round(e, 6).alias("east"),
+        F.round(n, 6).alias("north"),
+    )
+
+
+@query(
+    "pip_admin_named",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    j AS (
+      SELECT key,
+        cast(floor((lon - ({synth.GRID_X0!r})) / {synth.GRID_DX!r}) AS bigint) AS gx,
+        cast(floor((lat - ({synth.GRID_Y0!r})) / {synth.GRID_DY!r}) AS bigint) AS gy
+      FROM pts
+    )
+    SELECT key, gx * {synth.GRID_NY} + gy AS admin_id, printf('admin_%d_%d', gx, gy) AS name
+    FROM j
+    """,
+)
+def q_pip_admin_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J6: PIP join with build-side attribute fetch-back."""
+    pts = _points(spark, sf_dir)
+    polys = synth.admin_polygons(spark)
+    return pip_join(pts, polys, keep_polygon_cols=["name"]).select(
+        "key", "admin_id", "name"
+    )
+
+
+@query(
+    "snap_full",
+    f"""
+    WITH pts AS ({_probe_sql(2000)}),
+    mpts AS (
+      SELECT key, {synth.merc_x_sql('lon')} AS px, {synth.merc_y_sql('lat')} AS py FROM pts
+    ),
+    roads AS ({synth.roads_sql_cte()}),
+    pairs AS (
+      SELECT key, line_id, px, py, nx, ny,
+        sqrt((px - nx) * (px - nx) + (py - ny) * (py - ny)) AS dist,
+        t * sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS pos
+      FROM (
+        SELECT m.key, r.line_id, m.px, m.py, r.x0, r.y0, r.x1, r.y1,
+          least(greatest(((m.px-r.x0)*(r.x1-r.x0) + (m.py-r.y0)*(r.y1-r.y0))
+                / ((r.x1-r.x0)*(r.x1-r.x0) + (r.y1-r.y0)*(r.y1-r.y0)), 0.0), 1.0) AS t,
+          r.x0 + least(greatest(((m.px-r.x0)*(r.x1-r.x0) + (m.py-r.y0)*(r.y1-r.y0))
+                / ((r.x1-r.x0)*(r.x1-r.x0) + (r.y1-r.y0)*(r.y1-r.y0)), 0.0), 1.0) * (r.x1-r.x0) AS nx,
+          r.y0 + least(greatest(((m.px-r.x0)*(r.x1-r.x0) + (m.py-r.y0)*(r.y1-r.y0))
+                / ((r.x1-r.x0)*(r.x1-r.x0) + (r.y1-r.y0)*(r.y1-r.y0)), 0.0), 1.0) * (r.y1-r.y0) AS ny
+        FROM mpts m CROSS JOIN roads r
+      )
+    ),
+    ranked AS (
+      SELECT key, line_id, dist, pos, nx, ny,
+             row_number() OVER (PARTITION BY key ORDER BY dist, line_id) AS rn
+      FROM pairs WHERE dist <= 100.0
+    )
+    SELECT key, line_id, round(dist, 3) AS snap_dist,
+           round(degrees(nx / {synth.MERC_R!r}), 6) AS snapped_lon,
+           round(degrees(2.0 * atan(exp(ny / {synth.MERC_R!r})) - pi() / 2.0), 6) AS snapped_lat,
+           round(pos, 3) AS snap_pos
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_snap_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 + F17: snap with interpolated point + linear-referencing measure."""
+    pts = _probe_points(spark, sf_dir, 2000)
+    net = synth.road_network(spark)
+    snapped = snap_to_network(pts, net, tolerance_m=100.0, round_merc=3)
+    return snapped.filter(F.col("line_id").isNotNull()).select(
+        "key",
+        "line_id",
+        F.round("snap_dist", 3).alias("snap_dist"),
+        F.round("snapped_lon", 6).alias("snapped_lon"),
+        F.round("snapped_lat", 6).alias("snapped_lat"),
+        F.round("snap_pos", 3).alias("snap_pos"),
+    )
+
+
+@query("hilbert_cells")  # rows-only: Hilbert curve rotation not SQL-expressible
+def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-slot secondary index: Hilbert-ordered sortable longs at level 13."""
+    from landlensdb_spark.geo.cells import hilbert_cell_udf
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "key", hilbert_cell_udf(13)(F.col("lon"), F.col("lat")).alias("s2_cell")
+    )
