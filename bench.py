@@ -57,7 +57,9 @@ def main() -> None:
     work = os.environ.get("SPARK_GRAFT_WORKDIR", f"/tmp/llb_bench_{cpus}")
     pages_path = f"{work}/pages.parquet"
     shutil.rmtree(work, ignore_errors=True)
-    tables.pages(spark, n_pages, clustered=True, num_partitions=4 * cpus).write.mode(
+    # fixed partitioning: the two-cluster-size scaling runs must read the
+    # IDENTICAL input regardless of core count
+    tables.pages(spark, n_pages, clustered=True, num_partitions=128).write.mode(
         "overwrite"
     ).parquet(pages_path)
     polys = synth.admin_polygons(spark)

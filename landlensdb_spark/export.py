@@ -1,0 +1,86 @@
+"""Map-export edge functions (driver-side, over a collected sample).
+
+The reference renders folium maps with rotated arrow icons and HTML popups
+(/root/reference/landlensdb/geoclasses/geoimageframe.py:16-64 SVG arrow,
+:312-379 popup html, :381-456 map build). In a distributed engine the
+heavy lifting is the per-tile record grouping (operators/tiles.tile_export);
+rendering stays an edge function over a bounded sample — these are their
+dependency-free analogs (pure string templates, no folium/branca).
+"""
+
+from __future__ import annotations
+
+import base64
+import html as html_mod
+import math
+
+
+def svg_arrow(angle: float, color: str = "#3388ff", size: int = 24) -> str:
+    """Rotated arrow marker as an SVG data-URL (reference
+    geoimageframe.py:16-64 semantics: 0 deg = north, clockwise)."""
+    svg = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" height="{size}" '
+        f'viewBox="0 0 24 24"><g transform="rotate({angle % 360:.1f} 12 12)">'
+        f'<path d="M12 2 L17 14 L12 11 L7 14 Z" fill="{color}"/></g></svg>'
+    )
+    return "data:image/svg+xml;base64," + base64.b64encode(svg.encode()).decode()
+
+
+def popup_html(record: dict, title_key: str = "url") -> str:
+    """Per-record HTML popup table (reference geoimageframe.py:312-379)."""
+    title = html_mod.escape(str(record.get(title_key, "")))
+    rows = "".join(
+        f"<tr><th>{html_mod.escape(str(k))}</th>"
+        f"<td>{html_mod.escape(str(v))}</td></tr>"
+        for k, v in record.items()
+        if k != title_key
+    )
+    return (
+        f'<div class="popup"><b>{title}</b><table>{rows}</table></div>'
+    )
+
+
+def render_map_html(
+    records: list[dict],
+    lon_key: str = "lon",
+    lat_key: str = "lat",
+    angle_key: str | None = None,
+    width: int = 800,
+    height: int = 500,
+    max_records: int = 2000,
+) -> str:
+    """Self-contained HTML map of a sample: Web-Mercator scatter with
+    rotated arrow markers + popups. Initial view derives from the first
+    record like the reference (geoimageframe.py:381-456)."""
+    records = records[:max_records]
+    if not records:
+        return "<html><body>empty</body></html>"
+
+    def merc(lon, lat):
+        x = (lon + 180.0) / 360.0
+        y = (1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0
+        return x, y
+
+    pts = [merc(r[lon_key], r[lat_key]) for r in records]
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    pad = 0.05 * max(x1 - x0, y1 - y0, 1e-9)
+    x0, x1, y0, y1 = x0 - pad, x1 + pad, y0 + pad, y1 - pad  # y inverted
+
+    marks = []
+    for r, (x, y) in zip(records, pts):
+        px = (x - x0) / (x1 - x0) * width
+        py = (y - (y1)) / ((y0) - (y1)) * height
+        ang = float(r.get(angle_key, 0.0) or 0.0) if angle_key else 0.0
+        tip = html_mod.escape(str(r.get("url", "")))
+        marks.append(
+            f'<g transform="translate({px:.1f} {py:.1f}) rotate({ang % 360:.1f})">'
+            f'<path d="M0 -6 L4 6 L0 3 L-4 6 Z" fill="#3388ff" opacity="0.8">'
+            f"<title>{tip}</title></path></g>"
+        )
+    return (
+        f"<html><body><svg width='{width}' height='{height}' "
+        f"style='background:#eef'>{''.join(marks)}</svg>"
+        f"<p>{len(records)} records</p></body></html>"
+    )

@@ -1,0 +1,83 @@
+"""Edge exports (SVG/popup/map), network prep chain, spatial catalog writes."""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from landlensdb_spark import export, network_prep, synth
+from landlensdb_spark.catalog import merge_by_key, read_bbox, write_spatial
+
+
+def test_svg_arrow_and_popup():
+    url = export.svg_arrow(45.0)
+    assert url.startswith("data:image/svg+xml;base64,")
+    svg = base64.b64decode(url.split(",", 1)[1]).decode()
+    assert 'rotate(45.0' in svg
+    pop = export.popup_html({"url": "u1", "lat": 1.5, "x<y": "a&b"})
+    assert "<b>u1</b>" in pop and "x&lt;y" in pop and "a&amp;b" in pop
+
+
+def test_render_map_html():
+    recs = [
+        {"url": f"u{i}", "lon": -74.0 + i * 0.01, "lat": 40.7, "angle": i * 30.0}
+        for i in range(10)
+    ]
+    page = export.render_map_html(recs, angle_key="angle")
+    assert page.count("<g transform") == 10
+    assert "10 records" in page
+    assert export.render_map_html([]) == "<html><body>empty</body></html>"
+
+
+def test_network_prep_chain():
+    lines = [
+        (0, [[0.0, 0.0], [1.0, 0.0]]),
+        (1, [[1.0, 0.0], [1.0, 1.0]]),          # connected to 0
+        (2, [[0.0, 0.0], [1.0, 0.0]]),          # duplicate of 0 -> dropped
+        (3, [[5.0, 5.0], [6.0, 5.0]]),          # isolated -> dropped by LCC
+        (4, [[1.0, 1.0], [1.0, 1.0]]),          # degenerate -> dropped
+        (5, [[1.0, 1.0], [1.0, 1.0], [2.0, 1.0]]),  # dup vertex collapsed, connected
+    ]
+    out = network_prep.prepare_network(lines)
+    ids = sorted(lid for lid, _ in out)
+    assert ids == [0, 1, 5]
+    for lid, coords in out:
+        if lid == 5:
+            assert coords == [[1.0, 1.0], [2.0, 1.0]]
+
+
+def test_spatial_write_and_bbox_read(spark, tmp_path):
+    path = str(tmp_path / "geo_tbl")
+    pts = spark.range(20000).select(
+        F.col("id").alias("key"),
+        synth.lon_col(F.col("id")).alias("lon"),
+        synth.lat_col(F.col("id")).alias("lat"),
+    )
+    write_spatial(pts, path, num_files=8)
+    got = read_bbox(spark, path, -30.0, -20.0, 30.0, 45.0)
+    i = np.arange(20000)
+    lon, lat = synth.np_lon(i), synth.np_lat(i)
+    want = int(((lon >= -30) & (lon <= 30) & (lat >= -20) & (lat <= 45)).sum())
+    assert got.count() == want
+    # pushed filters actually reach the scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(cell" in plan
+    # files cover disjoint tight cell ranges (the sort order is the index)
+    files = spark.read.parquet(path).withColumn(
+        "f", F.input_file_name()
+    ).groupBy("f").agg(F.min("cell").alias("lo"), F.max("cell").alias("hi")).collect()
+    ranges = sorted((r["lo"], r["hi"]) for r in files)
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2  # non-overlapping
+
+
+def test_merge_by_key(spark, tmp_path):
+    path = str(tmp_path / "merge_tbl")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge_by_key(spark, path, first, "k")
+    second = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    merge_by_key(spark, path, second, "k", conflict="update")
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}

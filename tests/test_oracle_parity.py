@@ -1,0 +1,69 @@
+"""Cross-engine parity: every driver-contract query with an oracle is run on
+Spark AND DuckDB at sf0.001, comparing exact sorted values (columns sorted by
+name) — the north rule's 'identical join output rows / tile assignments /
+kNN result sets' gate, in-suite."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from landlensdb_spark.entry_queries import ORACLES, QUERIES
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# the fast, structurally-distinct subset (full 33-query sweep runs via
+# tools/check_oracle.py at sf0.01)
+SUBSET = [
+    "tile_assign",
+    "pip_admin",
+    "snap_full",
+    "knn_points",
+    "extract_geotags",
+    "embed_topk",
+    "quality_docs",
+    "lang_pred",
+    "minhash_sigs",
+    "ngram_jaccard",
+    "window_events",
+    "upsert_orders",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            elif hasattr(v, "isoformat"):
+                v = v.isoformat()[:26]
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    df = QUERIES[name](spark, sf_dir)
+    got = canon([tuple(r) for r in df.collect()], df.columns)
+    res = duck.execute(ORACLES[name])
+    want = canon(res.fetchall(), [d[0] for d in res.description])
+    assert sorted(df.columns) == sorted(d[0] for d in duck.execute(ORACLES[name]).description)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    assert got == want, f"{name}: value mismatch"
