@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-from landlensdb_spark.geo.cells import cell_encode, cover_res_for_bbox, np_bbox_cover
+from landlensdb_spark.geo.cells import cell_encode
 from landlensdb_spark.geo.geometry import points_in_polygon
 
 #: max cover cells per polygon before coarsening its cover resolution.
@@ -44,10 +44,12 @@ def _collect_polygons(polygons: DataFrame, id_col: str, rings_col: str):
     keyed by id, the (res, cell, id) cover triples, and the distinct cover
     resolutions in use.
     """
+    from landlensdb_spark.geo.cells import CELL_RES, _RES_SHIFT, _X_SHIFT
+    from landlensdb_spark.geo.tiles import np_tile_xy
+
     rows = polygons.select(id_col, rings_col).collect()
     rings_by_id: dict[int, list[np.ndarray]] = {}
-    cover_rows: list[tuple[int, int, int]] = []
-    res_set: set[int] = set()
+    pids, bboxes = [], []
     for r in rows:
         pid = r[0]
         raw = r[1]
@@ -58,12 +60,40 @@ def _collect_polygons(polygons: DataFrame, id_col: str, rings_col: str):
             rings = [np.asarray(ring, dtype=np.float64) for ring in raw]
         rings_by_id[pid] = rings
         shell = rings[0]
-        minx, miny = shell[:, 0].min(), shell[:, 1].min()
-        maxx, maxy = shell[:, 0].max(), shell[:, 1].max()
-        res = cover_res_for_bbox(minx, miny, maxx, maxy, MAX_COVER_CELLS)
-        res_set.add(res)
-        for c in np_bbox_cover(minx, miny, maxx, maxy, res):
-            cover_rows.append((res, int(c), pid))
+        pids.append(pid)
+        bboxes.append(
+            (shell[:, 0].min(), shell[:, 1].min(), shell[:, 0].max(), shell[:, 1].max())
+        )
+
+    # vectorized adaptive cover-resolution choice for ALL polygons at once:
+    # finest res whose bbox cover stays under MAX_COVER_CELLS
+    bb = np.asarray(bboxes, dtype=np.float64)
+    n = len(bb)
+    res_arr = np.full(n, 1, dtype=np.int64)
+    done = np.zeros(n, dtype=bool)
+    for res in range(CELL_RES, 0, -1):
+        x0, y1 = np_tile_xy(bb[:, 0], bb[:, 1], res)
+        x1, y0 = np_tile_xy(bb[:, 2], bb[:, 3], res)
+        cnt = (x1 - x0 + 1) * (y1 - y0 + 1)
+        ok = (~done) & (cnt <= MAX_COVER_CELLS)
+        res_arr[ok] = res
+        done |= ok
+        if done.all():
+            break
+
+    cover_rows: list[tuple[int, int, int]] = []
+    res_set: set[int] = set(int(r) for r in np.unique(res_arr))
+    for res in res_set:
+        sel = np.where(res_arr == res)[0]
+        x0, y1 = np_tile_xy(bb[sel, 0], bb[sel, 1], res)
+        x1, y0 = np_tile_xy(bb[sel, 2], bb[sel, 3], res)
+        base = np.int64(res) << _RES_SHIFT
+        for j, i in enumerate(sel):
+            gx = np.arange(x0[j], x1[j] + 1, dtype=np.int64)
+            gy = np.arange(y0[j], y1[j] + 1, dtype=np.int64)
+            cells = (base | (gx[:, None] << _X_SHIFT) | gy[None, :]).ravel()
+            pid = pids[i]
+            cover_rows.extend((res, int(c), pid) for c in cells)
     return rings_by_id, cover_rows, res_set
 
 
