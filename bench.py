@@ -53,7 +53,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---- setup (not timed): materialize the pages table ------------------
-    n_pages = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # SPARK_GRAFT_BENCH_MULT scales the input so compute dominates fixed
+    # overheads (used by the two-cluster-size scaling runs)
+    mult = float(os.environ.get("SPARK_GRAFT_BENCH_MULT", "1"))
+    n_pages = int(spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * mult)
     work = os.environ.get("SPARK_GRAFT_WORKDIR", f"/tmp/llb_bench_{cpus}")
     pages_path = f"{work}/pages.parquet"
     shutil.rmtree(work, ignore_errors=True)

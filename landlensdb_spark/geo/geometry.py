@@ -39,6 +39,22 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     return (hits.sum(axis=1) % 2).astype(bool)
 
 
+def points_in_own_ring(px: np.ndarray, py: np.ndarray, rings: np.ndarray) -> np.ndarray:
+    """Row-aligned ray cast: point i against ring ``rings[i]`` ((N, M, 2)
+    tensor, rings closed). One vectorized N x (M-1) evaluation — the batch
+    kernel behind the PIP refine (each candidate row carries its own
+    polygon). Same half-open boundary rule as :func:`points_in_ring`."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x0, y0 = rings[:, :-1, 0], rings[:, :-1, 1]
+    x1, y1 = rings[:, 1:, 0], rings[:, 1:, 1]
+    crosses = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    hits = crosses & (px < xint)
+    return (hits.sum(axis=1) % 2).astype(bool)
+
+
 def points_in_polygon(
     px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
 ) -> np.ndarray:

@@ -86,3 +86,40 @@ def prepare_network(lines: list[tuple[int, list]], keep_largest: bool = True):
     if keep_largest:
         lines = largest_component(lines)
     return lines
+
+
+def simplify_lines(
+    lines: list[tuple[int, list]], tolerance: float = 1e-5
+) -> list[tuple[int, list]]:
+    """Douglas-Peucker simplification — road_network.py:106 ``simplify(1e-5)``
+    on the broadcast side. Iterative stack form, numpy point-line distances."""
+    out = []
+    for lid, coords in lines:
+        c = np.asarray(coords, dtype=np.float64)
+        if len(c) <= 2:
+            out.append((lid, c.tolist()))
+            continue
+        keep = np.zeros(len(c), dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, len(c) - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            seg = c[j] - c[i]
+            seg_len = np.hypot(*seg)
+            pts = c[i + 1 : j]
+            if seg_len == 0.0:
+                d = np.hypot(pts[:, 0] - c[i, 0], pts[:, 1] - c[i, 1])
+            else:
+                d = np.abs(
+                    (pts[:, 0] - c[i, 0]) * seg[1] - (pts[:, 1] - c[i, 1]) * seg[0]
+                ) / seg_len
+            k = int(np.argmax(d))
+            if d[k] > tolerance:
+                m = i + 1 + k
+                keep[m] = True
+                stack.append((i, m))
+                stack.append((m, j))
+        out.append((lid, c[keep].tolist()))
+    return out

@@ -127,16 +127,57 @@ def pip_join(
     if broadcast_cover:
         cover_df = F.broadcast(cover_df)
 
+    # executor-side state: single-ring polygons packed into per-ring-length
+    # tensors so one batch refines in a handful of vectorized calls; only
+    # multi-ring (holed) polygons take the per-polygon path.
+    _state: dict = {}
+
+    def _build_state():
+        rings = bc.value
+        classes: dict[int, list[tuple[int, np.ndarray]]] = {}
+        multi: dict[int, list[np.ndarray]] = {}
+        for pid, rr in rings.items():
+            if len(rr) == 1:
+                classes.setdefault(len(rr[0]), []).append((pid, rr[0]))
+            else:
+                multi[pid] = rr
+        packed = {}
+        pid_to_slot = {}
+        for length, items in classes.items():
+            tensor = np.stack([r for _, r in items])
+            packed[length] = tensor
+            for row, (pid, _) in enumerate(items):
+                pid_to_slot[pid] = (length, row)
+        _state["packed"] = packed
+        _state["slots"] = pid_to_slot
+        _state["multi"] = multi
+
     @F.pandas_udf(BooleanType())
     def _contains(lon_s: pd.Series, lat_s: pd.Series, pid_s: pd.Series) -> pd.Series:
-        rings = bc.value
+        from landlensdb_spark.geo.geometry import points_in_own_ring
+
+        if not _state:
+            _build_state()
+        packed, slots, multi = _state["packed"], _state["slots"], _state["multi"]
         out = np.zeros(len(lon_s), dtype=bool)
         px = lon_s.to_numpy(dtype=np.float64)
         py = lat_s.to_numpy(dtype=np.float64)
         pids = pid_s.to_numpy()
-        for pid in np.unique(pids):
-            ii = np.where(pids == pid)[0]
-            out[ii] = points_in_polygon(px[ii], py[ii], rings[pid])
+
+        # group rows by ring-length class with ONE stable argsort
+        lengths = np.array([slots.get(p, (0, -1))[0] for p in pids], dtype=np.int64)
+        rows = np.array([slots.get(p, (0, -1))[1] for p in pids], dtype=np.int64)
+        for length in np.unique(lengths):
+            if length == 0:
+                continue
+            ii = np.where(lengths == length)[0]
+            tensor = packed[length][rows[ii]]  # (n_ii, length, 2) aligned rows
+            out[ii] = points_in_own_ring(px[ii], py[ii], tensor)
+        if multi:
+            mm = np.where(lengths == 0)[0]
+            for pid in np.unique(pids[mm]):
+                jj = mm[pids[mm] == pid]
+                out[jj] = points_in_polygon(px[jj], py[jj], multi[pid])
         return pd.Series(out)
 
     # ONE pass over the point side: explode the point's cell id at each

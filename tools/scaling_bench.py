@@ -33,6 +33,7 @@ def run_level(cpus: int, sf_dir: str, runs: int) -> dict:
             SPARK_GRAFT_SF_DIR=sf_dir,
             SPARK_GRAFT_WORKDIR=f"/tmp/llb_scale_{cpus}",
             SPARK_GRAFT_BENCH_REPEATS="2",
+            SPARK_GRAFT_BENCH_MULT=os.environ.get("SPARK_GRAFT_BENCH_MULT", "4"),
         )
         t0 = time.time()
         out = subprocess.run(
