@@ -42,8 +42,18 @@ def localized_iso(ts: Column | str, lon: Column | str) -> Column:
     """UTC timestamp -> ISO-8601 string in the point's local zone — the
     reference's captured_at rendering (cloud.py:1047-1074)."""
     ts = F.col(ts) if isinstance(ts, str) else ts
-    return F.date_format(
-        F.from_utc_timestamp(ts, tz_name_for(lon)), "yyyy-MM-dd'T'HH:mm:ssXXX"
+    # date_format's XXX renders the SESSION zone's offset, not the zone
+    # from_utc_timestamp shifted into — build the ISO offset suffix ourselves.
+    off = nautical_offset_hours(lon)
+    pad2 = F.lpad(F.abs(off).cast("string"), 2, "0")
+    suffix = F.when(off == 0, F.lit("Z")).otherwise(
+        F.concat(F.when(off > 0, F.lit("+")).otherwise(F.lit("-")), pad2, F.lit(":00"))
+    )
+    return F.concat(
+        F.date_format(
+            F.from_utc_timestamp(ts, tz_name_for(lon)), "yyyy-MM-dd'T'HH:mm:ss"
+        ),
+        suffix,
     )
 
 
@@ -118,7 +128,8 @@ def is_downloadable(url: Column | str) -> Column:
 def clean_double(col: Column | str) -> Column:
     """to_numeric(errors='coerce') + ±inf -> NULL."""
     c = F.col(col) if isinstance(col, str) else col
-    d = c.cast("double")
+    # try_cast: ANSI-mode cast throws on malformed strings; coerce means NULL
+    d = c.try_cast("double")
     return F.when(F.isnan(d) | d.isin(float("inf"), float("-inf")), None).otherwise(d)
 
 
