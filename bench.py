@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -43,7 +42,12 @@ from landlensdb_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # default parallelism: min(16, cores). The sandbox VM advertises 32 vCPUs
+    # but the hypervisor caps sustained many-core CPU (~2.6x of 8 cores at 32
+    # workers, measured in tools/scaling_bench.py's host-capacity probe), so
+    # local[32] is measurably SLOWER than local[16] for this CPU-bound job.
+    # Override with SPARK_GRAFT_CPUS.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", min(16, os.cpu_count() or 8)))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     spark = get_spark(
         "landlensdb-bench",
@@ -57,14 +61,14 @@ def main() -> None:
     # overheads (used by the two-cluster-size scaling runs)
     mult = float(os.environ.get("SPARK_GRAFT_BENCH_MULT", "1"))
     n_pages = int(spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * mult)
-    work = os.environ.get("SPARK_GRAFT_WORKDIR", f"/tmp/llb_bench_{cpus}")
-    pages_path = f"{work}/pages.parquet"
-    shutil.rmtree(work, ignore_errors=True)
-    # fixed partitioning: the two-cluster-size scaling runs must read the
-    # IDENTICAL input regardless of core count
-    tables.pages(spark, n_pages, clustered=True, num_partitions=128).write.mode(
-        "overwrite"
-    ).parquet(pages_path)
+    # cache keyed by row count and shared across parallelism levels: the
+    # two-cluster-size scaling runs read the byte-IDENTICAL input files
+    # (fixed 128-partition layout) regardless of core count
+    pages_path = f"/tmp/llb_pages_{n_pages}.parquet"
+    if not os.path.exists(f"{pages_path}/_SUCCESS"):
+        tables.pages(spark, n_pages, clustered=True, num_partitions=128).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
     polys = synth.admin_polygons(spark)
     net = synth.road_network(spark)
 
@@ -157,7 +161,6 @@ def main() -> None:
         )
     )
     spark.stop()
-    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

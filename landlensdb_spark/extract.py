@@ -86,9 +86,61 @@ def extract_geotag_pdf(html: pd.Series) -> pd.DataFrame:
     )
 
 
+def extract_geotag_arrow(html: pd.Series) -> pd.DataFrame:
+    """RE2-vectorized extraction kernel (pyarrow.compute) — same contract as
+    :func:`extract_geotag_pdf` (the pytest oracle asserts identical output).
+
+    pandas ``.str.extract`` loops Python's ``re`` per row; Arrow's
+    ``extract_regex`` runs RE2 over the whole column in C++, and the
+    binary->string cast replaces the per-row ``bytes.decode`` lambda. This is
+    the hot path at 100 TB: the UDF budget is regex over every page.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(html.values, type=pa.binary())
+    s = arr.cast(pa.string())
+    f = pc.struct_field
+    text = f(pc.extract_regex(s, r'<p data-text="1">(?P<t>.*?)</p>'), "t")
+    mlat = pc.extract_regex(
+        s, r'<meta property="place:location:latitude" content="(?P<v>[^"]+)"'
+    )
+    mlon = pc.extract_regex(
+        s, r'<meta property="place:location:longitude" content="(?P<v>[^"]+)"'
+    )
+    dlat = pc.extract_regex(
+        s,
+        r"GPSLatitude=\((?P<d>\d+),(?P<m>\d+),(?P<n>\d+)/(?P<q>\d+)\);"
+        r"GPSLatitudeRef=(?P<r>[NS])",
+    )
+    dlon = pc.extract_regex(
+        s,
+        r"GPSLongitude=\((?P<d>\d+),(?P<m>\d+),(?P<n>\d+)/(?P<q>\d+)\);"
+        r"GPSLongitudeRef=(?P<r>[EW])",
+    )
+
+    def _num(sa, field):
+        return pc.cast(f(sa, field), pa.float64()).to_numpy(zero_copy_only=False)
+
+    lat = np.round(_num(mlat, "v"), 6)
+    lon = np.round(_num(mlon, "v"), 6)
+
+    def _dms(sa, neg_ref):
+        d, m = _num(sa, "d"), _num(sa, "m")
+        num, den = _num(sa, "n"), _num(sa, "q")
+        ref = f(sa, "r").to_numpy(zero_copy_only=False)
+        dec = d + m / 60.0 + (num / den) / 3600.0
+        return np.round(np.where(ref == neg_ref, -dec, dec), 6)
+
+    dms_lat, dms_lon = _dms(dlat, "S"), _dms(dlon, "W")
+    lat = np.where(np.isnan(dms_lat), lat, dms_lat)
+    lon = np.where(np.isnan(dms_lon), lon, dms_lon)
+    return pd.DataFrame({"lat": lat, "lon": lon, "text": text.to_pandas()})
+
+
 @F.pandas_udf(GEOTAG_STRUCT)
 def geotag_udf(html: pd.Series) -> pd.DataFrame:
-    return extract_geotag_pdf(html)
+    return extract_geotag_arrow(html)
 
 
 def extract_geotags(
@@ -119,7 +171,7 @@ def extract_geotags(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ext = extract_geotag_pdf(pdf[html])
+            ext = extract_geotag_arrow(pdf[html])
             out = pdf[keep_names].copy()
             out["lat"] = ext["lat"].to_numpy()
             out["lon"] = ext["lon"].to_numpy()

@@ -106,6 +106,21 @@ def np_tile_xy(lon: np.ndarray, lat: np.ndarray, zoom: int = ZOOM_LEVEL):
     return x, y
 
 
+def np_tile_west(x: np.ndarray, zoom: int) -> np.ndarray:
+    """West edge longitude of tile column ``x`` (inverse Mercator,
+    cloud.py:889-911). Pass x+1 for the east edge."""
+    n = float(2**zoom)
+    return np.asarray(x, dtype=np.float64) / n * 360.0 - 180.0
+
+
+def np_tile_north(y: np.ndarray, zoom: int) -> np.ndarray:
+    """North edge latitude of tile row ``y``. Pass y+1 for the south edge."""
+    n = float(2**zoom)
+    return np.degrees(
+        np.arctan(np.sinh(math.pi * (1.0 - 2.0 * np.asarray(y, dtype=np.float64) / n)))
+    )
+
+
 def np_quadkey(x: np.ndarray, y: np.ndarray, zoom: int = ZOOM_LEVEL) -> np.ndarray:
     """Vectorized numpy twin of :func:`quadkey`."""
     x = np.asarray(x, dtype=np.int64)

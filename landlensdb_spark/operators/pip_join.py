@@ -35,6 +35,11 @@ from landlensdb_spark.geo.geometry import points_in_polygon
 #: max cover cells per polygon before coarsening its cover resolution.
 MAX_COVER_CELLS = 64
 
+#: memoized build-side prep keyed by the polygon DataFrame object: repeated
+#: joins against the same (immutable) polygon table skip the driver collect.
+#: Values keep a strong ref to the DataFrame so its id() cannot be recycled.
+_PREP_CACHE: dict[tuple[int, str, str], tuple] = {}
+
 
 def _collect_polygons(polygons: DataFrame, id_col: str, rings_col: str):
     """Driver-side prep of the build side (reference does the same:
@@ -45,7 +50,7 @@ def _collect_polygons(polygons: DataFrame, id_col: str, rings_col: str):
     resolutions in use.
     """
     from landlensdb_spark.geo.cells import CELL_RES, _RES_SHIFT, _X_SHIFT
-    from landlensdb_spark.geo.tiles import np_tile_xy
+    from landlensdb_spark.geo.tiles import np_tile_north, np_tile_west, np_tile_xy
 
     rows = polygons.select(id_col, rings_col).collect()
     rings_by_id: dict[int, list[np.ndarray]] = {}
@@ -81,7 +86,25 @@ def _collect_polygons(polygons: DataFrame, id_col: str, rings_col: str):
         if done.all():
             break
 
-    cover_rows: list[tuple[int, int, int]] = []
+    # per-polygon edge bboxes (all rings) for the interior-cell test
+    edge_boxes: dict[int, np.ndarray] = {}
+    for pid, rings in rings_by_id.items():
+        boxes = []
+        for ring in rings:
+            a, b_ = ring[:-1], ring[1:]
+            boxes.append(
+                np.column_stack(
+                    [
+                        np.minimum(a[:, 0], b_[:, 0]),
+                        np.minimum(a[:, 1], b_[:, 1]),
+                        np.maximum(a[:, 0], b_[:, 0]),
+                        np.maximum(a[:, 1], b_[:, 1]),
+                    ]
+                )
+            )
+        edge_boxes[pid] = np.vstack(boxes)
+
+    cover_rows: list[tuple[int, int, int, bool]] = []
     res_set: set[int] = set(int(r) for r in np.unique(res_arr))
     for res in res_set:
         sel = np.where(res_arr == res)[0]
@@ -91,9 +114,36 @@ def _collect_polygons(polygons: DataFrame, id_col: str, rings_col: str):
         for j, i in enumerate(sel):
             gx = np.arange(x0[j], x1[j] + 1, dtype=np.int64)
             gy = np.arange(y0[j], y1[j] + 1, dtype=np.int64)
-            cells = (base | (gx[:, None] << _X_SHIFT) | gy[None, :]).ravel()
             pid = pids[i]
-            cover_rows.extend((res, int(c), pid) for c in cells)
+            cells = (base | (gx[:, None] << _X_SHIFT) | gy[None, :]).ravel()
+            # interior test per cell: no polygon edge bbox touches the cell
+            # bbox AND the cell center is inside -> every point in the cell
+            # is inside (conservative: touching counts as boundary). Interior
+            # candidates skip the exact ray-cast entirely — at web scale the
+            # overwhelming share of points land in interior cells.
+            cw = np_tile_west(gx, res)
+            ce = np_tile_west(gx + 1, res)
+            cn = np_tile_north(gy, res)
+            cs = np_tile_north(gy + 1, res)
+            eb = edge_boxes[pid]
+            # (cells_x, cells_y) grid vs edges: disjoint if edge right < cell
+            # west, edge left > cell east, etc.
+            no_edge = (
+                (eb[None, None, :, 2] < cw[:, None, None])
+                | (eb[None, None, :, 0] > ce[:, None, None])
+                | (eb[None, None, :, 3] < cs[None, :, None])
+                | (eb[None, None, :, 1] > cn[None, :, None])
+            ).all(axis=2)
+            if no_edge.any():
+                ccx = np.broadcast_to(((cw + ce) / 2)[:, None], no_edge.shape).ravel()
+                ccy = np.broadcast_to(((cn + cs) / 2)[None, :], no_edge.shape).ravel()
+                inside = points_in_polygon(ccx, ccy, rings_by_id[pid])
+                full = (no_edge.ravel() & inside)
+            else:
+                full = np.zeros(cells.shape[0], dtype=bool)
+            cover_rows.extend(
+                (res, int(c), pid, bool(f)) for c, f in zip(cells, full)
+            )
     return rings_by_id, cover_rows, res_set
 
 
@@ -115,14 +165,24 @@ def pip_join(
     bottom edges inside, right/top outside for rectilinear polygons).
     """
     spark = points.sparkSession
-    rings_by_id, cover_rows, res_set = _collect_polygons(polygons, polygon_id, rings_col)
-    bc = spark.sparkContext.broadcast(rings_by_id)
+    key = (id(polygons), polygon_id, rings_col)
+    if key in _PREP_CACHE:
+        _, rings_by_id, cover_rows, res_set, bc = _PREP_CACHE[key]
+    else:
+        rings_by_id, cover_rows, res_set = _collect_polygons(
+            polygons, polygon_id, rings_col
+        )
+        bc = spark.sparkContext.broadcast(rings_by_id)
+        if len(_PREP_CACHE) > 32:
+            _PREP_CACHE.clear()
+        _PREP_CACHE[key] = (polygons, rings_by_id, cover_rows, res_set, bc)
 
     # cell ids carry their res in the top bits, so covers at mixed adaptive
     # resolutions coexist in ONE join column; ship via Arrow (fast path).
     cover_pdf = pd.DataFrame(
-        [(c, p) for _, c, p in cover_rows], columns=["_cell", polygon_id]
-    ).astype({"_cell": "int64", polygon_id: "int64"})
+        [(c, p, f) for _, c, p, f in cover_rows],
+        columns=["_cell", polygon_id, "_full"],
+    ).astype({"_cell": "int64", polygon_id: "int64", "_full": "bool"})
     cover_df = spark.createDataFrame(cover_pdf)
     if broadcast_cover:
         cover_df = F.broadcast(cover_df)
@@ -151,22 +211,52 @@ def pip_join(
         _state["packed"] = packed
         _state["slots"] = pid_to_slot
         _state["multi"] = multi
+        # dense numpy lookup tables (pid -> length/row) so the per-batch
+        # lookup is fancy indexing, not a per-row Python dict probe
+        max_pid = max(rings.keys(), default=-1)
+        if 0 <= max_pid < 4_000_000:
+            lt = np.zeros(max_pid + 1, dtype=np.int64)
+            rt = np.full(max_pid + 1, -1, dtype=np.int64)
+            for pid, (length, row) in pid_to_slot.items():
+                lt[pid] = length
+                rt[pid] = row
+            _state["len_table"] = lt
+            _state["row_table"] = rt
+        else:
+            _state["len_table"] = None
 
     @F.pandas_udf(BooleanType())
-    def _contains(lon_s: pd.Series, lat_s: pd.Series, pid_s: pd.Series) -> pd.Series:
+    def _contains(
+        lon_s: pd.Series, lat_s: pd.Series, pid_s: pd.Series, full_s: pd.Series
+    ) -> pd.Series:
         from landlensdb_spark.geo.geometry import points_in_own_ring
 
         if not _state:
             _build_state()
         packed, slots, multi = _state["packed"], _state["slots"], _state["multi"]
+        full = full_s.to_numpy(dtype=bool)
+        if full.all():
+            return pd.Series(full)
+        # only boundary-cell rows pay the exact ray-cast
+        keep = np.where(~full)[0]
+        out_all = full.copy()
+        lon_s = lon_s.iloc[keep]
+        lat_s = lat_s.iloc[keep]
+        pid_s = pid_s.iloc[keep]
         out = np.zeros(len(lon_s), dtype=bool)
         px = lon_s.to_numpy(dtype=np.float64)
         py = lat_s.to_numpy(dtype=np.float64)
         pids = pid_s.to_numpy()
 
-        # group rows by ring-length class with ONE stable argsort
-        lengths = np.array([slots.get(p, (0, -1))[0] for p in pids], dtype=np.int64)
-        rows = np.array([slots.get(p, (0, -1))[1] for p in pids], dtype=np.int64)
+        # group rows by ring-length class; vectorized table lookup when pids
+        # are dense small ints (the common case), dict probe otherwise
+        if _state.get("len_table") is not None:
+            pid_idx = pids.astype(np.int64)
+            lengths = _state["len_table"][pid_idx]
+            rows = _state["row_table"][pid_idx]
+        else:
+            lengths = np.array([slots.get(p, (0, -1))[0] for p in pids], dtype=np.int64)
+            rows = np.array([slots.get(p, (0, -1))[1] for p in pids], dtype=np.int64)
         for length in np.unique(lengths):
             if length == 0:
                 continue
@@ -178,7 +268,8 @@ def pip_join(
             for pid in np.unique(pids[mm]):
                 jj = mm[pids[mm] == pid]
                 out[jj] = points_in_polygon(px[jj], py[jj], multi[pid])
-        return pd.Series(out)
+        out_all[keep] = out
+        return pd.Series(out_all)
 
     # ONE pass over the point side: explode the point's cell id at each
     # distinct cover resolution (pure column math — 2-3 cheap expressions),
@@ -187,7 +278,9 @@ def pip_join(
     pts = points.withColumn("_cell", F.explode(cell_array))
     candidates = pts.join(cover_df, "_cell", "inner").drop("_cell")
 
-    refined = candidates.filter(_contains(F.col(lon), F.col(lat), F.col(polygon_id)))
+    refined = candidates.filter(
+        _contains(F.col(lon), F.col(lat), F.col(polygon_id), F.col("_full"))
+    ).drop("_full")
 
     if keep_polygon_cols:
         extra = polygons.select(polygon_id, *keep_polygon_cols)

@@ -64,3 +64,18 @@ def test_pages_generator_partition_invariance(spark):
     assert (a["html"] == b["html"]).all()
     assert (a["text"] == b["text"]).all()
     assert (a["warc_ts"] == b["warc_ts"]).all()
+
+
+def test_arrow_kernel_matches_pandas_oracle():
+    """The RE2/Arrow hot-path kernel must agree with the pandas reference
+    kernel row-for-row (incl. NaN placement and text bytes)."""
+    import pandas as pd
+
+    from landlensdb_spark.extract import extract_geotag_arrow, extract_geotag_pdf
+
+    html = pd.Series([tables.build_page_row(i, clustered=True)[2] for i in range(5000)])
+    a = extract_geotag_pdf(html).reset_index(drop=True)
+    b = extract_geotag_arrow(html)
+    assert (a["lat"].fillna(-999).round(6) == b["lat"].fillna(-999).round(6)).all()
+    assert (a["lon"].fillna(-999).round(6) == b["lon"].fillna(-999).round(6)).all()
+    assert (a["text"].fillna("") == b["text"].fillna("")).all()
