@@ -69,6 +69,14 @@ def main() -> None:
         tables.pages(spark, n_pages, clustered=True, num_partitions=128).write.mode(
             "overwrite"
         ).parquet(pages_path)
+    if os.environ.get("SPARK_GRAFT_SETUP_ONLY"):
+        # scaling runs pre-generate the input in a separate process so the
+        # (heavy, untimed) write does not drain the VM's CPU burst credits
+        # right before a timed pass
+        print(json.dumps({"setup": True, "rows": n_pages, "path": pages_path}))
+        spark.stop()
+        return
+
     polys = synth.admin_polygons(spark)
     net = synth.road_network(spark)
 

@@ -826,3 +826,44 @@ def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         "key", hilbert_cell_udf(13)(F.col("lon"), F.col("lat")).alias("s2_cell")
     )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — batch twin of the
+    applyInPandasWithState streaming operator (streaming/events.py)."""
+    from landlensdb_spark.streaming.events import sessionize_batch
+
+    ev = tables.load(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+@query("embed_ann_ivf")  # rows-only: IVF cell scan is approximate by design
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: spherical-k-means cells + multi-probe re-rank."""
+    from landlensdb_spark.operators.similarity import ivf_cosine_topk
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivf_cosine_topk(emb, probes, k=5, n_centroids=32, n_probe=4)

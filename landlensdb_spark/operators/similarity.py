@@ -221,3 +221,117 @@ def embedding_near_dup_pairs(
             yield out[out["score"] >= threshold]
 
     return cand.mapInPandas(_exact, "id_a long, id_b long, score double")
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat: k-means coarse quantizer + multi-probe (the other scale path)
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 64,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver-side sample.
+
+    The training sample is O(sample x dim) — independent of table size, the
+    property that lets the same code train on a 10^12-row table. Returns
+    L2-normalized (n_centroids, dim) float64 centroids.
+    """
+    rows = vectors.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(_norm(x)[:, None], 1e-12)
+    k = min(n_centroids, len(x))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T                     # (n, k) cosine (all unit)
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(float(np.sqrt((m * m).sum())), 1e-12)
+    return cent
+
+
+def _centroid_assign_udf(vec_col: str, centroids: np.ndarray, n_probe: int = 1):
+    """pandas UDF: vector -> array of its ``n_probe`` nearest centroid ids."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        v = np.array(list(vecs), dtype=np.float64)
+        v = v / np.maximum(_norm(v)[:, None], 1e-12)
+        sims = v @ centroids.T
+        if n_probe == 1:
+            return pd.Series([[int(i)] for i in np.argmax(sims, axis=1)])
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return _assign
+
+
+def ivf_cosine_topk(
+    points: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    point_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k, IVF-Flat shape: points partition into
+    k-means cells (inverted lists); each probe scans only its ``n_probe``
+    nearest cells; exact re-rank inside. Complements the hyperplane-LSH
+    variant: centroids adapt to the data distribution, so recall at equal
+    candidate budget is typically higher on clustered embeddings.
+
+    At scale the cell id doubles as the table sort/partition key (same
+    pattern as the H3 cell for spatial data): a probe touches n_probe/k of
+    the table, pruned at the parquet row-group level.
+    """
+    if centroids is None:
+        centroids = train_centroids(points, n_centroids, vec_col)
+    pts = points.withColumn(
+        "_cent", F.element_at(_centroid_assign_udf(vec_col, centroids, 1)(F.col(vec_col)), 1)
+    )
+    prb = probes.withColumn(
+        "_cents", _centroid_assign_udf(vec_col, centroids, n_probe)(F.col(vec_col))
+    ).withColumn("_cent", F.explode("_cents"))
+
+    cand = prb.select(
+        F.col(probe_id), F.col(vec_col).alias("_pvec"), "_cent"
+    ).join(pts.select(F.col(point_id), vec_col, "_cent"), "_cent")
+
+    out_schema = f"{probe_id} long, {point_id} long, score double"
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf["_pvec"]), dtype=np.float64)
+            b = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cos = _seq_dot(a, b) / (_norm(a) * _norm(b))
+            yield pd.DataFrame(
+                {
+                    probe_id: pdf[probe_id].to_numpy(),
+                    point_id: pdf[point_id].to_numpy(),
+                    "score": cos,
+                }
+            )
+
+    scored = cand.mapInPandas(_exact, out_schema)
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("score").desc(), F.col(point_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.round("score", 6))
+    )

@@ -71,3 +71,122 @@ def run_available_now(
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_STATE_SCHEMA = "start long, end long, n long, v double"
+
+
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 30, key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessions as pure window functions (the batch twin and the
+    SQL-expressible oracle of :func:`sessionize_stream`): a new session
+    starts when the gap to the previous event of the same key exceeds
+    ``gap_minutes``; cumulative sum of the new-session flag numbers the
+    sessions, then one groupBy collapses them."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, "event_id")
+    ts = F.col(ts_col).cast("timestamp")
+    gap_s = gap_minutes * 60
+    df = events.withColumn("_ts", ts).withColumn(
+        "_new",
+        (
+            F.coalesce(
+                F.unix_timestamp("_ts") - F.unix_timestamp(F.lag("_ts").over(w)),
+                F.lit(gap_s + 1),
+            )
+            > gap_s
+        ).cast("long"),
+    ).withColumn("_sid", F.sum("_new").over(w))
+    return (
+        df.groupBy(key_col, "_sid")
+        .agg(
+            F.min("_ts").alias("session_start"),
+            F.max("_ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .drop("_sid")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, key_col: str = "user_id",
+    ts_col: str = "ts", watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization via ``applyInPandasWithState`` — the
+    custom-stateful-operator path the engine uses where built-in windows
+    can't express the semantics (SURVEY §2.10). State per key is the open
+    session (start, end, count, sum); an event inside the gap extends it,
+    an event beyond the gap (or the event-time timeout after the watermark
+    passes) closes and emits it. Emitted rows = CLOSED sessions only."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000  # state timestamps in MICROseconds
+                                       # (full event-time precision)
+
+    def _fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [round(v, 6)],
+                }
+            )
+            return
+        rows = []
+        cur = list(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            ts_us = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+            vals = pdf["value"].to_numpy()
+            for t, val in zip(ts_us, vals):
+                if cur is None:
+                    cur = [int(t), int(t), 1, float(val)]
+                elif t - cur[1] <= gap_us:
+                    cur[1] = int(t)
+                    cur[2] += 1
+                    cur[3] += float(val)
+                else:
+                    rows.append(cur)
+                    cur = [int(t), int(t), 1, float(val)]
+        if cur is not None:
+            state.update(tuple(cur))
+            # GroupState timeout API is epoch-milliseconds
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1_000)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
+                    "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "n_events": [r[2] for r in rows],
+                    "sum_value": [round(r[3], 6) for r in rows],
+                }
+            )
+
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        SESSION_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -129,3 +129,23 @@ def test_embedding_near_dup(spark):
     got = similarity.embedding_near_dup_pairs(df, threshold=0.999).toPandas()
     pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
     assert (0, 10) in pairs and (0, 11) in pairs
+
+
+def test_ivf_topk_recall(spark):
+    df, vecs = _vec_table(spark, n=400)
+    probes = df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    exact = similarity.cosine_topk(df, probes, k=3).toPandas()
+    approx = similarity.ivf_cosine_topk(
+        df, probes, k=3, n_centroids=8, n_probe=3
+    ).toPandas()
+    ex = {(r.probe_id, r.vec_id) for r in exact.itertuples()}
+    ap = {(r.probe_id, r.vec_id) for r in approx.itertuples()}
+    hit = len(ex & ap)
+    assert hit >= 12  # IVF multi-probe should beat the LSH floor (>=80% of 15)
+
+
+def test_ivf_centroids_deterministic(spark):
+    df, _ = _vec_table(spark, n=200)
+    a = similarity.train_centroids(df, n_centroids=8, sample=64)
+    b = similarity.train_centroids(df, n_centroids=8, sample=64)
+    assert (a == b).all()

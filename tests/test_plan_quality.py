@@ -1,0 +1,112 @@
+"""Physical-plan assertions: the plans we ship are the plans we designed.
+
+Correctness tests prove the operators return the right rows; these prove
+the *execution shape* survives Catalyst — filter pushdown reaches the
+parquet scan, small sides broadcast instead of shuffling, map-only
+operators stay map-only, and expensive Python stages are evaluated exactly
+once. A regression here is a 100TB-scale incident that no row-level test
+would catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from landlensdb_spark import synth, tables
+from landlensdb_spark.extract import extract_geotags
+from landlensdb_spark.operators.knn import knn_join
+from landlensdb_spark.operators.pip_join import pip_join
+from landlensdb_spark.operators.snap import snap_to_network
+from landlensdb_spark.operators.tiles import assign_tiles
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _n_nodes(plan: str, name: str) -> int:
+    """Count physical-plan nodes by their '(k) Name' detail headers (the
+    tree section repeats each node name, so plain .count overcounts)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    tables.pages(spark, 2000, num_partitions=4).write.parquet(path)
+    return path
+
+
+def test_warc_ts_filter_pushes_to_parquet_scan(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).filter(
+        F.col("warc_ts") >= "2022-06-01"
+    ).select("url", "warc_ts")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(warc_ts), GreaterThanOrEqual(warc_ts" in plan
+    # column pruning: html must NOT be read for a url/warc_ts projection
+    assert "html" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_extraction_plan_has_single_python_stage(spark, pages_parquet):
+    """A filter above the extraction must not duplicate the Python UDF
+    (the double-ArrowEvalPython plan the naive formulation produces)."""
+    pages = spark.read.parquet(pages_parquet)
+    out = extract_geotags(pages).filter(F.col("lat") > 0.0)
+    plan = _plan(out)
+    n_python_stages = _n_nodes(plan, "MapInPandas") + _n_nodes(plan, "ArrowEvalPython")
+    assert n_python_stages == 1, plan
+
+
+def test_pip_join_broadcasts_cover_and_never_shuffles_points(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    geo = extract_geotags(pages).select("url", "lon", "lat")
+    joined = pip_join(geo, synth.admin_polygons(spark))
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchange allowed is the broadcast of the tiny cover table
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            raise AssertionError(f"unexpected shuffle of the point side: {line}")
+
+
+def test_tile_assignment_is_pure_codegen(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    geo = extract_geotags(pages).select("url", "lon", "lat")
+    tiled = assign_tiles(geo)
+    plan = _plan(tiled)
+    # tile math must not add any Python stage beyond the extraction itself
+    assert _n_nodes(plan, "MapInPandas") + _n_nodes(plan, "ArrowEvalPython") == 1
+    assert "codegen id" in plan
+
+
+def test_snap_is_map_only(spark):
+    probes = spark.range(100).select(
+        F.col("id").alias("key"),
+        synth.probe_lon_col(F.col("id")).alias("lon"),
+        synth.probe_lat_col(F.col("id")).alias("lat"),
+    )
+    snapped = snap_to_network(probes, synth.road_network(spark), tolerance_m=100.0)
+    plan = _plan(snapped)
+    assert "Exchange" not in plan, plan
+
+
+def test_knn_candidate_join_is_broadcast(spark):
+    pts = spark.range(500).select(
+        F.col("id").alias("point_id"),
+        synth.probe_lon_col(F.col("id")).alias("lon"),
+        synth.probe_lat_col(F.col("id")).alias("lat"),
+    )
+    prb = spark.range(20).select(
+        F.col("id").alias("probe_id"),
+        synth.probe_lon_col(F.col("id") * 7).alias("lon"),
+        synth.probe_lat_col(F.col("id") * 7).alias("lat"),
+    )
+    out = knn_join(prb, pts, k=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan

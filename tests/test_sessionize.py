@@ -1,0 +1,65 @@
+"""Gap-sessionization: batch window twin vs applyInPandasWithState stream."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from landlensdb_spark.streaming.events import (
+    SESSION_SCHEMA,
+    sessionize_batch,
+    sessionize_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_batch_sessionize_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 10, "view", 2.0, "{}"),
+        (3, "2024-01-01 01:10:00", 10, "view", 4.0, "{}"),  # > 30min gap -> new
+        (4, "2024-01-01 00:05:00", 20, "click", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    )
+    out = sessionize_batch(df, gap_minutes=30).orderBy("user_id", "session_start")
+    got = [
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+        for r in out.collect()
+    ]
+    assert got == [
+        (10, "2024-01-01 00:00:00", 2, 3.0),
+        (10, "2024-01-01 01:10:00", 1, 4.0),
+        (20, "2024-01-01 00:05:00", 1, 8.0),
+    ]
+
+
+def test_stream_sessions_match_batch(spark, tmp_path):
+    """Every CLOSED session the stateful streaming operator emits must be
+    byte-equal to a session of the batch twin on the same input."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("sess").toPandas()
+
+    batch = sessionize_batch(events, gap_minutes=30).toPandas()
+    key = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    b = set(map(tuple, batch[key].itertuples(index=False)))
+    s = list(map(tuple, streamed[key].itertuples(index=False)))
+    assert len(s) > 0, "stream emitted no closed sessions"
+    missing = [row for row in s if row not in b]
+    assert not missing, f"streamed sessions not in batch result: {missing[:5]}"
