@@ -53,6 +53,18 @@ def main() -> None:
         "landlensdb-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 16),
+        # The pages input is 128 small files whose per-byte cost is dominated
+        # by the Python extraction UDF, not the scan. Default split packing
+        # (128MB / totalBytes-over-parallelism) bins them into ~1 wave per
+        # core, so one straggler caps scaling. Pinning open-cost = max-bytes
+        # = 4MB yields exactly one task per file at EVERY core count: same
+        # units, same granularity, ~8 waves at 16 cores. (At 100 TB with
+        # 128MB row groups the default packing is right; this knob is the
+        # local-bench analog of "size tasks for the UDF stage".)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "4m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -98,7 +110,9 @@ def main() -> None:
     # ---- q1: extract -> PIP -> tile -> rollup -----------------------------
     def q_pipeline():
         pages = spark.read.parquet(pages_path)
-        geo = extract_geotags(pages).select("url", "lon", "lat", "lang")
+        geo = extract_geotags(pages, with_text=False).select(
+            "url", "lon", "lat", "lang"
+        )
         joined = pip_join(geo, polys)
         tiled = assign_tiles(joined)
         return tiled.groupBy("admin_id", "tile_x", "tile_y").count().count()
@@ -133,14 +147,18 @@ def main() -> None:
             synth.probe_lon_col(F.col("pk")).alias("lon"),
             synth.probe_lat_col(F.col("pk")).alias("lat"),
         )
-        return knn_join(prb, pts, k=10, res=16).count()
+        # res sized to the field density: ~5 points per res-20 cell (76 m)
+        # for k=10 -> certified radius r2 ~ 3 cells, ~250 candidates/probe.
+        # res 16 (the old setting) holds ~1300 points/cell here and floods
+        # the top-k window with ~60M candidate rows.
+        return knn_join(prb, pts, k=10, res=20).count()
 
     n_knn = timed("knn", q_knn)
 
     # ---- q4: per-tile export catalog at z12 --------------------------------
     def q_tiles():
         pages = spark.read.parquet(pages_path)
-        geo = extract_geotags(pages).select("url", "lon", "lat")
+        geo = extract_geotags(pages, with_text=False).select("url", "lon", "lat")
         return tile_stats(geo, zoom=12).count()
 
     n_exp = timed("tile_export", q_tiles)

@@ -86,7 +86,7 @@ def extract_geotag_pdf(html: pd.Series) -> pd.DataFrame:
     )
 
 
-def extract_geotag_arrow(html: pd.Series) -> pd.DataFrame:
+def extract_geotag_arrow(html: pd.Series, with_text: bool = True) -> pd.DataFrame:
     """RE2-vectorized extraction kernel (pyarrow.compute) — same contract as
     :func:`extract_geotag_pdf` (the pytest oracle asserts identical output).
 
@@ -94,6 +94,8 @@ def extract_geotag_arrow(html: pd.Series) -> pd.DataFrame:
     ``extract_regex`` runs RE2 over the whole column in C++, and the
     binary->string cast replaces the per-row ``bytes.decode`` lambda. This is
     the hot path at 100 TB: the UDF budget is regex over every page.
+    ``with_text=False`` skips the text regex pass entirely (geo-only
+    pipelines: one fewer full-column RE2 scan and no string payload back).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -101,7 +103,11 @@ def extract_geotag_arrow(html: pd.Series) -> pd.DataFrame:
     arr = pa.array(html.values, type=pa.binary())
     s = arr.cast(pa.string())
     f = pc.struct_field
-    text = f(pc.extract_regex(s, r'<p data-text="1">(?P<t>.*?)</p>'), "t")
+    text = (
+        f(pc.extract_regex(s, r'<p data-text="1">(?P<t>.*?)</p>'), "t")
+        if with_text
+        else None
+    )
     mlat = pc.extract_regex(
         s, r'<meta property="place:location:latitude" content="(?P<v>[^"]+)"'
     )
@@ -135,7 +141,10 @@ def extract_geotag_arrow(html: pd.Series) -> pd.DataFrame:
     dms_lat, dms_lon = _dms(dlat, "S"), _dms(dlon, "W")
     lat = np.where(np.isnan(dms_lat), lat, dms_lat)
     lon = np.where(np.isnan(dms_lon), lon, dms_lon)
-    return pd.DataFrame({"lat": lat, "lon": lon, "text": text.to_pandas()})
+    out = {"lat": lat, "lon": lon}
+    if with_text:
+        out["text"] = text.to_pandas()
+    return pd.DataFrame(out)
 
 
 @F.pandas_udf(GEOTAG_STRUCT)
@@ -148,6 +157,7 @@ def extract_geotags(
     html: str = "html",
     drop_untagged: bool = True,
     drop_html: bool = True,
+    with_text: bool = True,
 ) -> DataFrame:
     """Attach ``lat``/``lon``/``text_extracted`` columns extracted from ``html``.
 
@@ -158,24 +168,30 @@ def extract_geotags(
     projection and re-evaluate the (expensive) extraction twice — the
     double-ArrowEvalPython plan the naive withColumn+filter formulation
     produces. ``drop_html=True`` drops the heavy binary column on output so
-    downstream shuffles never carry it.
+    downstream shuffles never carry it. ``with_text=False`` omits
+    ``text_extracted`` — geo-only pipelines skip one full-column regex pass
+    AND the (dominant) Python->JVM string transfer; mapInPandas is a plan
+    barrier, so Catalyst cannot column-prune through it and the caller must
+    ask for the narrow output explicitly.
     """
     from collections.abc import Iterator
 
     keep = [f for f in df.schema.fields if not (drop_html and f.name == html)]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in keep]
-        + ["lat double", "lon double", "text_extracted string"]
+        + ["lat double", "lon double"]
+        + (["text_extracted string"] if with_text else [])
     )
     keep_names = [f.name for f in keep]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ext = extract_geotag_arrow(pdf[html])
+            ext = extract_geotag_arrow(pdf[html], with_text=with_text)
             out = pdf[keep_names].copy()
             out["lat"] = ext["lat"].to_numpy()
             out["lon"] = ext["lon"].to_numpy()
-            out["text_extracted"] = ext["text"]
+            if with_text:
+                out["text_extracted"] = ext["text"]
             if drop_untagged:
                 out = out[out["lat"].notna() & out["lon"].notna()]
             yield out

@@ -1,22 +1,41 @@
-"""kNN join: k-ring cell expansion -> window top-k -> distance-bounded re-rank.
+"""kNN join: histogram-certified ring expansion -> single candidate join -> top-k.
 
 Generalizes the reference's nearest-1 index probe
-(/root/reference/landlensdb/process/snap.py:34-53) to distributed k-nearest:
+(/root/reference/landlensdb/process/snap.py:34-53) to distributed k-nearest.
+Earlier revisions used a driver-side doubling loop (grow the ring until the
+distance certificate holds — the Spark analog of the reference's
+grow-until-found bbox recursion, cloud.py:963-977). That loop launches a
+job-chain per round (join, window, split, isEmpty) whose fixed latency
+dominates at small-probe scale and *inverts* scaling: more cores = more tiny
+tasks per round. This version computes the certified ring radius per probe
+from a cell histogram instead, so the whole operator is ONE Spark action with
+no driver synchronization:
 
 1. Both sides get a mercator-grid cell id (pure column math,
    :func:`landlensdb_spark.geo.cells.cell_encode`).
-2. Probes explode the k-ring of their cell (column math, no UDF) and
-   equi-join candidates on the cell long.
-3. ``row_number() OVER (PARTITION BY probe ORDER BY dist2, neighbor_id)``
+2. **Histogram** ``H``: points per cell (map-side-combined groupBy).
+3. **Ring selection**: each probe explodes its (2R+1)^2 cell box tagged with
+   the Chebyshev ring index, joins ``H`` (probe side broadcast — the
+   histogram never shuffles), and a cumulative window picks
+   ``r1 = min r: points within box r >= k``.
+4. **Certificate**: every point in box ``r1`` is within
+   ``sqrt(2) * (r1+1) * cell`` meters; any point outside box ``r`` is at
+   least ``(r-1) * cell`` away (probe anywhere in its own cell). So scanning
+   box ``r2 = ceil(sqrt(2) * (r1+1))`` provably contains the exact top-k.
+5. **Candidate join**: probes explode box ``r2`` (per-probe, column-driven
+   ``sequence``), broadcast-join points on the cell long, and
+   ``row_number() OVER (PARTITION BY probe ORDER BY dist2, neighbor_id)``
    keeps the top-k (the reference's sort + group-first argmin, snap.py:218-221,
    generalized from 1 to k; deterministic tie-break by neighbor id).
-4. **Exactness bound**: a neighbor outside Chebyshev ring ``r`` is at least
-   ``r * cell_size`` mercator-meters away, so a probe whose k-th candidate
-   distance is <= that bound (and which has >= k candidates) is provably
-   exact. Failing probes re-run with a doubled ring (driver loop — the
-   Spark-native analog of the reference's grow-until-found bbox recursion,
-   cloud.py:963-977); the final remainder falls back to a broadcast
+6. Probes with < k points inside box ``R`` (cap ``start_ring <<
+   (max_rounds-1)``, the old loop's reach) fall back to a broadcast
    brute-force pass, so results are always exact.
+
+At cluster scale the point side is touched twice (histogram + candidate
+join) and never shuffled by a join; the only data-sized shuffle is the
+histogram's map-side-combined aggregation. ``broadcast_probes=False``
+switches the two joins to plain equi-joins for large probe sets (self-kNN),
+where AQE picks the strategy from runtime stats.
 
 Distances are squared EPSG:3857 meters (monotonic — avoids sqrt entirely);
 coords are pre-rounded to 1e-3 m for cross-engine float parity (synth.py).
@@ -26,10 +45,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from landlensdb_spark.geo.cells import cell_encode, k_ring
+from landlensdb_spark.geo.cells import _RES_SHIFT, _X_SHIFT, cell_encode, cell_x, cell_y
 from landlensdb_spark.geo.mercator import R
 
 WORLD = 2.0 * math.pi * R
@@ -43,6 +62,22 @@ def _with_merc(df: DataFrame, lon: str, lat: str, px: str, py: str) -> DataFrame
     return df.withColumn(px, mx).withColumn(py, my)
 
 
+def _cell_shift(cell: Column, dx: Column, dy: Column, res: int) -> Column:
+    """Neighbor cell id at offset (dx, dy): x wraps at the antimeridian,
+    y out of range -> NULL (no cell beyond the poles)."""
+    n = 1 << res
+    nx = F.pmod(cell_x(cell) + dx, F.lit(n))
+    ny = cell_y(cell) + dy
+    base = F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT)
+    return F.when((ny >= 0) & (ny < n), base + F.shiftleft(nx, _X_SHIFT) + ny)
+
+
+def _dist2() -> Column:
+    return (F.col("_px") - F.col("_nx")) * (F.col("_px") - F.col("_nx")) + (
+        F.col("_py") - F.col("_ny")
+    ) * (F.col("_py") - F.col("_ny"))
+
+
 def knn_join(
     probes: DataFrame,
     points: DataFrame,
@@ -54,87 +89,96 @@ def knn_join(
     res: int = 12,
     start_ring: int = 1,
     max_rounds: int = 3,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Exact k-nearest ``points`` for every probe row.
 
     Returns (probe_id, point_id, dist2, rank) with rank in 1..k. ``res`` is
     the expansion grid (cell side = 40,075 km / 2^res); pick it so an average
-    cell holds ~k points. Probes and points may be the same table (self-kNN);
-    pass ``point_id == probe_id`` names distinguished by the caller.
+    cell holds ~k points. ``start_ring``/``max_rounds`` bound the histogram
+    search to ring ``start_ring << (max_rounds - 1)`` before brute-force
+    fallback. ``broadcast_probes=False`` for probe sets too big to broadcast
+    (e.g. self-kNN); the joins then shuffle both sides and AQE re-plans.
     """
-    spark = probes.sparkSession
     cellsz = WORLD / (1 << res)
+    cap = start_ring << (max_rounds - 1)
 
-    pts = (
-        _with_merc(points, lon, lat, "_nx", "_ny")
-        .select(
-            F.col(point_id).alias("_nid"),
-            "_nx",
-            "_ny",
-            cell_encode(lon, lat, res).alias("_ncell"),
-        )
+    pts = _with_merc(points, lon, lat, "_nx", "_ny").select(
+        F.col(point_id).alias("_nid"),
+        "_nx",
+        "_ny",
+        cell_encode(lon, lat, res).alias("_ncell"),
     )
     prb = _with_merc(probes, lon, lat, "_px", "_py").select(
-        F.col(probe_id).alias("_pid"), "_px", "_py",
+        F.col(probe_id).alias("_pid"),
+        "_px",
+        "_py",
         cell_encode(lon, lat, res).alias("_pcell"),
     )
-    pts = pts.persist()
+    maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
 
+    # -- histogram: points per cell (map-side combine keeps the shuffle tiny)
+    hist = pts.groupBy(F.col("_ncell").alias("_hc")).agg(F.count("*").alias("_hn"))
+
+    # -- ring selection: smallest box radius r1 holding >= k points ---------
+    boxed = (
+        prb.select("_pid", "_pcell")
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-cap), F.lit(cap))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-cap), F.lit(cap))))
+        .withColumn("_ring", F.greatest(F.abs("_dx"), F.abs("_dy")))
+        .withColumn("_jc", _cell_shift(F.col("_pcell"), F.col("_dx"), F.col("_dy"), res))
+        .filter(F.col("_jc").isNotNull())
+        .select("_pid", "_ring", "_jc")
+    )
+    ring_counts = (
+        hist.join(maybe_bc(boxed), F.col("_hc") == F.col("_jc"), "inner")
+        .groupBy("_pid", "_ring")
+        .agg(F.sum("_hn").alias("_rn"))
+    )
+    wcum = (
+        Window.partitionBy("_pid")
+        .orderBy("_ring")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r1 = (
+        ring_counts.withColumn("_cum", F.sum("_rn").over(wcum))
+        .filter(F.col("_cum") >= k)
+        .groupBy("_pid")
+        .agg(F.min("_ring").alias("_r1"))
+    )
+
+    # -- certified candidate join at r2 = ceil(sqrt(2) * (r1 + 1)) ----------
+    resolved = prb.join(maybe_bc(r1), "_pid", "inner").withColumn(
+        "_r2", F.ceil(F.sqrt(F.lit(2.0)) * (F.col("_r1") + 1)).cast("int")
+    )
+    probe_cells = (
+        resolved.withColumn("_dx", F.explode(F.sequence(-F.col("_r2"), F.col("_r2"))))
+        .withColumn("_dy", F.explode(F.sequence(-F.col("_r2"), F.col("_r2"))))
+        .withColumn("_jc", _cell_shift(F.col("_pcell"), F.col("_dx"), F.col("_dy"), res))
+        .filter(F.col("_jc").isNotNull())
+        .select("_pid", "_px", "_py", "_jc")
+    )
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_nid").asc())
-    results: list[DataFrame] = []
-    remaining = prb
-    r = start_ring
-    for _ in range(max_rounds):
-        cand = (
-            remaining.withColumn("_jc", F.explode(k_ring(F.col("_pcell"), r, res)))
-            .join(pts, F.col("_jc") == F.col("_ncell"), "inner")
-            .withColumn(
-                "dist2",
-                (F.col("_px") - F.col("_nx")) * (F.col("_px") - F.col("_nx"))
-                + (F.col("_py") - F.col("_ny")) * (F.col("_py") - F.col("_ny")),
-            )
-        )
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("_pid", "_nid", "dist2", "rank")
-        )
-        # small (n_probes x k); persist so the ok/retry split, the final
-        # union and the caller's action don't recompute the join lineage
-        topk = topk.persist()
-        bound = float(r * cellsz) ** 2
-        stats = topk.groupBy("_pid").agg(
-            F.count("*").alias("_cnt"), F.max("dist2").alias("_kth")
-        )
-        ok_ids = stats.filter((F.col("_cnt") == k) & (F.col("_kth") <= F.lit(bound)))
-        results.append(
-            topk.join(F.broadcast(ok_ids.select("_pid")), "_pid", "left_semi")
-        )
-        remaining = remaining.join(
-            F.broadcast(ok_ids.select("_pid")), "_pid", "left_anti"
-        ).persist()
-        r *= 2
-        if remaining.isEmpty():
-            remaining = None
-            break
+    topk = (
+        pts.join(maybe_bc(probe_cells), F.col("_ncell") == F.col("_jc"), "inner")
+        .withColumn("dist2", _dist2())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("_pid", "_nid", "dist2", "rank")
+    )
 
-    if remaining is not None and not remaining.isEmpty():
-        # exact fallback: brute force for the (few) unresolved probes
-        cand = remaining.crossJoin(pts.drop("_ncell")).withColumn(
-            "dist2",
-            (F.col("_px") - F.col("_nx")) * (F.col("_px") - F.col("_nx"))
-            + (F.col("_py") - F.col("_ny")) * (F.col("_py") - F.col("_ny")),
-        )
-        results.append(
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("_pid", "_nid", "dist2", "rank")
-        )
+    # -- fallback: probes whose box `cap` holds < k points -> brute force ---
+    unresolved = prb.join(maybe_bc(r1), "_pid", "left_anti")
+    fallback = (
+        unresolved.select("_pid", "_px", "_py")
+        .crossJoin(pts.drop("_ncell"))
+        .withColumn("dist2", _dist2())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("_pid", "_nid", "dist2", "rank")
+    )
 
-    out = results[0]
-    for extra in results[1:]:
-        out = out.unionByName(extra)
-    return out.select(
+    return topk.unionByName(fallback).select(
         F.col("_pid").alias(probe_id),
         F.col("_nid").alias(point_id),
         "dist2",

@@ -45,6 +45,14 @@ SNAP_COLS = (
     "snap_pos double, seg_bearing double)"
 )
 
+#: driver-side memo of prepared+broadcast networks, keyed on the network
+#: DataFrame identity + snap params (strong ref kept; bounded at 8 entries).
+_net_cache: dict[tuple, tuple] = {}
+
+#: executor-side memo of unpacked segment arrays + bucket tables, keyed on the
+#: driver token. Lives in the (reused) python worker process across tasks.
+_worker_cache: dict[tuple, tuple] = {}
+
 
 def _flatten_network(rows) -> dict[str, np.ndarray]:
     """(line_id, coords[[lon,lat],...]) rows -> flat per-segment arrays in
@@ -84,7 +92,9 @@ def _grid_res_for_tolerance(tolerance_m: float) -> int:
 
 
 def _bucket_segments(net: dict[str, np.ndarray], res: int, tol: float) -> pd.DataFrame:
-    """Bucket table (cell_key, seg_idx) of segment bboxes, vectorized."""
+    """Bucket table (cell_key, seg_idx) of segment bboxes, fully vectorized
+    (no per-segment Python loop — this runs once per executor worker and its
+    cost is pure fixed overhead, so it must be O(total cells) C-speed)."""
     cell = WORLD / (1 << res)
     minx = np.minimum(net["x0"], net["x1"]) - tol
     maxx = np.maximum(net["x0"], net["x1"]) + tol
@@ -94,17 +104,17 @@ def _bucket_segments(net: dict[str, np.ndarray], res: int, tol: float) -> pd.Dat
     cx1 = np.floor((maxx + WORLD / 2) / cell).astype(np.int64)
     cy0 = np.floor((miny + WORLD / 2) / cell).astype(np.int64)
     cy1 = np.floor((maxy + WORLD / 2) / cell).astype(np.int64)
-    keys, idxs = [], []
-    for i in range(len(cx0)):
-        gx, gy = np.meshgrid(
-            np.arange(cx0[i], cx1[i] + 1), np.arange(cy0[i], cy1[i] + 1)
-        )
-        k = (gx.ravel() << 28) | gy.ravel()
-        keys.append(k)
-        idxs.append(np.full(len(k), i, dtype=np.int64))
-    return pd.DataFrame(
-        {"cell_key": np.concatenate(keys), "seg_idx": np.concatenate(idxs)}
-    )
+    nx = cx1 - cx0 + 1
+    ny = cy1 - cy0 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    seg_idx = np.repeat(np.arange(len(cx0), dtype=np.int64), counts)
+    # local rank of each emitted cell within its segment's nx*ny grid
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    gx = cx0[seg_idx] + local % nx[seg_idx]
+    gy = cy0[seg_idx] + local // nx[seg_idx]
+    return pd.DataFrame({"cell_key": (gx << 28) | gy, "seg_idx": seg_idx})
 
 
 def snap_to_network(
@@ -130,10 +140,26 @@ def snap_to_network(
     distance math (cross-engine float-parity mode used by the oracle checks).
     """
     spark = points.sparkSession
-    net_rows = [(r[0], r[1]) for r in network.select(line_id_col, coords_col).collect()]
-    net = _flatten_network(net_rows)
     res = _grid_res_for_tolerance(tolerance_m)
-    bc = spark.sparkContext.broadcast((net, res, tolerance_m, round_merc))
+    # memoized driver-side prep: collect + flatten + broadcast once per
+    # (network, tolerance) — repeated snaps against the same network (the
+    # common production shape: one road network, many probe batches) pay the
+    # index build once, like the reference's persistent R-tree (snap.py:19-31).
+    # The cache holds a strong ref to the network DataFrame so the id() key
+    # cannot be recycled while its entry lives.
+    ck = (id(network), line_id_col, coords_col, tolerance_m, round_merc)
+    hit = _net_cache.get(ck)
+    if hit is None:
+        net_rows = [
+            (r[0], r[1]) for r in network.select(line_id_col, coords_col).collect()
+        ]
+        net = _flatten_network(net_rows)
+        bc = spark.sparkContext.broadcast((net, res, tolerance_m, round_merc))
+        if len(_net_cache) >= 8:
+            _net_cache.pop(next(iter(_net_cache)))
+        _net_cache[ck] = (network, bc)
+    else:
+        bc = hit[1]
 
     in_cols = points.columns
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in points.schema)
@@ -142,19 +168,23 @@ def snap_to_network(
         " snap_pos double, seg_bearing double"
     )
 
-    # executor-local cache: bucket table built once per python worker
-    _cache: dict[int, tuple] = {}
+    # executor-local cache: bucket table built once per python worker. Keyed
+    # on a driver-generated token (NOT id(bc): each task unpickles a fresh
+    # Broadcast proxy object, so id() would miss every task), which stays
+    # stable across repeated snaps thanks to the driver-side memo above.
+    key = ck
 
     def _get_index():
-        key = id(bc)
-        if key not in _cache:
+        if key not in _worker_cache:
             net_, res_, tol_, rm = bc.value
-            seg = {k: np.asarray(v) for k, v in net_.items()}
+            seg = {kk: np.asarray(v) for kk, v in net_.items()}
             if rm is not None:
-                for k in ("x0", "y0", "x1", "y1"):
-                    seg[k] = np.round(seg[k], rm)
-            _cache[key] = (seg, _bucket_segments(seg, res_, tol_), res_, tol_, rm)
-        return _cache[key]
+                for kk in ("x0", "y0", "x1", "y1"):
+                    seg[kk] = np.round(seg[kk], rm)
+            if len(_worker_cache) >= 8:
+                _worker_cache.pop(next(iter(_worker_cache)))
+            _worker_cache[key] = (seg, _bucket_segments(seg, res_, tol_), res_, tol_, rm)
+        return _worker_cache[key]
 
     def _snap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seg, buckets, res_, tol_, rm = _get_index()
