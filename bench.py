@@ -8,8 +8,9 @@ line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
 The workload is the north-rule pipeline on a *clustered* (skewed) point
 field — 60% of geotagged pages in 3 urban cells:
 
-- extract_pip_tile: pages parquet scan -> Arrow-UDF geotag extraction ->
-  PIP join vs 1024 admin polygons -> z14 tile assignment -> tile rollup
+- extract_pip_tile: pages parquet scan -> fused single-python-stage geotag
+  extraction + PIP join vs 1024 admin polygons (operators/fused.py) ->
+  z14 tile assignment -> tile rollup
 - snap: 20%-of-rows probe set snapped to the road network (mapInPandas,
   zero shuffle)
 - knn: k=10 neighbors for 2,000 probes among the urban points
@@ -33,6 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from landlensdb_spark import synth, tables  # noqa: E402
 from landlensdb_spark.extract import extract_geotags  # noqa: E402
+from landlensdb_spark.operators.fused import extract_pip  # noqa: E402
 from landlensdb_spark.operators.knn import knn_join  # noqa: E402
 from landlensdb_spark.operators.pip_join import pip_join  # noqa: E402
 from landlensdb_spark.operators.snap import snap_to_network  # noqa: E402
@@ -109,11 +111,12 @@ def main() -> None:
 
     # ---- q1: extract -> PIP -> tile -> rollup -----------------------------
     def q_pipeline():
+        # fused single-python-stage operator: one worker per task slot (the
+        # extract|>pip composition chains two python workers per task, which
+        # oversubscribes executors exactly when all slots are busy) and no
+        # JVM->python->JVM hop for the extracted + candidate rows.
         pages = spark.read.parquet(pages_path)
-        geo = extract_geotags(pages, with_text=False).select(
-            "url", "lon", "lat", "lang"
-        )
-        joined = pip_join(geo, polys)
+        joined = extract_pip(pages, polys, keep=["url", "lang"])
         tiled = assign_tiles(joined)
         return tiled.groupBy("admin_id", "tile_x", "tile_y").count().count()
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from landlensdb_spark import synth, tables
 from landlensdb_spark.extract import extract_geotags
 from landlensdb_spark.geo import tiles as T
+from landlensdb_spark.operators.fused import extract_pip
 from landlensdb_spark.operators.knn import knn_join
 from landlensdb_spark.operators.pip_join import pip_join
 from landlensdb_spark.operators.snap import snap_to_network
@@ -240,6 +241,31 @@ def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_geotags(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = tables.pages(spark, 3000, num_partitions=8)
     return extract_geotags(pages).select("url", "lat", "lon")
+
+
+_EXT_LON = f"round({synth.lon_sql('i')}, 6)"
+_EXT_LAT = f"round({synth.lat_sql('i')}, 6)"
+
+
+@query(
+    "extract_pip",
+    f"""
+    SELECT printf('https://example.org/page/%08d', i) AS url,
+           {_EXT_LON} AS lon,
+           {_EXT_LAT} AS lat,
+           {synth.grid_admin_sql(_EXT_LON, _EXT_LAT)} AS admin_id
+    FROM (SELECT unnest(range(3000)) AS i)
+    WHERE i % 5 != 0
+    """,
+)
+def q_extract_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-python-stage html -> geotag -> containing polygon
+    (operators/fused.py) — the headline-pipeline shape."""
+    pages = tables.pages(spark, 3000, num_partitions=8)
+    polys = synth.admin_polygons(spark)
+    return extract_pip(pages, polys, keep=["url"]).select(
+        "url", "lon", "lat", "admin_id"
+    )
 
 
 @query(

@@ -147,6 +147,74 @@ def _collect_polygons(polygons: DataFrame, id_col: str, rings_col: str):
     return rings_by_id, cover_rows, res_set
 
 
+def pack_refine_state(rings_by_id: dict) -> dict:
+    """Pack polygon rings for the vectorized ray-cast refine.
+
+    Single-ring polygons are grouped by ring length into (n, length, 2)
+    tensors so a whole batch refines in a handful of vectorized calls;
+    multi-ring (holed) polygons keep the per-polygon path. Dense pid ->
+    (length, row) numpy lookup tables replace per-row dict probes when ids
+    are small ints (the common case). Shared by :func:`pip_join`'s refine
+    UDF and the fused single-stage pipeline (operators/fused.py).
+    """
+    classes: dict[int, list[tuple[int, np.ndarray]]] = {}
+    multi: dict[int, list[np.ndarray]] = {}
+    for pid, rr in rings_by_id.items():
+        if len(rr) == 1:
+            classes.setdefault(len(rr[0]), []).append((pid, rr[0]))
+        else:
+            multi[pid] = rr
+    packed = {}
+    pid_to_slot = {}
+    for length, items in classes.items():
+        packed[length] = np.stack([r for _, r in items])
+        for row, (pid, _) in enumerate(items):
+            pid_to_slot[pid] = (length, row)
+    state: dict = {"packed": packed, "slots": pid_to_slot, "multi": multi}
+    max_pid = max(rings_by_id.keys(), default=-1)
+    if 0 <= max_pid < 4_000_000:
+        lt = np.zeros(max_pid + 1, dtype=np.int64)
+        rt = np.full(max_pid + 1, -1, dtype=np.int64)
+        for pid, (length, row) in pid_to_slot.items():
+            lt[pid] = length
+            rt[pid] = row
+        state["len_table"] = lt
+        state["row_table"] = rt
+    else:
+        state["len_table"] = None
+    return state
+
+
+def refine_points(
+    state: dict, px: np.ndarray, py: np.ndarray, pids: np.ndarray
+) -> np.ndarray:
+    """Exact ray-cast containment for (point, polygon-id) pairs against a
+    :func:`pack_refine_state` bundle. Vectorized per ring-length class."""
+    from landlensdb_spark.geo.geometry import points_in_own_ring
+
+    packed, slots, multi = state["packed"], state["slots"], state["multi"]
+    out = np.zeros(len(px), dtype=bool)
+    if state.get("len_table") is not None:
+        pid_idx = pids.astype(np.int64)
+        lengths = state["len_table"][pid_idx]
+        rows = state["row_table"][pid_idx]
+    else:
+        lengths = np.array([slots.get(p, (0, -1))[0] for p in pids], dtype=np.int64)
+        rows = np.array([slots.get(p, (0, -1))[1] for p in pids], dtype=np.int64)
+    for length in np.unique(lengths):
+        if length == 0:
+            continue
+        ii = np.where(lengths == length)[0]
+        tensor = packed[length][rows[ii]]  # (n_ii, length, 2) aligned rows
+        out[ii] = points_in_own_ring(px[ii], py[ii], tensor)
+    if multi:
+        mm = np.where(lengths == 0)[0]
+        for pid in np.unique(pids[mm]):
+            jj = mm[pids[mm] == pid]
+            out[jj] = points_in_polygon(px[jj], py[jj], multi[pid])
+    return out
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -192,83 +260,22 @@ def pip_join(
     # multi-ring (holed) polygons take the per-polygon path.
     _state: dict = {}
 
-    def _build_state():
-        rings = bc.value
-        classes: dict[int, list[tuple[int, np.ndarray]]] = {}
-        multi: dict[int, list[np.ndarray]] = {}
-        for pid, rr in rings.items():
-            if len(rr) == 1:
-                classes.setdefault(len(rr[0]), []).append((pid, rr[0]))
-            else:
-                multi[pid] = rr
-        packed = {}
-        pid_to_slot = {}
-        for length, items in classes.items():
-            tensor = np.stack([r for _, r in items])
-            packed[length] = tensor
-            for row, (pid, _) in enumerate(items):
-                pid_to_slot[pid] = (length, row)
-        _state["packed"] = packed
-        _state["slots"] = pid_to_slot
-        _state["multi"] = multi
-        # dense numpy lookup tables (pid -> length/row) so the per-batch
-        # lookup is fancy indexing, not a per-row Python dict probe
-        max_pid = max(rings.keys(), default=-1)
-        if 0 <= max_pid < 4_000_000:
-            lt = np.zeros(max_pid + 1, dtype=np.int64)
-            rt = np.full(max_pid + 1, -1, dtype=np.int64)
-            for pid, (length, row) in pid_to_slot.items():
-                lt[pid] = length
-                rt[pid] = row
-            _state["len_table"] = lt
-            _state["row_table"] = rt
-        else:
-            _state["len_table"] = None
-
     @F.pandas_udf(BooleanType())
     def _contains(
         lon_s: pd.Series, lat_s: pd.Series, pid_s: pd.Series, full_s: pd.Series
     ) -> pd.Series:
-        from landlensdb_spark.geo.geometry import points_in_own_ring
-
         if not _state:
-            _build_state()
-        packed, slots, multi = _state["packed"], _state["slots"], _state["multi"]
+            _state.update(pack_refine_state(bc.value))
         full = full_s.to_numpy(dtype=bool)
         if full.all():
             return pd.Series(full)
         # only boundary-cell rows pay the exact ray-cast
         keep = np.where(~full)[0]
         out_all = full.copy()
-        lon_s = lon_s.iloc[keep]
-        lat_s = lat_s.iloc[keep]
-        pid_s = pid_s.iloc[keep]
-        out = np.zeros(len(lon_s), dtype=bool)
-        px = lon_s.to_numpy(dtype=np.float64)
-        py = lat_s.to_numpy(dtype=np.float64)
-        pids = pid_s.to_numpy()
-
-        # group rows by ring-length class; vectorized table lookup when pids
-        # are dense small ints (the common case), dict probe otherwise
-        if _state.get("len_table") is not None:
-            pid_idx = pids.astype(np.int64)
-            lengths = _state["len_table"][pid_idx]
-            rows = _state["row_table"][pid_idx]
-        else:
-            lengths = np.array([slots.get(p, (0, -1))[0] for p in pids], dtype=np.int64)
-            rows = np.array([slots.get(p, (0, -1))[1] for p in pids], dtype=np.int64)
-        for length in np.unique(lengths):
-            if length == 0:
-                continue
-            ii = np.where(lengths == length)[0]
-            tensor = packed[length][rows[ii]]  # (n_ii, length, 2) aligned rows
-            out[ii] = points_in_own_ring(px[ii], py[ii], tensor)
-        if multi:
-            mm = np.where(lengths == 0)[0]
-            for pid in np.unique(pids[mm]):
-                jj = mm[pids[mm] == pid]
-                out[jj] = points_in_polygon(px[jj], py[jj], multi[pid])
-        out_all[keep] = out
+        px = lon_s.iloc[keep].to_numpy(dtype=np.float64)
+        py = lat_s.iloc[keep].to_numpy(dtype=np.float64)
+        pids = pid_s.iloc[keep].to_numpy()
+        out_all[keep] = refine_points(_state, px, py, pids)
         return pd.Series(out_all)
 
     # ONE pass over the point side: explode the point's cell id at each
