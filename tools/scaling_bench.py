@@ -58,7 +58,7 @@ def host_capacity(levels: list[int]) -> dict[int, float]:
     return out
 
 
-def run_once(cpus: int, sf_dir: str, mult: str) -> dict:
+def run_once(cpus: int, sf_dir: str, mult: str, pin: bool = False) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -66,9 +66,18 @@ def run_once(cpus: int, sf_dir: str, mult: str) -> dict:
         SPARK_GRAFT_BENCH_REPEATS="2",
         SPARK_GRAFT_BENCH_MULT=mult,
     )
+    # --pin: taskset the whole JVM+python-worker tree onto exactly `cpus`
+    # CPUs. Without it, local[N] means N *task slots* but the JVM's scan /
+    # Arrow / shuffle threads run on additional cores for free — which
+    # inflates the low-core level's throughput and understates scaling
+    # efficiency. Pinning reproduces what a real cluster's cgroup CPU limit
+    # gives an N-core executor.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     t0 = time.time()
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -87,6 +96,11 @@ def main() -> None:
     )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="4,16")
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset each run onto exactly its core budget (cgroup-faithful)",
+    )
     ap.add_argument(
         "--rest",
         type=int,
@@ -114,7 +128,7 @@ def main() -> None:
     passes: dict[int, list[dict]] = {lo: [], hi: []}
     for i in range(args.runs):
         for cpus in (lo, hi):
-            rec = run_once(cpus, args.sf_dir, mult)
+            rec = run_once(cpus, args.sf_dir, mult, pin=args.pin)
             print(f"pass {i} local[{cpus}]: {rec['queries']} rps={rec['rows_per_sec']}")
             passes[cpus].append(rec)
             # best = highest HEADLINE throughput (the north-rule metric);
@@ -123,7 +137,9 @@ def main() -> None:
             if cpus not in best or rec["rows_per_sec"] > best[cpus]["rows_per_sec"]:
                 best[cpus] = rec
             time.sleep(args.rest)
-    res_lo, res_hi = best[lo], best[hi]
+    # copies: the best record is itself one of the passes, so attaching the
+    # pass list to the original object would create a json-fatal cycle
+    res_lo, res_hi = dict(best[lo]), dict(best[hi])
     res_lo["all_passes"] = passes[lo]
     res_hi["all_passes"] = passes[hi]
 
@@ -138,14 +154,17 @@ executors. Sandbox evidence (no real cluster): the same job on the SAME
 input (deterministic synthetic pages, fixed 128-partition parquet,
 {res_lo['rows']} rows) at local[{lo}] vs local[{hi}] cores, interleaved
 fresh-JVM runs x{args.runs} per level with {args.rest}s burst-credit
-recovery rests, best per level.
+recovery rests, best per level{', each run CPU-PINNED (taskset) onto exactly its core budget — the cgroup CPU limit a real cluster gives an N-core executor (unpinned local[N] lets JVM scan/Arrow/shuffle threads freeload on extra host cores, inflating the small level)' if args.pin else ''}.
 
 **Why {lo}/{hi} and not 8/32:** the VM's hypervisor caps sustained many-core
 CPU. A Spark-free pure-Python multiprocessing probe run in the same session
 measured {lo}->{hi} workers at {cap_ratio:.2f}x raw CPU (ideal {factor:.0f}x),
-while 8->32 workers yields only ~2.6x — above ~16 busy cores the host cannot
-hand out 4x the cycles, so an 8/32 pair measures the hypervisor, not the
-engine. {lo}/{hi} sit inside the host's linear region.
+while 8->32 workers yields only ~2.6x — above ~16 sustained-busy cores the
+host cannot hand out 4x the cycles, so an 8/32 pair measures the hypervisor,
+not the engine. {lo}/{hi} sit inside the host's linear region (a pinned
+local[N] also runs JVM scan/shuffle threads inside its budget, so the
+effective demand is slightly above N — picking the pair low keeps even the
+big level clear of the cap).
 
 | metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency |
 |---|---|---|---|
