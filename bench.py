@@ -91,6 +91,19 @@ def main() -> None:
         spark.stop()
         return
 
+    # size input splits to the job: target ~4 tasks per core over the actual
+    # input bytes (runtime-settable SQL confs), clamped to [4MB, 128MB]. At
+    # sf0.1 x mult 1 the fixed 4MB/4MB conf above yields 128 tiny tasks whose
+    # scheduling overhead dominates; at mult 16 it already lands in range.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(pages_path, f))
+        for f in os.listdir(pages_path)
+        if f.endswith(".parquet")
+    )
+    split = min(max(total_bytes // (4 * cpus), 4 * 1024 * 1024), 128 * 1024 * 1024)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
+
     polys = synth.admin_polygons(spark)
     net = synth.road_network(spark)
 

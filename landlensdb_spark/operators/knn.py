@@ -130,21 +130,33 @@ def knn_join(
         .filter(F.col("_jc").isNotNull())
         .select("_pid", "_ring", "_jc")
     )
-    ring_counts = (
-        hist.join(maybe_bc(boxed), F.col("_hc") == F.col("_jc"), "inner")
-        .groupBy("_pid", "_ring")
-        .agg(F.sum("_hn").alias("_rn"))
-    )
-    wcum = (
-        Window.partitionBy("_pid")
-        .orderBy("_ring")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ONE aggregation computes r1 = min ring with cumulative count >= k: the
+    # per-probe (ring, cell-count) entries — at most (2*cap+1)^2 of them —
+    # are collected into an array, ring-sorted, and folded with a running
+    # sum. vs the groupBy(pid, ring) + cumulative window + groupBy(pid)
+    # formulation this is one shuffle instead of three stage boundaries,
+    # whose scheduling latency dominates at small probe counts. Crossing k
+    # mid-ring still yields that ring (entries are ring-sorted), so r1 is
+    # identical.
+    ring_arr = F.array_sort(F.collect_list(F.struct(F.col("_ring"), F.col("_hn"))))
+    fold = F.aggregate(
+        ring_arr,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("int").alias("r1")
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["_hn"]).alias("cum"),
+            F.when(acc["r1"] >= 0, acc["r1"])
+            .when(acc["cum"] + x["_hn"] >= k, x["_ring"].cast("int"))
+            .otherwise(F.lit(-1))
+            .alias("r1"),
+        ),
     )
     r1 = (
-        ring_counts.withColumn("_cum", F.sum("_rn").over(wcum))
-        .filter(F.col("_cum") >= k)
+        hist.join(maybe_bc(boxed), F.col("_hc") == F.col("_jc"), "inner")
         .groupBy("_pid")
-        .agg(F.min("_ring").alias("_r1"))
+        .agg(fold["r1"].alias("_r1"))
+        .filter(F.col("_r1") >= 0)
     )
 
     # -- certified candidate join at r2 = ceil(sqrt(2) * (r1 + 1)) ----------
