@@ -19,6 +19,7 @@ from landlensdb_spark import synth, tables
 from landlensdb_spark.extract import extract_geotags
 from landlensdb_spark.geo import tiles as T
 from landlensdb_spark.operators.fused import extract_pip
+from landlensdb_spark.operators.mvt import coverage_features
 from landlensdb_spark.operators.knn import knn_join
 from landlensdb_spark.operators.pip_join import pip_join
 from landlensdb_spark.operators.snap import snap_to_network
@@ -241,6 +242,43 @@ def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_geotags(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = tables.pages(spark, 3000, num_partitions=8)
     return extract_geotags(pages).select("url", "lat", "lon")
+
+
+@query(
+    "mvt_features",
+    f"""
+    SELECT (i * 7 + 3)::BIGINT AS feature_id,
+           ({synth.MVT_TILE_X0} + (i // {synth.MVT_FEATS_PER_TILE}) % 8)::BIGINT AS tile_x,
+           ({synth.MVT_TILE_Y0} + (i // {synth.MVT_FEATS_PER_TILE}) // 8)::BIGINT AS tile_y,
+           ((i * 137 + 11) % 4096)::BIGINT AS px,
+           ((i * 211 + 23) % 4096)::BIGINT AS py,
+           round(({synth.MVT_TILE_X0} + (i // {synth.MVT_FEATS_PER_TILE}) % 8
+                  + ((i * 137 + 11) % 4096) / 4096.0) / 16384.0 * 360.0 - 180.0, 6) AS lon,
+           ({synth.MVT_CAP_BASE} + i * {synth.MVT_CAP_STEP})::BIGINT AS captured_at
+    FROM (SELECT unnest(range({synth.MVT_N_TILES * synth.MVT_FEATS_PER_TILE})) AS i)
+    WHERE {synth.MVT_CAP_BASE} + i * {synth.MVT_CAP_STEP}
+          >= {synth.MVT_CAP_BASE + 400 * synth.MVT_CAP_STEP}
+    """,
+)
+def q_mvt_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: binary MVT coverage-tile decode scan (wire-format parser in
+    operators/mvt.py) + the reference's captured_at range filter
+    (cloud.py:744-771). lat is excluded from the cross-engine compare —
+    its transcendental inverse-mercator is pytest-locked instead (lon is
+    pure binary arithmetic, bit-identical across engines)."""
+    tiles = synth.mvt_tiles(spark)
+    feats = coverage_features(
+        tiles, start_captured_ms=synth.MVT_CAP_BASE + 400 * synth.MVT_CAP_STEP
+    )
+    return feats.select(
+        F.col("feature_id").cast("long"),
+        F.col("tile_x").cast("long"),
+        F.col("tile_y").cast("long"),
+        F.col("px").cast("long"),
+        F.col("py").cast("long"),
+        "lon",
+        F.element_at(F.col("props"), "captured_at").cast("long").alias("captured_at"),
+    )
 
 
 _EXT_LON = f"round({synth.lon_sql('i')}, 6)"

@@ -138,3 +138,39 @@ def clean_double(col: Column | str) -> Column:
 def has_image_ext(path: Column | str) -> Column:
     c = F.col(path) if isinstance(path, str) else path
     return F.lower(c).rlike(r"\.(png|jpe?g)$")
+
+
+# --- F5: camera-type inference (image.py:43-67, table image.py:17-19) -------
+
+#: the reference's known-360 camera table (image.py:17-19).
+KNOWN_360_MODELS = ("RICOH THETA SC", "RICOH THETA S", "RICOH THETA V", "RICOH THETA X")
+
+
+def camera_type(focal: Column | str, model: Column | str) -> Column:
+    """model∈known-360 -> '360-degree'; focal < 1.5 -> 'fisheye'; else
+    'perspective'; NULL when both inputs are missing/falsy (the reference
+    returns NaN then, image.py:55-56; its focal-None-with-model path raises —
+    here a NULL focal with a non-360 model yields 'perspective', the
+    well-defined branch)."""
+    f = F.col(focal) if isinstance(focal, str) else focal
+    m = F.col(model) if isinstance(model, str) else model
+    no_f = f.isNull() | (f == 0.0)
+    no_m = m.isNull() | (m == "")
+    return (
+        F.when(no_f & no_m, F.lit(None).cast("string"))
+        .when(m.isin(*KNOWN_360_MODELS), "360-degree")
+        .when(f < 1.5, "fisheye")
+        .otherwise("perspective")
+    )
+
+
+# --- F6: camera-parameters CSV (image.py:343-350; cloud.py:284-287) ---------
+
+def camera_params_csv(focal: Column | str, k1: Column | str, k2: Column | str) -> Column:
+    """``"focal,k1,k2"``; NULL if ANY component is missing (the reference's
+    `None in [...] -> NaN` gate — concat_ws alone would silently skip NULLs)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in (focal, k1, k2)]
+    any_null = cols[0].isNull() | cols[1].isNull() | cols[2].isNull()
+    return F.when(any_null, F.lit(None).cast("string")).otherwise(
+        F.concat_ws(",", *[c.cast("string") for c in cols])
+    )

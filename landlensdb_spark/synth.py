@@ -224,3 +224,46 @@ def roads_sql_cte() -> str:
         f"{merc_x_sql(lon)} AS x1, {merc_y_sql(repr(ROAD_LAT_MAX))} AS y1 "
         f"FROM (SELECT unnest(range({N_ROADS})) AS j)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic MVT coverage tiles (S4 fixtures)
+# ---------------------------------------------------------------------------
+
+MVT_N_TILES = 64
+MVT_FEATS_PER_TILE = 20
+MVT_TILE_X0, MVT_TILE_Y0, MVT_ZOOM = 4823, 6160, 14
+MVT_CAP_BASE, MVT_CAP_STEP = 1_600_000_000_000, 977
+
+
+def mvt_tiles(spark: SparkSession) -> DataFrame:
+    """64 deterministic z14 coverage tiles, 20 point features each, encoded
+    to real MVT wire bytes. Feature i (global) sits at tile-local
+    ``((i*137+11) % 4096, (i*211+23) % 4096)`` with id ``i*7+3`` and
+    ``captured_at = 1.6e12 + i*977`` — integer formulas a SQL oracle can
+    recompute exactly."""
+    from landlensdb_spark.operators.mvt import encode_mvt
+
+    rows = []
+    for t in range(MVT_N_TILES):
+        feats = []
+        for f in range(MVT_FEATS_PER_TILE):
+            i = t * MVT_FEATS_PER_TILE + f
+            feats.append(
+                {
+                    "id": i * 7 + 3,
+                    "points": [((i * 137 + 11) % 4096, (i * 211 + 23) % 4096)],
+                    "props": {"captured_at": MVT_CAP_BASE + i * MVT_CAP_STEP},
+                }
+            )
+        rows.append(
+            (
+                MVT_ZOOM,
+                MVT_TILE_X0 + t % 8,
+                MVT_TILE_Y0 + t // 8,
+                encode_mvt({"image": {"extent": 4096, "features": feats}}),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "tile_z int, tile_x long, tile_y long, content binary"
+    )

@@ -116,3 +116,29 @@ def test_simplify_lines():
     assert out[0][1] == [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0]]
     out2 = network_prep.simplify_lines([(0, line)], tolerance=1e-9)
     assert len(out2[0][1]) == 4  # everything kept at a tight tolerance
+
+
+def test_camera_type_f5(spark):
+    from landlensdb_spark import functions as FN
+
+    df = spark.createDataFrame(
+        [
+            (0.9, "GoPro"), (2.4, "GoPro"), (5.0, "RICOH THETA V"),
+            (None, None), (0.0, ""), (None, "GoPro"),
+        ],
+        "focal double, model string",
+    )
+    got = [r[0] for r in df.select(FN.camera_type("focal", "model")).collect()]
+    # reference semantics image.py:43-67: 360 table wins, focal<1.5 fisheye,
+    # else perspective, NaN when both missing
+    assert got == ["fisheye", "perspective", "360-degree", None, None, "perspective"]
+
+
+def test_camera_params_csv_f6(spark):
+    from landlensdb_spark import functions as FN
+
+    df = spark.createDataFrame(
+        [(0.85, 0.1, 0.01), (0.85, None, 0.01)], "focal double, k1 double, k2 double"
+    )
+    got = [r[0] for r in df.select(FN.camera_params_csv("focal", "k1", "k2")).collect()]
+    assert got == ["0.85,0.1,0.01", None]

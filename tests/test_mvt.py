@@ -1,0 +1,94 @@
+"""MVT wire-format codec + decode scan: round-trip, semantics, geometry."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from landlensdb_spark.operators.mvt import (
+    coverage_features,
+    decode_mvt,
+    encode_mvt,
+    np_tile_lonlat,
+    tile_features,
+)
+
+
+def _tile_blob():
+    return encode_mvt(
+        {
+            "image": {
+                "extent": 4096,
+                "features": [
+                    {"id": 7, "points": [(100, 200)], "props": {"captured_at": 1600000000123, "pano": True}},
+                    {"id": 8, "points": [(0, 0), (4095, 4095)], "props": {"seq": "abc"}},
+                ],
+            },
+            "sequence": {
+                "features": [{"id": 9, "points": [(2048, 1024)], "props": {"w": 2.5}}],
+            },
+        }
+    )
+
+
+def test_roundtrip_decode():
+    rows = decode_mvt(_tile_blob())
+    # multipoint explodes to one row per point
+    assert [(r[0], r[2], r[3], r[4]) for r in rows] == [
+        ("image", 7, 100, 200),
+        ("image", 8, 0, 0),
+        ("image", 8, 4095, 4095),
+        ("sequence", 9, 2048, 1024),
+    ]
+    by_id = {r[2]: r[5] for r in rows}
+    assert by_id[7] == {"captured_at": "1600000000123", "pano": "True"}
+    assert by_id[8] == {"seq": "abc"}
+    assert by_id[9] == {"w": "2.5"}
+
+
+def test_unknown_fields_and_nonpoint_skipped():
+    blob = _tile_blob()
+    # append an unknown top-level varint field (field 9) — must be skipped
+    blob = blob + bytes([0x48, 0x05])
+    rows = decode_mvt(blob)
+    assert len(rows) == 4
+    # a LINESTRING feature (type 2) is ignored
+    line = encode_mvt({"roads": {"features": [{"id": 1, "points": [(5, 5)]}]}})
+    line = line.replace(bytes([0x18, 0x01]), bytes([0x18, 0x02]))  # type 1 -> 2
+    assert decode_mvt(line) == []
+
+
+def test_lonlat_matches_slippy_inverse():
+    # px=0, py=0 is exactly the tile's west/north corner (cloud.py:889-911)
+    z, x, y = 14, 4823, 6160
+    lon, lat = np_tile_lonlat(
+        np.array([z], float), np.array([x], float), np.array([y], float),
+        np.array([0], float), np.array([0], float), np.array([4096], float),
+    )
+    n = 2.0**z
+    assert lon[0] == round(x / n * 360.0 - 180.0, 6)
+    assert lat[0] == round(math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n)))), 6)
+
+
+def test_tile_features_and_coverage_semantics(spark):
+    rows = [
+        (14, 4823, 6160, _tile_blob()),
+        (5, 10, 11, encode_mvt({"overview": {"features": [{"id": 1, "points": [(10, 10)], "props": {"captured_at": 5}}]}})),
+        (14, 4824, 6160, encode_mvt({"overview": {"features": [{"id": 2, "points": [(1, 1)]}]}})),  # wrong layer for z14
+    ]
+    tiles = spark.createDataFrame(rows, "tile_z int, tile_x long, tile_y long, content binary")
+    feats = tile_features(tiles).collect()
+    assert len(feats) == 6  # 4 from tile 1 (incl multipoint + sequence), 1 overview, 1 misplaced
+    cov = coverage_features(tiles).orderBy("feature_id").collect()
+    # z14 -> image layer only; z5 -> overview; misplaced overview@z14 dropped;
+    # sequence layer valid at z6-14 but this tile is z14 -> sequence IS in 6..14, kept
+    assert sorted({(r.layer, r.feature_id) for r in cov}) == [
+        ("image", 7), ("image", 8), ("overview", 1), ("sequence", 9),
+    ]
+    # captured_at range filter keeps unparseable/missing (cloud.py:765-771)
+    cov2 = coverage_features(tiles, start_captured_ms=10).collect()
+    ids = sorted({(r.layer, r.feature_id) for r in cov2})
+    assert ("overview", 1) not in ids  # captured_at=5 < 10 -> dropped
+    assert ("image", 8) in ids and ("sequence", 9) in ids  # no captured_at -> kept
+    assert ("image", 7) in ids  # 1.6e12 >= 10
