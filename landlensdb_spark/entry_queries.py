@@ -883,12 +883,26 @@ def q_snap_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("hilbert_cells")  # rows-only: Hilbert curve rotation not SQL-expressible
 def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2-slot secondary index: Hilbert-ordered sortable longs at level 13."""
+    """Mercator-Hilbert secondary index: sortable longs at level 13."""
     from landlensdb_spark.geo.cells import hilbert_cell_udf
 
     pts = _points(spark, sf_dir)
     return pts.select(
         "key", hilbert_cell_udf(13)(F.col("lon"), F.col("lat")).alias("s2_cell")
+    )
+
+
+@query("s2_cells")  # rows-only: the cube-face Hilbert traversal isn't SQL
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL S2 level-13 cell ids (geo/s2.py: real library bit layout;
+    encode<->decode round-trip + containment invariants pytest-locked) as
+    order-preserving sortable longs — the north-star "S2 level-13 cells as
+    sortable longs" index contract."""
+    from landlensdb_spark.geo.s2 import s2_cell_udf
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "key", s2_cell_udf(13)(F.col("lon"), F.col("lat")).alias("s2_cell")
     )
 
 
