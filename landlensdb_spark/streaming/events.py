@@ -190,3 +190,31 @@ def sessionize_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_geo_tiles(
+    spark: SparkSession,
+    pages_path: str,
+    polygons: DataFrame,
+    zoom: int = 14,
+) -> DataFrame:
+    """The north-star pipeline as a STREAM: pages files -> fused
+    extract+PIP (one python stage, operators/fused.py) -> per (admin, tile)
+    running counts.
+
+    The transformation code is byte-for-byte the batch operator — Structured
+    Streaming re-executes it incrementally per micro-batch; with
+    ``availableNow`` + a checkpoint dir this is the exactly-once incremental
+    ingest mode (each input file processed once across restarts, the
+    reference's resumable-ingest semantics, cloud.py:483-496). Stream==batch
+    parity is pytest-locked.
+    """
+    from landlensdb_spark.operators.fused import extract_pip
+    from landlensdb_spark.operators.tiles import assign_tiles
+
+    pages = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(pages_path)
+    joined = extract_pip(pages, polygons, keep=["url"])
+    tiled = assign_tiles(joined, zoom=zoom)
+    return tiled.groupBy("admin_id", "tile_x", "tile_y").count()

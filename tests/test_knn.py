@@ -78,3 +78,28 @@ def test_knn_sparse_fallback_still_exact(spark):
     for pid in (0, 1):
         got_ids = list(got[got["probe_id"] == pid]["point_id"])
         assert got_ids == [j for j, _ in want[pid]]
+
+
+def test_knn_no_broadcast_path_exact(spark):
+    # self-kNN shape: probes too big to broadcast -> plain equi-joins + AQE
+    n_pts, n_probes, k = 1500, 80, 4
+    nlon, nlat = _points(n_pts)
+    plon, plat = _points(n_probes, probe=True)
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(nlon, nlat))],
+        "point_id long, lon double, lat double",
+    )
+    prb = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(plon, plat))],
+        "probe_id long, lon double, lat double",
+    )
+    got = (
+        knn_join(prb, pts, k=k, res=14, broadcast_probes=False)
+        .orderBy("probe_id", "rank")
+        .toPandas()
+    )
+    want = brute_force_knn(plon, plat, nlon, nlat, k)
+    assert len(got) == n_probes * k
+    for pid in range(n_probes):
+        got_ids = list(got[got["probe_id"] == pid]["point_id"])
+        assert got_ids == [j for j, _ in want[pid]], f"probe {pid}"

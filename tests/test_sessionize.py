@@ -63,3 +63,55 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert len(s) > 0, "stream emitted no closed sessions"
     missing = [row for row in s if row not in b]
     assert not missing, f"streamed sessions not in batch result: {missing[:5]}"
+
+
+def test_streaming_geo_tiles_matches_batch(spark, tmp_path):
+    """North-star pipeline as a stream == the batch run, incl. incremental
+    exactly-once: files added between availableNow drains are each counted
+    once."""
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark import synth, tables
+    from landlensdb_spark.operators.fused import extract_pip
+    from landlensdb_spark.operators.tiles import assign_tiles
+    from landlensdb_spark.streaming.events import run_available_now, streaming_geo_tiles
+
+    pages_dir = str(tmp_path / "pages")
+    polys = synth.admin_polygons(spark)
+    tables.pages(spark, 1200, clustered=True, num_partitions=3).write.mode(
+        "append"
+    ).parquet(pages_dir)
+
+    stream = streaming_geo_tiles(spark, pages_dir, polys, zoom=12)
+    ck = str(tmp_path / "ck")
+    run_available_now(stream, ck, "geo_tiles_1")
+    got1 = spark.sql("SELECT * FROM geo_tiles_1")
+
+    batch_pages = spark.read.parquet(pages_dir)
+    want1 = (
+        assign_tiles(extract_pip(batch_pages, polys, keep=["url"]), zoom=12)
+        .groupBy("admin_id", "tile_x", "tile_y")
+        .count()
+    )
+    key = ["admin_id", "tile_x", "tile_y", "count"]
+    assert sorted(map(tuple, got1.select(*key).collect())) == sorted(
+        map(tuple, want1.select(*key).collect())
+    )
+
+    # incremental drain: new files only, counts roll up to the full total
+    tables.pages(spark, 2000, clustered=True, num_partitions=2).filter(
+        "url > 'https://example.org/page/00001199'"
+    ).write.mode("append").parquet(pages_dir)
+    stream2 = streaming_geo_tiles(spark, pages_dir, polys, zoom=12)
+    run_available_now(stream2, ck, "geo_tiles_2")
+    got2 = spark.sql("SELECT * FROM geo_tiles_2")
+    want2 = (
+        assign_tiles(
+            extract_pip(spark.read.parquet(pages_dir), polys, keep=["url"]), zoom=12
+        )
+        .groupBy("admin_id", "tile_x", "tile_y")
+        .count()
+    )
+    assert sorted(map(tuple, got2.select(*key).collect())) == sorted(
+        map(tuple, want2.select(*key).collect())
+    )
