@@ -19,7 +19,7 @@ from landlensdb_spark import synth, tables
 from landlensdb_spark.extract import extract_geotags
 from landlensdb_spark.geo import tiles as T
 from landlensdb_spark.operators.fused import extract_pip
-from landlensdb_spark.operators.mvt import coverage_features
+from landlensdb_spark.operators.mvt import coverage_features, coverage_ingest
 from landlensdb_spark.operators.knn import knn_join
 from landlensdb_spark.operators.pip_join import pip_join
 from landlensdb_spark.operators.snap import snap_to_network
@@ -278,6 +278,42 @@ def q_mvt_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("py").cast("long"),
         "lon",
         F.element_at(F.col("props"), "captured_at").cast("long").alias("captured_at"),
+    )
+
+
+@query(
+    "coverage_ingest",
+    f"""
+    WITH feats AS (
+      SELECT (i * 7 + 3)::BIGINT AS feature_id,
+             ({synth.MVT_TILE_X0} + (i // {synth.MVT_FEATS_PER_TILE}) % 8)::BIGINT AS tile_x,
+             ({synth.MVT_TILE_Y0} + (i // {synth.MVT_FEATS_PER_TILE}) // 8)::BIGINT AS tile_y,
+             ((i * 137 + 11) % 4096)::BIGINT AS px,
+             round(({synth.MVT_TILE_X0} + (i // {synth.MVT_FEATS_PER_TILE}) % 8
+                    + ((i * 137 + 11) % 4096) / 4096.0) / 16384.0 * 360.0 - 180.0, 6) AS lon
+      FROM (SELECT unnest(range({synth.MVT_N_TILES * synth.MVT_FEATS_PER_TILE})) AS i)
+    )
+    SELECT feature_id, tile_x, tile_y, px, lon FROM feats
+    WHERE lon >= {synth.MVT_TILE_X0 + 2}.0/16384.0*360.0 - 180.0
+      AND lon <= {synth.MVT_TILE_X0 + 6}.0/16384.0*360.0 - 180.0
+    """,
+)
+def q_coverage_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3: bbox -> z14 tile enumeration + prune -> MVT decode -> in-bbox
+    filter -> cross-tile feature dedupe (cloud.py:299-445,792-816). The bbox
+    lon edges are exact binary tile boundaries so both engines agree
+    bitwise; lat is wide open (the transcendental leg is pytest-locked)."""
+    tiles = synth.mvt_tiles(spark)
+    n = 2.0**synth.MVT_ZOOM
+    w_ = (synth.MVT_TILE_X0 + 2) / n * 360.0 - 180.0
+    e_ = (synth.MVT_TILE_X0 + 6) / n * 360.0 - 180.0
+    feats = coverage_ingest(tiles, (w_, -85.5, e_, 85.5), zoom=synth.MVT_ZOOM)
+    return feats.select(
+        F.col("feature_id").cast("long"),
+        F.col("tile_x").cast("long"),
+        F.col("tile_y").cast("long"),
+        F.col("px").cast("long"),
+        "lon",
     )
 
 

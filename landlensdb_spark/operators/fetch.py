@@ -1,0 +1,130 @@
+"""Distributed resumable fetch: the reference's threaded downloader, Spark-shaped.
+
+Re-expresses ``download_images`` (/root/reference/landlensdb/handlers/
+cloud.py:447-679) as a DataFrame operator:
+
+- per-row fetch with ``max_retries`` and exponential backoff
+  (cloud.py:584-640): HTTP 200 -> success (+bytes), 404 -> permanent
+  failure NEVER retried (cloud.py:608-610), anything else -> retry, then
+  ``failed_temporary``;
+- batches of ``batch_size`` with per-task rate pacing (the reference's 10
+  threads / 25-image batches / global rate limiter, cloud.py:453-457 —
+  on a cluster the budget divides across tasks);
+- resume: ``resume_filter`` drops ids already ``success`` or
+  ``failed_permanent`` from a prior run's status table (the JSON status
+  cache + skip-existing of cloud.py:483-545), so re-runs do no duplicate
+  work and never retry permanent failures.
+
+The sandbox has no network, so the transport is INJECTED: ``fetcher(url)
+-> (status_code, bytes)``. The default transport is a clearly-marked stub
+that raises ``NotImplementedError`` — swap in a requests/httpx session in
+production; the Spark plumbing (batching, retry/permanent semantics, rate
+pacing, resume anti-join, Arrow batch shapes) is real and pytest-locked
+against fake transports (flaky, 404, rate-limited).
+
+Scale shape: one ``mapInPandas`` pass, no shuffle; the status output joins
+back against the work list broadcast-anti style at resume, and per-task
+pacing keeps the AGGREGATE request rate at (rate_per_task x tasks), the
+distributed version of the reference's global limiter.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUCCESS = "success"
+FAILED_PERMANENT = "failed_permanent"
+FAILED_TEMPORARY = "failed_temporary"
+
+FETCH_SCHEMA_SUFFIX = ", status string, attempts int, content binary"
+
+
+def default_fetcher(url: str):  # pragma: no cover - stub by design
+    """STUB transport (no network in this environment). Production: a
+    requests.Session().get with timeouts; same (status_code, bytes) contract."""
+    raise NotImplementedError(
+        "no network transport available here - inject fetcher=..."
+    )
+
+
+def fetch_batched(
+    df: DataFrame,
+    fetcher: Callable[[str], tuple[int, bytes | None]] | None = None,
+    id_col: str = "mly_id",
+    url_col: str = "image_url",
+    max_retries: int = 3,
+    batch_size: int = 25,
+    max_rps_per_task: float | None = None,
+    keep_content: bool = True,
+    sleeper: Callable[[float], None] | None = None,
+) -> DataFrame:
+    """Fetch every row's ``url_col``; returns the input ids + ``status``
+    (success / failed_permanent / failed_temporary), ``attempts`` and the
+    fetched ``content`` bytes (NULL unless success and ``keep_content``)."""
+    fetch = fetcher or default_fetcher
+    zzz = sleeper if sleeper is not None else time.sleep
+    out_schema = f"{id_col} string, {url_col} string" + FETCH_SCHEMA_SUFFIX
+
+    def _one(url: str) -> tuple[str, int, bytes | None]:
+        for retry in range(max_retries):
+            try:
+                code, body = fetch(url)
+            except Exception:
+                zzz(float(2**retry))  # connection error -> backoff + retry
+                continue
+            if code == 200:
+                return SUCCESS, retry + 1, body
+            if code == 404:
+                return FAILED_PERMANENT, retry + 1, None  # never retried
+            if code == 429:
+                zzz(1.0)  # rate limited: pause, retry does not burn backoff
+                continue
+            zzz(float(2**retry))
+        return FAILED_TEMPORARY, max_retries, None
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        interval = 1.0 / max_rps_per_task if max_rps_per_task else 0.0
+        last = [0.0]
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                statuses, attempts, contents = [], [], []
+                for url in chunk[url_col].astype(str):
+                    if interval:
+                        wait = last[0] + interval - time.monotonic()
+                        if wait > 0:
+                            zzz(wait)
+                        last[0] = time.monotonic()
+                    st, att, body = _one(url)
+                    statuses.append(st)
+                    attempts.append(att)
+                    contents.append(body if (keep_content and st == SUCCESS) else None)
+                out = pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].astype(str).to_numpy(),
+                        url_col: chunk[url_col].astype(str).to_numpy(),
+                        "status": statuses,
+                        "attempts": attempts,
+                        "content": contents,
+                    }
+                )
+                yield out
+
+    return df.select(id_col, url_col).mapInPandas(_run, out_schema)
+
+
+def resume_filter(
+    work: DataFrame, status: DataFrame, id_col: str = "mly_id"
+) -> DataFrame:
+    """Drop work rows whose id already succeeded or failed permanently —
+    the reference's skip-existing + permanent-failure filters
+    (cloud.py:531-542); ``failed_temporary`` rows stay eligible."""
+    done = status.filter(
+        F.col("status").isin(SUCCESS, FAILED_PERMANENT)
+    ).select(id_col)
+    return work.join(F.broadcast(done), id_col, "left_anti")

@@ -369,3 +369,46 @@ def coverage_features(
     if end_captured_ms is not None:
         out = out.filter(cap.isNull() | (cap <= F.lit(int(end_captured_ms))))
     return out
+
+
+def coverage_ingest(
+    tiles: DataFrame,
+    bbox: tuple[float, float, float, float],
+    zoom: int = 14,
+    start_captured_ms: int | None = None,
+    end_captured_ms: int | None = None,
+    **kw,
+) -> DataFrame:
+    """EP3 (`fetch_within_bbox(use_coverage_tiles=True)`, cloud.py:299-445):
+    enumerate the zoom-``zoom`` tiles covering ``bbox`` (the reference's
+    ``_bbox_to_tile_coords``, cloud.py:860-887), prune the tile table to that
+    integer range (partition/file-prunable predicate), decode the tiles,
+    keep in-bbox features, and de-duplicate feature ids across tiles (edge
+    features appear in neighbouring tiles; the reference collects ids into a
+    set, cloud.py:792-816 — here: first occurrence by (tile, px, py), a
+    deterministic tie-break).
+    """
+    from pyspark.sql import Window
+
+    w_, s_, e_, n_ = bbox
+    nn = 2**zoom
+    tx0 = max(0, min(int((w_ + 180.0) / 360.0 * nn), nn - 1))
+    tx1 = max(0, min(int((e_ + 180.0) / 360.0 * nn), nn - 1))
+    ty0 = max(0, min(int((1 - math.asinh(math.tan(math.radians(n_))) / math.pi) / 2 * nn), nn - 1))
+    ty1 = max(0, min(int((1 - math.asinh(math.tan(math.radians(s_))) / math.pi) / 2 * nn), nn - 1))
+    pruned = tiles.filter(
+        (F.col("tile_z") == zoom)
+        & F.col("tile_x").between(tx0, tx1)
+        & F.col("tile_y").between(ty0, ty1)
+    )
+    feats = coverage_features(
+        pruned, start_captured_ms=start_captured_ms, end_captured_ms=end_captured_ms, **kw
+    ).filter(
+        F.col("lon").between(w_, e_) & F.col("lat").between(s_, n_)
+    )
+    w = Window.partitionBy("feature_id").orderBy("tile_x", "tile_y", "px", "py")
+    return (
+        feats.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,69 @@
+"""Resumable fetch operator vs the reference downloader's state machine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from landlensdb_spark.operators.fetch import fetch_batched, resume_filter
+
+
+def _work(spark, n=12):
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("mly_id"),
+        F.concat(F.lit("https://img.example/"), F.col("id")).alias("image_url"),
+    )
+
+
+def test_fetch_status_machine(spark):
+    def fake_fetch(url):
+        i = int(url.rsplit("/", 1)[1])
+        if i % 4 == 0:
+            return 404, None          # permanent
+        if i % 4 == 1:
+            return 500, None          # always erroring -> failed_temporary
+        return 200, f"img{i}".encode()
+
+    out = fetch_batched(
+        _work(spark), fetcher=fake_fetch, sleeper=lambda s: None
+    ).collect()
+    by_id = {r.mly_id: r for r in out}
+    assert len(out) == 12
+    for i in range(12):
+        r = by_id[str(i)]
+        if i % 4 == 0:
+            assert r.status == "failed_permanent" and r.attempts == 1 and r.content is None
+        elif i % 4 == 1:
+            assert r.status == "failed_temporary" and r.attempts == 3
+        else:
+            assert r.status == "success" and bytes(r.content) == f"img{i}".encode()
+
+
+def test_fetch_flaky_retry_succeeds(spark):
+    calls: dict[str, int] = {}
+
+    def flaky(url):
+        calls[url] = calls.get(url, 0) + 1
+        return (200, b"ok") if calls[url] >= 2 else (503, None)
+
+    # single partition so the per-url call counter is one process
+    work = _work(spark, 4).coalesce(1)
+    out = fetch_batched(work, fetcher=flaky, sleeper=lambda s: None).collect()
+    assert all(r.status == "success" and r.attempts == 2 for r in out)
+
+
+def test_resume_filter_semantics(spark):
+    work = _work(spark, 8)
+
+    def first_run(url):
+        i = int(url.rsplit("/", 1)[1])
+        if i < 3:
+            return 200, b"x"
+        if i == 3:
+            return 404, None
+        return 500, None  # 4..7 temporary
+
+    status = fetch_batched(work, fetcher=first_run, sleeper=lambda s: None)
+    pending = resume_filter(work, status)
+    ids = sorted(int(r.mly_id) for r in pending.collect())
+    # success (0-2) and permanent (3) excluded; temporary (4-7) retried
+    assert ids == [4, 5, 6, 7]

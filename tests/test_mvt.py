@@ -92,3 +92,32 @@ def test_tile_features_and_coverage_semantics(spark):
     assert ("overview", 1) not in ids  # captured_at=5 < 10 -> dropped
     assert ("image", 8) in ids and ("sequence", 9) in ids  # no captured_at -> kept
     assert ("image", 7) in ids  # 1.6e12 >= 10
+
+
+def test_coverage_ingest_bbox_prune_and_dedupe(spark):
+    from landlensdb_spark.operators.mvt import coverage_ingest
+    from landlensdb_spark import synth
+
+    # duplicate feature id 7 across two adjacent tiles (edge feature)
+    t1 = encode_mvt({"image": {"features": [
+        {"id": 7, "points": [(4090, 100)], "props": {"captured_at": 100}},
+        {"id": 8, "points": [(10, 10)]},
+    ]}})
+    t2 = encode_mvt({"image": {"features": [
+        {"id": 7, "points": [(2, 100)], "props": {"captured_at": 100}},
+        {"id": 9, "points": [(500, 500)]},
+    ]}})
+    far = encode_mvt({"image": {"features": [{"id": 10, "points": [(1, 1)]}]}})
+    tiles = spark.createDataFrame(
+        [(14, 4823, 6160, t1), (14, 4824, 6160, t2), (14, 5000, 6160, far)],
+        "tile_z int, tile_x long, tile_y long, content binary",
+    )
+    # bbox spanning tiles 4823-4824 only; lat bounds wide open
+    n = 2.0**14
+    w_, e_ = 4823 / n * 360 - 180, 4825 / n * 360 - 180 - 1e-9
+    got = coverage_ingest(tiles, (w_, -85.0, e_, 85.0)).collect()
+    ids = sorted(r.feature_id for r in got)
+    assert ids == [7, 8, 9]  # id 7 deduped, far tile pruned
+    # deterministic first-occurrence tie-break: lowest (tile_x, ...) wins
+    r7 = [r for r in got if r.feature_id == 7][0]
+    assert (r7.tile_x, r7.px) == (4823, 4090)
