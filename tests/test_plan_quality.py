@@ -110,3 +110,20 @@ def test_knn_candidate_join_is_broadcast(spark):
     out = knn_join(prb, pts, k=3)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fused_pipeline_pushdown_and_single_stage(spark, pages_parquet):
+    """The fused extract+PIP op is a plan barrier, but a date filter applied
+    BEFORE it must still reach the parquet scan, and the whole html->admin_id
+    chain must be exactly one python stage."""
+    from landlensdb_spark.operators.fused import extract_pip
+
+    pages = spark.read.parquet(pages_parquet).filter(
+        F.col("warc_ts") >= F.lit("2022-03-01")
+    )
+    polys = synth.admin_polygons(spark)
+    out = extract_pip(pages, polys, keep=["url"])
+    plan = _plan(out.groupBy("admin_id").count())
+    assert "PushedFilters: [IsNotNull(warc_ts), GreaterThanOrEqual(warc_ts" in plan
+    assert _n_nodes(plan, "MapInPandas") == 1
+    assert _n_nodes(plan, "ArrowEvalPython") == 0
