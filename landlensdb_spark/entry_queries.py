@@ -317,6 +317,30 @@ def q_coverage_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WORDS_SQL = "[" + ", ".join(f"'{w}'" for w in tables._WORDS) + "]"
+
+
+@query(
+    "extract_text",
+    f"""
+    SELECT printf('https://example.org/page/%08d', i) AS url,
+           (SELECT string_agg({_WORDS_SQL}[((i * 7 + j) % {len(tables._WORDS)}) + 1],
+                              ' ' ORDER BY j)
+            FROM unnest(range((i % 13) + 3)) AS t(j)) || ' p' || i AS text
+    FROM (SELECT unnest(range(3000)) AS i)
+    WHERE i % 5 != 0
+    """,
+)
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star per-row invariant: BYTE-IDENTICAL extracted text per
+    url (BASELINE.json input_hint) — cross-engine: the RE2 extraction of
+    the <p data-text="1"> element vs DuckDB's closed-form reconstruction."""
+    pages = tables.pages(spark, 3000, num_partitions=8)
+    return extract_geotags(pages).select(
+        "url", F.col("text_extracted").alias("text")
+    )
+
+
 _EXT_LON = f"round({synth.lon_sql('i')}, 6)"
 _EXT_LAT = f"round({synth.lat_sql('i')}, 6)"
 
