@@ -322,10 +322,24 @@ def tile_features(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                for layer, extent, fid, cx, cy, props in decode_mvt(r[content]):
+                try:
+                    feats_ = decode_mvt(r[content])
+                except Exception:
+                    # corrupt/truncated tile: warn-and-skip, the reference's
+                    # per-tile decode error handling (cloud.py:776-779) — one
+                    # bad blob must not fail a 10^12-document job
+                    import warnings
+
+                    warnings.warn(f"undecodable MVT tile ({r[z]},{r[x]},{r[y]})")
+                    continue
+                for layer, extent, fid, cx, cy, props in feats_:
                     rows.append((int(r[z]), int(r[x]), int(r[y]), layer, fid, cx, cy, extent, props))
             if not rows:
-                yield pd.DataFrame({c: [] for c in out_cols})
+                # typed empty frame: a bare [] column defaults to float64,
+                # which Arrow cannot convert to map<string,string>
+                yield pd.DataFrame(
+                    {c: pd.Series([], dtype=object) for c in out_cols}
+                )
                 continue
             arr = pd.DataFrame(
                 rows,

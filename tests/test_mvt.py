@@ -121,3 +121,17 @@ def test_coverage_ingest_bbox_prune_and_dedupe(spark):
     # deterministic first-occurrence tie-break: lowest (tile_x, ...) wins
     r7 = [r for r in got if r.feature_id == 7][0]
     assert (r7.tile_x, r7.px) == (4823, 4090)
+
+
+def test_corrupt_tile_skipped_not_fatal(spark):
+    from landlensdb_spark.operators.mvt import tile_features
+
+    good = _tile_blob()
+    tiles = spark.createDataFrame(
+        [(14, 1, 1, good), (14, 2, 2, b"\x1a\xffgarbage"), (14, 3, 3, b"")],
+        "tile_z int, tile_x long, tile_y long, content binary",
+    )
+    got = tile_features(tiles).collect()
+    # the corrupt and empty tiles vanish; the good tile's 4 points survive
+    assert sorted({r.tile_x for r in got}) == [1]
+    assert len(got) == 4
