@@ -55,18 +55,6 @@ def main() -> None:
         "landlensdb-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 16),
-        # The pages input is 128 small files whose per-byte cost is dominated
-        # by the Python extraction UDF, not the scan. Default split packing
-        # (128MB / totalBytes-over-parallelism) bins them into ~1 wave per
-        # core, so one straggler caps scaling. Pinning open-cost = max-bytes
-        # = 4MB yields exactly one task per file at EVERY core count: same
-        # units, same granularity, ~8 waves at 16 cores. (At 100 TB with
-        # 128MB row groups the default packing is right; this knob is the
-        # local-bench analog of "size tasks for the UDF stage".)
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "4m",
-            "spark.sql.files.openCostInBytes": "4m",
-        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -92,9 +80,10 @@ def main() -> None:
         return
 
     # size input splits to the job: target ~4 tasks per core over the actual
-    # input bytes (runtime-settable SQL confs), clamped to [4MB, 128MB]. At
-    # sf0.1 x mult 1 the fixed 4MB/4MB conf above yields 128 tiny tasks whose
-    # scheduling overhead dominates; at mult 16 it already lands in range.
+    # input bytes (runtime-settable SQL confs), clamped to [4MB, 128MB] —
+    # the default packing (128MB or bytes/parallelism) gives this python-UDF-
+    # heavy scan ~1 wave per core, so one straggler caps scaling; at 100 TB
+    # with 128MB row groups the default is right and the clamp returns it.
     total_bytes = sum(
         os.path.getsize(os.path.join(pages_path, f))
         for f in os.listdir(pages_path)

@@ -7,7 +7,10 @@ quadratic UV->ST transform, per-face Hilbert curve with swap/invert
 orientation tables, 3 face bits + 2*30 position bits + trailing lsb):
 
 - ``np_s2_cell(lon, lat, level)`` -> canonical uint64 S2CellId at ``level``
-  (identical bits to the C++/Java/Go libraries' ``S2CellId.parent(level)``),
+  (the C++/Java/Go libraries' ``S2CellId.parent(level)`` bit layout; interior
+  points match the library bit-for-bit — points EXACTLY on a face boundary
+  or leaf-cell edge may differ by one cell from a given library build, since
+  tie-breaks there depend on its float rounding mode),
 - ``np_s2_decode`` / cell-center inverse (used by the round-trip tests),
 - ``s2_sortable`` -> int64 with the sign bit flipped, because Spark's LONG is
   signed: uint64 ids on faces 4-5 would sort negative; the flip is a strictly
@@ -56,7 +59,10 @@ def _xyz(lon: np.ndarray, lat: np.ndarray):
 
 def _face_uv(x, y, z):
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    # strict > like the library's LargestAbsComponent: on exact ties the
+    # LATER axis wins (z beats y beats x) — >= would flip face assignment
+    # for boundary points (e.g. lon=45) vs s2geometry
+    face = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
     comp = np.choose(face, [x, y, z])
     face = np.where(comp < 0, face + 3, face).astype(np.int64)
     u = np.empty_like(x)

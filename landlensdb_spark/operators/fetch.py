@@ -22,8 +22,8 @@ production; the Spark plumbing (batching, retry/permanent semantics, rate
 pacing, resume anti-join, Arrow batch shapes) is real and pytest-locked
 against fake transports (flaky, 404, rate-limited).
 
-Scale shape: one ``mapInPandas`` pass, no shuffle; the status output joins
-back against the work list broadcast-anti style at resume, and per-task
+Scale shape: one ``mapInPandas`` pass, no shuffle; resume is a left_anti
+join against the done-set (AQE broadcasts it when it fits), and per-task
 pacing keeps the AGGREGATE request rate at (rate_per_task x tasks), the
 distributed version of the reference's global limiter.
 """
@@ -37,9 +37,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SUCCESS = "success"
-FAILED_PERMANENT = "failed_permanent"
-FAILED_TEMPORARY = "failed_temporary"
+# one status vocabulary for the whole engine: fetch statuses feed the same
+# resume filters as checkpoint rows
+from landlensdb_spark.checkpoint import FAILED_PERMANENT, FAILED_TEMPORARY, SUCCESS
 
 FETCH_SCHEMA_SUFFIX = ", status string, attempts int, content binary"
 
@@ -68,23 +68,31 @@ def fetch_batched(
     fetched ``content`` bytes (NULL unless success and ``keep_content``)."""
     fetch = fetcher or default_fetcher
     zzz = sleeper if sleeper is not None else time.sleep
-    out_schema = f"{id_col} string, {url_col} string" + FETCH_SCHEMA_SUFFIX
+    # preserve the input id type: re-typing ids to string would make the
+    # resume anti-join compare string vs bigint (Spark coerces to DOUBLE,
+    # losing precision above 2^53) and silently change downstream schemas
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, {url_col} string" + FETCH_SCHEMA_SUFFIX
 
     def _one(url: str) -> tuple[str, int, bytes | None]:
         for retry in range(max_retries):
+            last = retry == max_retries - 1
             try:
                 code, body = fetch(url)
             except Exception:
-                zzz(float(2**retry))  # connection error -> backoff + retry
+                if not last:  # connection error -> backoff + retry; no
+                    zzz(float(2**retry))  # pointless sleep after the final try
                 continue
             if code == 200:
                 return SUCCESS, retry + 1, body
             if code == 404:
                 return FAILED_PERMANENT, retry + 1, None  # never retried
             if code == 429:
-                zzz(1.0)  # rate limited: pause, retry does not burn backoff
+                if not last:
+                    zzz(1.0)  # rate limited: pause; does not burn backoff
                 continue
-            zzz(float(2**retry))
+            if not last:
+                zzz(float(2**retry))
         return FAILED_TEMPORARY, max_retries, None
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,7 +114,7 @@ def fetch_batched(
                     contents.append(body if (keep_content and st == SUCCESS) else None)
                 out = pd.DataFrame(
                     {
-                        id_col: chunk[id_col].astype(str).to_numpy(),
+                        id_col: chunk[id_col].to_numpy(),
                         url_col: chunk[url_col].astype(str).to_numpy(),
                         "status": statuses,
                         "attempts": attempts,
@@ -123,8 +131,10 @@ def resume_filter(
 ) -> DataFrame:
     """Drop work rows whose id already succeeded or failed permanently —
     the reference's skip-existing + permanent-failure filters
-    (cloud.py:531-542); ``failed_temporary`` rows stay eligible."""
+    (cloud.py:531-542); ``failed_temporary`` rows stay eligible. No forced
+    broadcast: the done-set is O(all ever-fetched ids) and at 10^9+ images
+    would OOM the driver — AQE picks broadcast when it actually fits."""
     done = status.filter(
         F.col("status").isin(SUCCESS, FAILED_PERMANENT)
     ).select(id_col)
-    return work.join(F.broadcast(done), id_col, "left_anti")
+    return work.join(done, id_col, "left_anti")

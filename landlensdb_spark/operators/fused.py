@@ -74,6 +74,8 @@ def extract_pip(
     inside k overlapping polygons yields k rows (same contract as
     ``pip_join(extract_geotags(pages), polygons)``).
     """
+    import uuid
+
     spark = pages.sparkSession
     ck = (id(polygons), polygon_id, rings_col)
     hit = _prep_cache.get(ck)
@@ -87,11 +89,15 @@ def extract_pip(
         bc = spark.sparkContext.broadcast(
             (rings_by_id, cover_np, sorted(res_set))
         )
+        # unique per-prep token for the worker cache: the id()-based memo key
+        # can be recycled after eviction + GC, which would make long-lived
+        # python workers serve a STALE polygon table for a new broadcast
+        token = uuid.uuid4().hex
         if len(_prep_cache) >= 8:
             _prep_cache.pop(next(iter(_prep_cache)))
-        _prep_cache[ck] = (polygons, bc)
+        _prep_cache[ck] = (polygons, bc, token)
     else:
-        bc = hit[1]
+        bc, token = hit[1], hit[2]
 
     keep_fields = [
         f
@@ -105,7 +111,7 @@ def extract_pip(
         + (["text_extracted string"] if with_text else [])
         + [f"{polygon_id} bigint"]
     )
-    key = ck
+    key = token
 
     def _get_state():
         if key not in _worker_cache:

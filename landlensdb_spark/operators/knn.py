@@ -31,9 +31,12 @@ no driver synchronization:
    (max_rounds-1)``, the old loop's reach) fall back to a broadcast
    brute-force pass, so results are always exact.
 
-At cluster scale the point side is touched twice (histogram + candidate
-join) and never shuffled by a join; the only data-sized shuffle is the
-histogram's map-side-combined aggregation. ``broadcast_probes=False``
+At cluster scale the point side is never shuffled by a join; the only
+data-sized shuffle is the histogram's map-side-combined aggregation. The
+points lineage is evaluated up to three times in the single action
+(histogram, candidate join, fallback) — pass ``persist_points=True`` to
+cache it when the point side is an expensive scan rather than cheap
+column math. ``broadcast_probes=False``
 switches the two joins to plain equi-joins for large probe sets (self-kNN),
 where AQE picks the strategy from runtime stats.
 
@@ -90,6 +93,7 @@ def knn_join(
     start_ring: int = 1,
     max_rounds: int = 3,
     broadcast_probes: bool = True,
+    persist_points: bool = False,
 ) -> DataFrame:
     """Exact k-nearest ``points`` for every probe row.
 
@@ -115,6 +119,8 @@ def knn_join(
         "_py",
         cell_encode(lon, lat, res).alias("_pcell"),
     )
+    if persist_points:
+        pts = pts.persist()
     maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
 
     # -- histogram: points per cell (map-side combine keeps the shuffle tiny)

@@ -39,7 +39,8 @@ LAYER_BY_ZOOM = (("image", 14, 14), ("sequence", 6, 14), ("overview", 0, 5))
 
 FEATURE_SCHEMA = (
     "tile_z int, tile_x long, tile_y long, layer string, feature_id long, "
-    "px int, py int, lon double, lat double, props map<string,string>"
+    "px int, py int, lon double, lat double, props map<string,string>, "
+    "tile_layers array<string>"
 )
 
 
@@ -199,6 +200,15 @@ def decode_mvt(blob: bytes) -> list[tuple]:
     """-> [(layer, extent, feature_id, px, py, {prop: str}), ...] for every
     point of every POINT/MULTIPOINT feature (the reference's feature lists,
     cloud.py:726-741)."""
+    return decode_mvt_full(blob)[0]
+
+
+def decode_mvt_full(blob: bytes) -> tuple[list[tuple], list[str]]:
+    """Like :func:`decode_mvt` but also returns the names of ALL layers
+    present in the blob (point-less layers included) — layer PRESENCE, not
+    feature counts, drives the reference's if/elif layer choice
+    (cloud.py:730-739)."""
+    layer_names: list[str] = []
     out = []
     i = 0
     while i < len(blob):
@@ -239,6 +249,7 @@ def decode_mvt(blob: bytes) -> list[tuple]:
                 extent, j = _uvarint(layer, j)
             else:
                 j = _skip(layer, j, w)
+        layer_names.append(name)
         for fb in feats:
             k = 0
             fid, gtype = 0, 0
@@ -283,7 +294,7 @@ def decode_mvt(blob: bytes) -> list[tuple]:
                     cy += _unzigzag(geom[g + 1])
                     g += 2
                     out.append((name, extent, fid, cx, cy, props))
-    return out
+    return out, layer_names
 
 
 # ---------------------------------------------------------------------------
@@ -316,14 +327,14 @@ def tile_features(
     """Decode every tile blob into point-feature rows with real lon/lat."""
 
     out_cols = ["tile_z", "tile_x", "tile_y", "layer", "feature_id",
-                "px", "py", "lon", "lat", "props"]
+                "px", "py", "lon", "lat", "props", "tile_layers"]
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 try:
-                    feats_ = decode_mvt(r[content])
+                    feats_, names_ = decode_mvt_full(r[content])
                 except Exception:
                     # corrupt/truncated tile: warn-and-skip, the reference's
                     # per-tile decode error handling (cloud.py:776-779) — one
@@ -333,7 +344,8 @@ def tile_features(
                     warnings.warn(f"undecodable MVT tile ({r[z]},{r[x]},{r[y]})")
                     continue
                 for layer, extent, fid, cx, cy, props in feats_:
-                    rows.append((int(r[z]), int(r[x]), int(r[y]), layer, fid, cx, cy, extent, props))
+                    rows.append((int(r[z]), int(r[x]), int(r[y]), layer, fid,
+                                 cx, cy, extent, props, names_))
             if not rows:
                 # typed empty frame: a bare [] column defaults to float64,
                 # which Arrow cannot convert to map<string,string>
@@ -344,7 +356,7 @@ def tile_features(
             arr = pd.DataFrame(
                 rows,
                 columns=["tile_z", "tile_x", "tile_y", "layer", "feature_id",
-                         "px", "py", "extent", "props"],
+                         "px", "py", "extent", "props", "tile_layers"],
             )
             lon, lat = np_tile_lonlat(
                 arr["tile_z"].to_numpy(np.float64),
@@ -366,17 +378,21 @@ def coverage_features(
     end_captured_ms: int | None = None,
     **kw,
 ) -> DataFrame:
-    """Reference coverage semantics (cloud.py:728-777): keep the zoom-
-    appropriate layer and filter on the ``captured_at`` property; features
-    without a parseable captured_at are KEPT (cloud.py:765-771)."""
+    """Reference coverage semantics (cloud.py:728-777): per tile, pick ONE
+    layer by the if/elif priority — "image" when z==14 and the layer is
+    PRESENT in the blob (even if it holds no point features, in which case
+    the tile yields nothing), elif "sequence" at z6-14, elif "overview" at
+    z0-5 — then filter on the ``captured_at`` property; features without a
+    parseable captured_at are KEPT (cloud.py:765-771)."""
     feats = tile_features(tiles, **kw)
-    layer_ok = F.lit(False)
-    for name, zlo, zhi in LAYER_BY_ZOOM:
-        layer_ok = layer_ok | (
-            (F.col("layer") == name)
-            & F.col("tile_z").between(zlo, zhi)
-        )
-    out = feats.filter(layer_ok)
+    chosen = F.lit(None).cast("string")
+    for name, zlo, zhi in reversed(LAYER_BY_ZOOM):
+        chosen = F.when(
+            F.col("tile_z").between(zlo, zhi)
+            & F.array_contains(F.col("tile_layers"), name),
+            name,
+        ).otherwise(chosen)
+    out = feats.filter(F.col("layer") == chosen).drop("tile_layers")
     cap = F.element_at(F.col("props"), "captured_at").try_cast("long")
     if start_captured_ms is not None:
         out = out.filter(cap.isNull() | (cap >= F.lit(int(start_captured_ms))))

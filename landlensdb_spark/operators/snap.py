@@ -147,6 +147,8 @@ def snap_to_network(
     # index build once, like the reference's persistent R-tree (snap.py:19-31).
     # The cache holds a strong ref to the network DataFrame so the id() key
     # cannot be recycled while its entry lives.
+    import uuid
+
     ck = (id(network), line_id_col, coords_col, tolerance_m, round_merc)
     hit = _net_cache.get(ck)
     if hit is None:
@@ -155,11 +157,16 @@ def snap_to_network(
         ]
         net = _flatten_network(net_rows)
         bc = spark.sparkContext.broadcast((net, res, tolerance_m, round_merc))
+        # worker-cache token: unique PER PREP, never id()-derived — after this
+        # dict evicts an entry, CPython may recycle the DataFrame id, and an
+        # id-based token would make long-lived python workers serve the OLD
+        # network's index for the new broadcast
+        token = uuid.uuid4().hex
         if len(_net_cache) >= 8:
             _net_cache.pop(next(iter(_net_cache)))
-        _net_cache[ck] = (network, bc)
+        _net_cache[ck] = (network, bc, token)
     else:
-        bc = hit[1]
+        bc, token = hit[1], hit[2]
 
     in_cols = points.columns
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in points.schema)
@@ -169,10 +176,11 @@ def snap_to_network(
     )
 
     # executor-local cache: bucket table built once per python worker. Keyed
-    # on a driver-generated token (NOT id(bc): each task unpickles a fresh
-    # Broadcast proxy object, so id() would miss every task), which stays
-    # stable across repeated snaps thanks to the driver-side memo above.
-    key = ck
+    # on the driver-generated per-prep token (NOT id(bc): each task unpickles
+    # a fresh Broadcast proxy, so id() would miss every task; and NOT the
+    # id(network)-based memo key, which can be recycled after eviction). The
+    # token stays stable across repeated snaps thanks to the memo above.
+    key = token
 
     def _get_index():
         if key not in _worker_cache:

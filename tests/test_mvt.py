@@ -81,17 +81,37 @@ def test_tile_features_and_coverage_semantics(spark):
     feats = tile_features(tiles).collect()
     assert len(feats) == 6  # 4 from tile 1 (incl multipoint + sequence), 1 overview, 1 misplaced
     cov = coverage_features(tiles).orderBy("feature_id").collect()
-    # z14 -> image layer only; z5 -> overview; misplaced overview@z14 dropped;
-    # sequence layer valid at z6-14 but this tile is z14 -> sequence IS in 6..14, kept
+    # the reference's if/elif picks ONE layer per tile: at z14 the PRESENT
+    # image layer shadows the sequence layer (cloud.py:730-737); z5 ->
+    # overview; misplaced overview@z14 dropped
     assert sorted({(r.layer, r.feature_id) for r in cov}) == [
-        ("image", 7), ("image", 8), ("overview", 1), ("sequence", 9),
+        ("image", 7), ("image", 8), ("overview", 1),
     ]
     # captured_at range filter keeps unparseable/missing (cloud.py:765-771)
     cov2 = coverage_features(tiles, start_captured_ms=10).collect()
     ids = sorted({(r.layer, r.feature_id) for r in cov2})
     assert ("overview", 1) not in ids  # captured_at=5 < 10 -> dropped
-    assert ("image", 8) in ids and ("sequence", 9) in ids  # no captured_at -> kept
+    assert ("image", 8) in ids  # no captured_at -> kept
     assert ("image", 7) in ids  # 1.6e12 >= 10
+    # a z6-13 tile has no image branch -> sequence chosen even when an image
+    # layer is present in the blob
+    mixed = spark.createDataFrame(
+        [(9, 5, 5, _tile_blob())],
+        "tile_z int, tile_x long, tile_y long, content binary",
+    )
+    cov3 = coverage_features(mixed).collect()
+    assert sorted({(r.layer, r.feature_id) for r in cov3}) == [("sequence", 9)]
+    # shadowing by PRESENCE: an empty image layer at z14 still shadows a
+    # populated sequence layer (feature list comes back empty, reference
+    # cloud.py:730-732)
+    shadow = encode_mvt({
+        "image": {"features": []},
+        "sequence": {"features": [{"id": 42, "points": [(7, 7)]}]},
+    })
+    t = spark.createDataFrame(
+        [(14, 1, 1, shadow)], "tile_z int, tile_x long, tile_y long, content binary"
+    )
+    assert coverage_features(t).count() == 0
 
 
 def test_coverage_ingest_bbox_prune_and_dedupe(spark):
