@@ -64,3 +64,28 @@ def test_extract_pip_single_python_stage(spark, tmp_path):
     # composable extract |> pip chain
     assert plan.count("MapInPandas") == 1
     assert "ArrowEvalPython" not in plan
+
+
+def test_extract_pip_multiring_polygons_match_composition(spark):
+    # irregular build side: concave L, holed polygon, triangle — exercises
+    # the fused path's multi-ring refine branch (lengths==0 lookup)
+    L = [[0.0, 0.0], [8.0, 0.0], [8.0, 2.0], [2.0, 2.0], [2.0, 8.0], [0.0, 8.0], [0.0, 0.0]]
+    shell = [[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 20.0], [10.0, 10.0]]
+    hole = [[14.0, 14.0], [16.0, 14.0], [16.0, 16.0], [14.0, 16.0], [14.0, 14.0]]
+    tri = [[-1.0, -1.0], [6.0, 1.0], [1.0, 6.0], [-1.0, -1.0]]
+    polys = spark.createDataFrame(
+        [(0, "L", [L]), (1, "holed", [shell, hole]), (2, "tri", [tri])],
+        "admin_id long, name string, ring array<array<array<double>>>",
+    )
+    pages = tables.pages(spark, 6000, num_partitions=8)
+
+    fused = extract_pip(pages, polys, keep=["url"], rings_col="ring")
+    composed = pip_join(
+        extract_geotags(pages, with_text=False).select("url", "lon", "lat"),
+        polys,
+        rings_col="ring",
+    )
+    cols = ["url", "lon", "lat", "admin_id"]
+    got = _sorted_rows(fused, cols)
+    assert got == _sorted_rows(composed, cols)
+    assert len(got) > 0  # some globally-spread pages do land in the shapes
