@@ -220,7 +220,17 @@ def s2_cell_udf(level: int = S2_LEVEL):
 
     @F.pandas_udf(LongType())
     def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        ids = np_s2_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level)
-        return pd.Series(s2_sortable(ids))
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        # NaN/inf lon-lat must NOT silently encode (the int64 cast would clip
+        # to a valid-looking face-boundary cell, corrupting the index for
+        # untagged rows) — emit NULL instead
+        bad = ~(np.isfinite(lo) & np.isfinite(la))
+        ids = s2_sortable(
+            np_s2_cell(np.where(bad, 0.0, lo), np.where(bad, 0.0, la), level)
+        )
+        out = pd.array(ids, dtype="Int64")
+        out[bad] = pd.NA
+        return pd.Series(out)
 
     return _enc

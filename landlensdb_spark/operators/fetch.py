@@ -74,12 +74,13 @@ def fetch_batched(
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"{id_col} {id_type}, {url_col} string" + FETCH_SCHEMA_SUFFIX
 
-    def _one(url: str) -> tuple[str, int, bytes | None]:
+    def _one(url: str, pace: Callable[[], None]) -> tuple[str, int, bytes | None]:
         for retry in range(max_retries):
             last = retry == max_retries - 1
             try:
-                code, body = fetch(url)
-            except Exception:
+                pace()  # every HTTP request pays the rate budget, retries
+                code, body = fetch(url)  # included — a 429/5xx storm cannot
+            except Exception:  # exceed (rate_per_task x tasks) in aggregate
                 if not last:  # connection error -> backoff + retry; no
                     zzz(float(2**retry))  # pointless sleep after the final try
                 continue
@@ -98,17 +99,20 @@ def fetch_batched(
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         interval = 1.0 / max_rps_per_task if max_rps_per_task else 0.0
         last = [0.0]
+
+        def _pace() -> None:
+            if interval:
+                wait = last[0] + interval - time.monotonic()
+                if wait > 0:
+                    zzz(wait)
+                last[0] = time.monotonic()
+
         for pdf in batches:
             for lo in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[lo : lo + batch_size]
                 statuses, attempts, contents = [], [], []
                 for url in chunk[url_col].astype(str):
-                    if interval:
-                        wait = last[0] + interval - time.monotonic()
-                        if wait > 0:
-                            zzz(wait)
-                        last[0] = time.monotonic()
-                    st, att, body = _one(url)
+                    st, att, body = _one(url, _pace)
                     statuses.append(st)
                     attempts.append(att)
                     contents.append(body if (keep_content and st == SUCCESS) else None)

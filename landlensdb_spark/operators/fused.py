@@ -94,7 +94,10 @@ def extract_pip(
         # python workers serve a STALE polygon table for a new broadcast
         token = uuid.uuid4().hex
         if len(_prep_cache) >= 8:
-            _prep_cache.pop(next(iter(_prep_cache)))
+            # release the evicted entry's executor broadcast blocks — dropping
+            # the Broadcast ref alone leaks them for the life of the app
+            _evicted = _prep_cache.pop(next(iter(_prep_cache)))
+            _evicted[1].destroy()
         _prep_cache[ck] = (polygons, bc, token)
     else:
         bc, token = hit[1], hit[2]

@@ -103,11 +103,14 @@ def encode_mvt(layers: dict[str, dict]) -> bytes:
         vals: list = []
 
         def slot(seq: list, item) -> int:
-            try:
-                return seq.index(item)
-            except ValueError:
-                seq.append(item)
-                return len(seq) - 1
+            # dedup by (type, value): bare == conflates True==1==1.0, which
+            # would reuse one Value slot across bool/int/float props and
+            # decode with the wrong wire type
+            for i, existing in enumerate(seq):
+                if type(existing) is type(item) and existing == item:
+                    return i
+            seq.append(item)
+            return len(seq) - 1
 
         lbuf = bytearray()
         lbuf += _field(15, 0) + _enc_uvarint(2)  # version

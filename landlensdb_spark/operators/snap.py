@@ -163,7 +163,10 @@ def snap_to_network(
         # network's index for the new broadcast
         token = uuid.uuid4().hex
         if len(_net_cache) >= 8:
-            _net_cache.pop(next(iter(_net_cache)))
+            # destroy the evicted broadcast: executors otherwise keep its
+            # blocks forever (the Broadcast ref dies, the blocks don't)
+            _evicted = _net_cache.pop(next(iter(_net_cache)))
+            _evicted[1].destroy()
         _net_cache[ck] = (network, bc, token)
     else:
         bc, token = hit[1], hit[2]

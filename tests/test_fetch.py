@@ -51,6 +51,35 @@ def test_fetch_flaky_retry_succeeds(spark):
     assert all(r.status == "success" and r.attempts == 2 for r in out)
 
 
+def test_fetch_pacing_covers_retries(spark):
+    """Every HTTP request pays the rate budget — retries included. With a
+    1000s interval, requests 2..n of a URL's retry chain must each wait
+    ~interval; the old per-URL pacing waited zero times here."""
+    # sleeper + fetcher share one python-worker process; the fetcher reports
+    # the worker-local big-sleep count back through the success payload
+    calls: dict[str, int] = {}
+    sleeps: list[float] = []
+
+    def flaky(url):
+        calls[url] = calls.get(url, 0) + 1
+        if calls[url] >= 3:
+            n_paced = sum(1 for s in sleeps if s > 100)
+            return 200, str(n_paced).encode()
+        return 500, None
+
+    work = _work(spark, 1).coalesce(1)
+    out = fetch_batched(
+        work,
+        fetcher=flaky,
+        sleeper=sleeps.append,
+        max_rps_per_task=0.001,  # 1000s interval: pace waits dwarf backoffs
+    ).collect()
+    assert out[0].status == "success" and out[0].attempts == 3
+    # 3 requests -> the 2nd and 3rd must each pace (~1000s); backoff sleeps
+    # (1s, 2s) are far below the threshold. Old per-URL pacing: 0.
+    assert bytes(out[0].content) == b"2"
+
+
 def test_resume_filter_semantics(spark):
     work = _work(spark, 8)
 

@@ -155,3 +155,19 @@ def test_corrupt_tile_skipped_not_fatal(spark):
     # the corrupt and empty tiles vanish; the good tile's 4 points survive
     assert sorted({r.tile_x for r in got}) == [1]
     assert len(got) == 4
+
+
+def test_encoder_value_slots_not_conflated_across_types():
+    """True, 1 and 1.0 must occupy distinct Value slots: bare == dedup would
+    reuse one slot and decode the wrong wire type for one of the props."""
+    blob = encode_mvt(
+        {
+            "image": {
+                "features": [
+                    {"id": 1, "points": [(1, 1)], "props": {"pano": True, "n": 1, "w": 1.0}}
+                ]
+            }
+        }
+    )
+    rows = decode_mvt(blob)
+    assert rows[0][5] == {"pano": "True", "n": "1", "w": "1.0"}

@@ -71,3 +71,21 @@ def test_spark_udf(spark):
     lat = np.arange(200) * 0.8 - 80.0
     want = s2.s2_sortable(s2.np_s2_cell(lon, lat, 13))
     assert (got == want).all()
+
+
+def test_nan_lonlat_yields_null_not_fake_cell(spark):
+    """Non-finite coords must encode to NULL — the int64 clip would otherwise
+    fabricate a valid-looking face-boundary cell for untagged rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, float("nan"), 20.0), (3, 10.0, float("inf"))],
+        "id long, lon double, lat double",
+    )
+    rows = {
+        r["id"]: r["cell"]
+        for r in df.select("id", s2.s2_cell_udf(13)("lon", "lat").alias("cell")).collect()
+    }
+    assert rows[2] is None and rows[3] is None
+    want = int(s2.s2_sortable(s2.np_s2_cell(np.array([10.0]), np.array([20.0]), 13))[0])
+    assert rows[1] == want
