@@ -54,29 +54,9 @@ def _shingles(df: DataFrame, text: str, id_col: str, n: int) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.8,
-) -> DataFrame:
-    """(id_a, id_b, jaccard) for pairs with n-gram Jaccard >= threshold.
-
-    Candidates come from the shared-shingle self-join (docs with zero common
-    shingles never meet), intersection counts from one groupBy, and set
-    sizes join back for the exact Jaccard — all equi-joins on uniform keys.
-    """
-    sh = _shingles(df, text, id_col, n)
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    out = (
+def _jaccard_of(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, n_common) + per-doc set sizes -> exact thresholded Jaccard."""
+    return (
         inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "sz_b"), "id_b")
         .withColumn(
@@ -90,7 +70,74 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def _jaccard_for_candidates(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (id_a, id_b) candidate
+    pairs: candidates join each side's shingle set (equi-joins on doc id),
+    intersections come from the (id_a, id_b, shingle) equi-match. Work is
+    O(candidates x shingles/doc) — never the all-co-shingled-pairs set."""
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_of(inter, sizes, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with n-gram Jaccard >= threshold.
+
+    Candidates come from the shared-shingle self-join (docs with zero common
+    shingles never meet), intersection counts from one groupBy, and set
+    sizes join back for the exact Jaccard — all equi-joins on uniform keys.
+
+    ``max_shingle_df`` bounds the self-join fan-out on web-scale corpora: a
+    shingle appearing in d documents yields d^2/2 candidate pairs, so one
+    boilerplate shingle shared by 10^6 docs is a 10^12-row join. With the cap
+    set, shingles whose document frequency exceeds it are excluded from
+    CANDIDATE GENERATION only — surviving pairs still get their exact
+    full-set Jaccard (computed candidates-only). Recall trade-off: a pair
+    whose every common shingle is hot is missed; near-dup pairs share many
+    shingles, so in practice the cap trades boilerplate-driven candidates
+    for bounded work. Default None = exact (small/medium corpora).
+    """
+    sh = _shingles(df, text, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        cold = sh.join(
+            F.broadcast(df_counts.filter(F.col("_df") > max_shingle_df).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
+        a, b = cold.alias("a"), cold.alias("b")
+        cand = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+        return _jaccard_for_candidates(cand, sh, sizes, threshold)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_of(inter, sizes, threshold)
 
 
 def minhash_signatures(
@@ -146,12 +193,12 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify restricted to the LSH candidates (inner join)
-    jac = ngram_jaccard_pairs(df, text, id_col, n, threshold=0.0)
-    out = cand.join(jac, ["id_a", "id_b"], "inner").filter(
-        F.col("jaccard") >= threshold
-    )
-    return out.select("id_a", "id_b", "jaccard")
+    # exact-Jaccard verify computed ONLY for the LSH candidate pairs — the
+    # all-co-shingled-pairs set (which banding exists to avoid) is never
+    # enumerated: candidates equi-join the per-doc shingle sets instead
+    sh = _shingles(df, text, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    return _jaccard_for_candidates(cand, sh, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -159,32 +206,45 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def _np_simhash(texts: pd.Series, n: int) -> np.ndarray:
+    """Batch simhash: shingling stays a (cheap) per-doc string pass, but the
+    expensive parts — md5 and the 64-bit vote aggregation — run ONCE over
+    the whole Arrow batch: unique shingles are hashed once (vocab-sized md5
+    loop, not instance-sized), bit expansion is one (instances, 64) numpy
+    op, and per-doc votes come from a single ``np.add.at`` segment-sum.
+    Output is bit-identical to the original per-document kernel (votes are
+    order-independent sums)."""
     import hashlib
 
-    out = np.zeros(len(texts), dtype=np.int64)
+    n_docs = len(texts)
+    doc_of: list[int] = []
+    all_sh: list[str] = []
     for i, t in enumerate(texts):
         toks = (t or "").split()
         if len(toks) < n:
             continue
         sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
-        if not sh:
-            continue
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                for s in sh
-            ],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        val = np.uint64(0)
-        for bpos in np.where(votes > 0)[0]:
-            val |= np.uint64(1) << np.uint64(bpos)
-        out[i] = np.int64(val.astype(np.int64))
-    return out
+        doc_of.extend([i] * len(sh))
+        all_sh.extend(sh)
+    out = np.zeros(n_docs, dtype=np.int64)
+    if not all_sh:
+        return out
+    uniq, inv = np.unique(np.array(all_sh, dtype=object), return_inverse=True)
+    uhash = np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in uniq],
+        dtype=np.uint64,
+    )
+    inst = uhash[inv]  # (instances,) hash per (doc, shingle)
+    bits = ((inst[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    np.add.at(votes, np.asarray(doc_of, dtype=np.int64), 2 * bits - 1)
+    positive = (votes > 0).astype(np.uint64)
+    val = (positive << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    # shingle-less docs have all-zero votes -> val 0, same as the old skip
+    return val.view(np.int64)
 
 
 def simhash_udf(n: int = 3):

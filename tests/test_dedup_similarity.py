@@ -149,3 +149,63 @@ def test_ivf_centroids_deterministic(spark):
     a = similarity.train_centroids(df, n_centroids=8, sample=64)
     b = similarity.train_centroids(df, n_centroids=8, sample=64)
     assert (a == b).all()
+
+
+def _old_simhash_one(text: str, n: int) -> int:
+    """The original per-document reference kernel (kept inline to lock the
+    vectorized batch kernel to bit-identical output)."""
+    import hashlib
+
+    toks = (text or "").split()
+    if len(toks) < n:
+        return 0
+    sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+    hs = np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in sh],
+        dtype=np.uint64,
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    val = np.uint64(0)
+    for bpos in np.where(votes > 0)[0]:
+        val |= np.uint64(1) << np.uint64(bpos)
+    return int(np.int64(val.astype(np.int64)))
+
+
+def test_simhash_batch_kernel_matches_old_per_doc_kernel():
+    texts = [t for _, t in DOCS] + ["", "a b", "x " * 50, None]
+    got = dedup._np_simhash(pd.Series(texts), 2)
+    want = [_old_simhash_one(t, 2) for t in texts]
+    assert got.tolist() == want
+
+
+def test_lsh_verify_never_joins_shingles_all_pairs(spark, docs_df):
+    """The exact-Jaccard verify must be candidate-restricted: no join in the
+    plan may pair shingle-equality with an id inequality (the all-co-shingled
+    self-join shape that banding exists to avoid)."""
+    plan = dedup.minhash_lsh_pairs(
+        docs_df, n=3, num_hashes=16, bands=8, threshold=0.5
+    )._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line and "shingle" in line:
+            assert " < " not in line, f"all-pairs co-shingle join found: {line}"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not drive O(n^2)
+    candidates when the DF cap is set; true near-dups keep their exact
+    full-set Jaccard."""
+    boiler = "all rights reserved by site"
+    rows = [(i, f"unique{i} words{i} here{i} now{i} " + boiler) for i in range(20)]
+    rows.append((100, rows[0][1] + " extra"))  # near-dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=5)
+    got = {(int(r["id_a"]), int(r["id_b"])): r["jaccard"] for r in capped.collect()}
+    # the boilerplate-only pairs are gone; the real near-dup survives with
+    # its exact (uncapped) jaccard
+    assert set(got) == {(0, 100)}
+    assert abs(got[(0, 100)] - round(py_jaccard(rows[0][1], rows[-1][1], 3), 6)) < 1e-9
+
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    assert {(int(r["id_a"]), int(r["id_b"])) for r in uncapped.collect()} == {(0, 100)}
