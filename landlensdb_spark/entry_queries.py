@@ -817,16 +817,13 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine >= 0.45 on this corpus)."""
-    from landlensdb_spark.operators.similarity import cosine_topk
+    """Exact embedding near-dup pairs (cosine >= 0.45 on this corpus) via
+    the cell-pruned distributed operator — no driver-side collect of the
+    vector table (the old wiring broadcast every vector as a probe)."""
+    from landlensdb_spark.operators.similarity import embedding_near_dup_exact
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    probes = emb.select(F.col("vec_id").alias("probe_id"), "embedding")
-    topk = cosine_topk(emb, probes, k=60)
-    return (
-        topk.filter((F.col("score") >= 0.45) & (F.col("probe_id") < F.col("vec_id")))
-        .select(F.col("probe_id").alias("id_a"), F.col("vec_id").alias("id_b"), "score")
-    )
+    return embedding_near_dup_exact(emb, threshold=0.45, n_centroids=32)
 
 
 # ===========================================================================

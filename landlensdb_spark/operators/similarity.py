@@ -17,6 +17,7 @@ shuffle are O(batches * probes * k), never n_points * n_probes.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -110,7 +111,10 @@ def lsh_bucket(vec_col: str, planes: np.ndarray):
     @F.pandas_udf(LongType())
     def _bucket(vecs: pd.Series) -> pd.Series:
         v = np.array(list(vecs), dtype=np.float64)
-        signs = (v @ planes.T) > 0  # (n, nplanes)
+        # sequential per-dim accumulation (not matmul): bit-identical to a
+        # SQL engine's left-to-right list_dot_product, so the sign bits are
+        # cross-engine reproducible for the oracle
+        signs = _seq_gram(v, planes) > 0  # (n, nplanes)
         out = np.zeros(len(v), dtype=np.int64)
         for b in range(planes.shape[0]):
             out |= signs[:, b].astype(np.int64) << b
@@ -185,9 +189,8 @@ def embedding_near_dup_pairs(
     candidates (same-bucket only) + exact verify. For near-dup detection a
     high threshold means near-identical vectors land in the same bucket with
     high probability."""
-    planes = make_planes(64, n_planes)  # dim fixed by caller's data; re-made below
-    first = vectors.select(vec_col).first()
-    dim = len(first[0])
+    first = vectors.select(F.size(vec_col)).limit(1).first()
+    dim = int(first[0])
     planes = make_planes(dim, n_planes)
     bucket = lsh_bucket(vec_col, planes)
     v = vectors.withColumn("_bucket", bucket(F.col(vec_col)))
@@ -223,6 +226,116 @@ def embedding_near_dup_pairs(
     return cand.mapInPandas(_exact, "id_a long, id_b long, score double")
 
 
+def embedding_near_dup_exact(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    point_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 32,
+    centroids: np.ndarray | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """EXACT (id_a, id_b, score) pairs with cosine >= threshold, distributed.
+
+    The scalable-and-still-exact shape (vs the recall<1 LSH variant above):
+
+    1. every vector joins its nearest k-means cell (IVF assignment);
+    2. one tiny agg computes each cell's angular radius r_c = max angle
+       between a member and its centroid (k rows to the driver — never the
+       vector table);
+    3. triangle inequality prunes cell pairs: members of (c1, c2) can only
+       reach cos >= t if angle(c1, c2) <= acos(t) + r_c1 + r_c2, so the
+       driver emits just the qualifying (c1 <= c2) pairs (k^2 bound);
+    4. the cell-pair equi-join generates candidates; exact sequential-dot
+       cosine + threshold filter finishes.
+
+    Pruning is CONSERVATIVE (an eps widens the bound against float error),
+    so results are exactly the all-pairs answer. Efficiency comes from the
+    clusteredness of real embedding corpora — tight cells prune most of the
+    k^2 pairs; on pathological uniform-random vectors every cell pair may
+    qualify and the operator degrades to a partitioned exact all-pairs scan
+    (still no driver collect of the table). Zero-norm vectors are excluded
+    (cosine undefined; SQL engines yield NULL/NaN there too).
+    """
+    spark = vectors.sparkSession
+    if centroids is None:
+        centroids = train_centroids(vectors, n_centroids, vec_col, id_col=point_id)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm2 = F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)
+    v = (
+        vectors.filter(norm2 > 0)
+        .withColumn(
+            "_cent",
+            F.element_at(_centroid_assign_udf(vec_col, centroids, 1)(F.col(vec_col)), 1),
+        )
+    )
+
+    @F.pandas_udf("double")
+    def _angle_to(cents: pd.Series, vecs: pd.Series) -> pd.Series:
+        x = np.array(list(vecs), dtype=np.float64)
+        x = x / np.maximum(_norm(x)[:, None], 1e-300)
+        c = centroids[cents.to_numpy(dtype=np.int64)]
+        cos = np.clip(_seq_dot(x, c), -1.0, 1.0)
+        return pd.Series(np.arccos(cos))
+
+    rad_rows = (
+        v.select("_cent", F.col(vec_col))
+        .withColumn("_ang", _angle_to(F.col("_cent"), F.col(vec_col)))
+        .groupBy("_cent")
+        .agg(F.max("_ang").alias("_r"))
+        .collect()
+    )
+    radius = np.zeros(len(centroids), dtype=np.float64)
+    for r in rad_rows:
+        radius[int(r["_cent"])] = float(r["_r"])
+
+    cc = np.clip(centroids @ centroids.T, -1.0, 1.0)
+    ang = np.arccos(cc)
+    bound = math.acos(min(max(threshold, -1.0), 1.0))
+    keep = ang <= bound + radius[:, None] + radius[None, :] + eps
+    cell_pairs = [
+        (int(c1), int(c2))
+        for c1 in range(len(centroids))
+        for c2 in range(c1, len(centroids))
+        if keep[c1, c2]
+    ]
+    cp = spark.createDataFrame(cell_pairs, "c1 int, c2 int")
+
+    a = v.select(
+        F.col(point_id).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_cent").alias("c1")
+    )
+    b = v.select(
+        F.col(point_id).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_cent").alias("c2")
+    )
+    # distinct-cell pairs appear exactly once via the (min, max) entry; only
+    # same-cell pairs need the id ordering filter
+    cand = (
+        a.join(F.broadcast(cp), "c1")
+        .join(b, "c2")
+        .filter((F.col("c1") != F.col("c2")) | (F.col("id_a") < F.col("id_b")))
+    )
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.array(list(pdf["_va"]), dtype=np.float64)
+            vb = np.array(list(pdf["_vb"]), dtype=np.float64)
+            cos = np.round(_seq_dot(va, vb) / (_norm(va) * _norm(vb)), 6)
+            ia = pdf["id_a"].to_numpy()
+            ib = pdf["id_b"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "id_a": np.minimum(ia, ib),
+                    "id_b": np.maximum(ia, ib),
+                    "score": cos,
+                }
+            )
+            yield out[out["score"] >= threshold]
+
+    return cand.mapInPandas(_exact, "id_a long, id_b long, score double")
+
+
 # ---------------------------------------------------------------------------
 # IVF-Flat: k-means coarse quantizer + multi-probe (the other scale path)
 # ---------------------------------------------------------------------------
@@ -234,14 +347,17 @@ def train_centroids(
     sample: int = 4096,
     iters: int = 10,
     seed: int = 11,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic spherical k-means on a bounded driver-side sample.
 
     The training sample is O(sample x dim) — independent of table size, the
-    property that lets the same code train on a 10^12-row table. Returns
-    L2-normalized (n_centroids, dim) float64 centroids.
+    property that lets the same code train on a 10^12-row table. The sample
+    is the ``sample`` smallest ``id_col`` rows (bare ``limit`` is
+    partition-order-dependent in Spark, which would make centroids differ
+    run to run). Returns L2-normalized (n_centroids, dim) float64 centroids.
     """
-    rows = vectors.select(vec_col).limit(sample).collect()
+    rows = vectors.select(vec_col).orderBy(F.col(id_col).asc()).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x = x / np.maximum(_norm(x)[:, None], 1e-12)
     k = min(n_centroids, len(x))
@@ -265,11 +381,15 @@ def _centroid_assign_udf(vec_col: str, centroids: np.ndarray, n_probe: int = 1):
     @F.pandas_udf(ArrayType(IntegerType()))
     def _assign(vecs: pd.Series) -> pd.Series:
         v = np.array(list(vecs), dtype=np.float64)
-        v = v / np.maximum(_norm(v)[:, None], 1e-12)
-        sims = v @ centroids.T
+        # raw sequential dots against the (unit) centroids: dividing by
+        # ||v|| would not change the per-row ordering, and skipping it keeps
+        # the scores bit-identical to a SQL engine's list_dot_product so the
+        # oracle can reproduce the assignment. Stable sort = ties break to
+        # the smallest centroid id (SQL: ORDER BY dot DESC, id ASC).
+        sims = _seq_gram(v, centroids)
         if n_probe == 1:
             return pd.Series([[int(i)] for i in np.argmax(sims, axis=1)])
-        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype(np.int32).tolist() for row in top])
 
     return _assign

@@ -209,3 +209,27 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
 
     uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
     assert {(int(r["id_a"]), int(r["id_b"])) for r in uncapped.collect()} == {(0, 100)}
+
+
+def test_embedding_near_dup_exact_matches_brute_force(spark):
+    """Cell-pruned near-dup must equal the all-pairs answer EXACTLY (the
+    triangle-inequality prune is conservative, not approximate)."""
+    df, vecs = _vec_table(spark, n=120)
+    thr = 0.2  # low threshold = many surviving pairs = strong prune test
+    got = similarity.embedding_near_dup_exact(df, threshold=thr, n_centroids=8).toPandas()
+    got_pairs = {(int(a), int(b)): s for a, b, s in got.itertuples(index=False)}
+
+    v = vecs.astype(np.float64)
+    norms = np.sqrt((v * v).sum(axis=1))
+    cos = np.round((v @ v.T) / np.outer(norms, norms), 6)
+    want = {
+        (i, j): cos[i, j]
+        for i in range(len(v))
+        for j in range(i + 1, len(v))
+        if cos[i, j] >= thr
+    }
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert abs(got_pairs[k] - want[k]) < 2e-6
+    # every pair exactly once
+    assert len(got) == len(got_pairs)
