@@ -152,11 +152,12 @@ def main() -> None:
             synth.probe_lon_col(F.col("pk")).alias("lon"),
             synth.probe_lat_col(F.col("pk")).alias("lat"),
         )
-        # res sized to the field density: ~5 points per res-20 cell (76 m)
-        # for k=10 -> certified radius r2 ~ 3 cells, ~250 candidates/probe.
-        # res 16 (the old setting) holds ~1300 points/cell here and floods
-        # the top-k window with ~60M candidate rows.
-        return knn_join(prb, pts, k=10, res=20).count()
+        # res derived from the occupancy histogram (knn._auto_res): on this
+        # field the density rule lands at the hand-tuned res-20 regime (~5
+        # points/cell, ~250 candidates/probe) instead of trusting a caller
+        # constant — res 16 here holds ~1300 points/cell and floods the
+        # top-k window with ~60M candidate rows.
+        return knn_join(prb, pts, k=10).count()
 
     n_knn = timed("knn", q_knn)
 

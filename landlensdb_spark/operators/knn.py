@@ -66,13 +66,70 @@ def _with_merc(df: DataFrame, lon: str, lat: str, px: str, py: str) -> DataFrame
 
 
 def _cell_shift(cell: Column, dx: Column, dy: Column, res: int) -> Column:
-    """Neighbor cell id at offset (dx, dy): x wraps at the antimeridian,
-    y out of range -> NULL (no cell beyond the poles)."""
+    """Neighbor cell id at offset (dx, dy); out-of-range x OR y -> NULL.
+
+    x deliberately does NOT wrap at the antimeridian: distances here are
+    UNWRAPPED planar mercator (the operator's documented metric, matching
+    the SQL oracle's (x1-x2)^2). Wrapping x would count seam-crossing cells
+    toward the ring certificate while their unwrapped distance is ~WORLD —
+    a probe near lon 180 could then be 'certified' with wrapped neighbors
+    while the true (unwrapped) nearest sits just outside box r2. With NULL,
+    seam boxes simply see fewer cells, and probes that cannot certify fall
+    through to the exact brute-force pass."""
     n = 1 << res
-    nx = F.pmod(cell_x(cell) + dx, F.lit(n))
+    nx = cell_x(cell) + dx
     ny = cell_y(cell) + dy
     base = F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT)
-    return F.when((ny >= 0) & (ny < n), base + F.shiftleft(nx, _X_SHIFT) + ny)
+    return F.when(
+        (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n),
+        base + F.shiftleft(nx, _X_SHIFT) + ny,
+    )
+
+
+def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
+    """Pick the expansion grid from OBSERVED density: the finest resolution
+    whose average points per occupied cell is still >= k/2 (so the ring
+    search certifies at r1 <= ~1 and box r2 holds O(k) candidates). One
+    map-side HLL pass computes all candidate resolutions at once; hand-tuned
+    ``res`` remains available for callers that want to skip the probe scan.
+
+    Rationale for k/2 (measured, bench.py): cells at ~k points average make
+    r2 boxes of ~(2*ceil(sqrt2*2)+1)^2/4 * k candidates; halving the cell
+    population roughly halves candidate rows at the cost of r1=1 more often
+    — the sweet spot the bench's hand-tuned res 20 sits on. A too-coarse
+    pick is the real failure mode (res 16 there = ~1300 pts/cell = ~60M
+    window rows), so ties err fine-side.
+    """
+    from landlensdb_spark.geo.tiles import tile_x, tile_y
+
+    cands = list(range(6, 25, 2))
+    base = max(cands)
+    # one trig pass at the finest candidate res; every coarser cell id is a
+    # bit-shift of it (per-res transcendental projections otherwise dominate
+    # the probe). Coarse HLL precision (rsd 0.15) is plenty: occupancy moves
+    # ~4x per resolution step, and the cheap sketches cut the probe from
+    # ~1.9s to ~0.4s on the 150k-point bench field.
+    xy = points.select(tile_x(lon, base).alias("_x"), tile_y(lat, base).alias("_y"))
+    row = xy.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.approx_count_distinct(
+                F.shiftleft(F.shiftright(F.col("_x"), base - r), 29)
+                + F.shiftright(F.col("_y"), base - r),
+                0.15,
+            ).alias(f"_c{r}")
+            for r in cands
+        ],
+    ).first()
+    n = row["_n"]
+    if not n:
+        return 12
+    best = cands[0]
+    target = max(k / 2.0, 1.0)
+    for r in cands:  # ascending: keep the finest res that still meets target
+        if n / max(row[f"_c{r}"], 1) >= target:
+            best = r
+    return best
 
 
 def _dist2() -> Column:
@@ -89,7 +146,7 @@ def knn_join(
     point_id: str = "point_id",
     lon: str = "lon",
     lat: str = "lat",
-    res: int = 12,
+    res: int | None = None,
     start_ring: int = 1,
     max_rounds: int = 3,
     broadcast_probes: bool = True,
@@ -98,12 +155,16 @@ def knn_join(
     """Exact k-nearest ``points`` for every probe row.
 
     Returns (probe_id, point_id, dist2, rank) with rank in 1..k. ``res`` is
-    the expansion grid (cell side = 40,075 km / 2^res); pick it so an average
-    cell holds ~k points. ``start_ring``/``max_rounds`` bound the histogram
-    search to ring ``start_ring << (max_rounds - 1)`` before brute-force
-    fallback. ``broadcast_probes=False`` for probe sets too big to broadcast
+    the expansion grid (cell side = 40,075 km / 2^res); default None derives
+    it from the observed cell-occupancy histogram (one extra HLL pass over
+    the point side) — pass it explicitly only to skip that probe scan.
+    ``start_ring``/``max_rounds`` bound the histogram search to ring
+    ``start_ring << (max_rounds - 1)`` before brute-force fallback.
+    ``broadcast_probes=False`` for probe sets too big to broadcast
     (e.g. self-kNN); the joins then shuffle both sides and AQE re-plans.
     """
+    if res is None:
+        res = _auto_res(points, lon, lat, k)
     cellsz = WORLD / (1 << res)
     cap = start_ring << (max_rounds - 1)
 

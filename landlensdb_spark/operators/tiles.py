@@ -60,10 +60,28 @@ def tile_export(
     """
     tagged = assign_tiles(df, lon, lat, zoom)
     rec = F.struct(*[F.col(c) for c in record_cols])
-    out = tagged.groupBy("tile_z", "tile_x", "tile_y", "quadkey").agg(
-        F.array_sort(F.collect_list(rec)).alias("records"),
-        F.count("*").alias("n_records"),
+    keys = ["tile_z", "tile_x", "tile_y", "quadkey"]
+    if max_records_per_tile is None:
+        return tagged.groupBy(*keys).agg(
+            F.array_sort(F.collect_list(rec)).alias("records"),
+            F.count("*").alias("n_records"),
+        )
+    # cap BEFORE the aggregation: a window rank bounds every tile's agg
+    # buffer to the cap, so one dense urban tile can no longer materialize
+    # its full record array in a single buffer (the window sort is
+    # spill-able; a collect_list buffer is not). Same output as
+    # sort-then-slice: row_number over the record struct ordering keeps
+    # exactly the cap-smallest records, n_records still counts all rows.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(rec.asc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("_rn") <= max_records_per_tile, rec))
+            ).alias("records"),
+            F.count("*").alias("n_records"),
+        )
     )
-    if max_records_per_tile is not None:
-        out = out.withColumn("records", F.slice("records", 1, max_records_per_tile))
-    return out

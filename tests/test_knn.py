@@ -103,3 +103,59 @@ def test_knn_no_broadcast_path_exact(spark):
     for pid in range(n_probes):
         got_ids = list(got[got["probe_id"] == pid]["point_id"])
         assert got_ids == [j for j, _ in want[pid]], f"probe {pid}"
+
+
+def test_knn_seam_probes_stay_exact(spark):
+    """Probes hugging lon ±180: the metric is UNWRAPPED planar mercator (the
+    oracle's (x1-x2)^2), so seam-crossing cells must never enter the ring
+    certificate — a wrapped 'neighbor' at ~WORLD unwrapped distance would
+    silently displace the true nearest just outside box r2."""
+    rng = np.random.default_rng(3)
+    east = 179.999 - rng.uniform(0, 0.02, 40)     # just west of the seam
+    west = -179.999 + rng.uniform(0, 0.02, 40)    # just east of it (wrapped)
+    lats = rng.uniform(-0.02, 0.02, 80)
+    nlon = np.concatenate([east, west])
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(nlon, lats))],
+        "point_id long, lon double, lat double",
+    )
+    plon = np.array([179.9995, -179.9995, 179.99, -179.99])
+    plat = np.array([0.0, 0.0, 0.01, -0.01])
+    prb = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(plon, plat))],
+        "probe_id long, lon double, lat double",
+    )
+    got = knn_join(prb, pts, k=5, res=20).orderBy("probe_id", "rank").toPandas()
+    want = brute_force_knn(plon, plat, nlon, lats, 5)
+    assert len(got) == 20
+    for pid in range(4):
+        got_ids = list(got[got["probe_id"] == pid]["point_id"])
+        assert got_ids == [j for j, _ in want[pid]], f"seam probe {pid}"
+
+
+def test_knn_auto_res_matches_manual(spark):
+    """res=None derives the grid from the occupancy histogram; results must
+    equal the hand-tuned-res answer (both exact)."""
+    n_pts, n_probes, k = 2000, 60, 5
+    nlon, nlat = _points(n_pts)
+    plon, plat = _points(n_probes, probe=True)
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(nlon, nlat))],
+        "point_id long, lon double, lat double",
+    )
+    prb = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(plon, plat))],
+        "probe_id long, lon double, lat double",
+    )
+    got = knn_join(prb, pts, k=k).orderBy("probe_id", "rank").toPandas()
+    want = brute_force_knn(plon, plat, nlon, nlat, k)
+    for pid in range(n_probes):
+        got_ids = list(got[got["probe_id"] == pid]["point_id"])
+        assert got_ids == [j for j, _ in want[pid]], f"probe {pid}"
+
+    from landlensdb_spark.operators.knn import _auto_res
+
+    r = _auto_res(pts, "lon", "lat", k)
+    # ~2000 points in a ~0.1-degree urban field: the density rule must land
+    # in the fine-grid regime, not the coarse flood regime
+    assert 16 <= r <= 24
