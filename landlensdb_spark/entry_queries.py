@@ -10,12 +10,13 @@ compute bit-identical doubles; transcendental projections are rounded to
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from landlensdb_spark import synth, tables
+from landlensdb_spark import oracles, synth, tables
 from landlensdb_spark.extract import extract_geotags
 from landlensdb_spark.geo import tiles as T
 from landlensdb_spark.operators.fused import extract_pip
@@ -64,6 +65,40 @@ _PTS_SQL = (
     f"SELECT o_orderkey AS key, {synth.lon_sql('o_orderkey')} AS lon, "
     f"{synth.lat_sql('o_orderkey')} AS lat FROM orders"
 )
+
+#: ANN oracle constants — the embeddings tables ship 64-dim vectors; the
+#: LSH planes are pure seeded numpy (no IO), inlined into the oracle SQL.
+_EMB_DIM = 64
+
+
+def _lsh_planes():
+    from landlensdb_spark.operators.similarity import make_planes
+
+    return make_planes(_EMB_DIM, 6)
+
+
+_LSH_PLANES = _lsh_planes()
+
+#: canonical SF dir the driver's correctness gate runs at (oracle SQL is a
+#: static string, so import-time constants key off this dir)
+_ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _ivf_oracle_centroids():
+    """Bit-identical twin of what train_centroids collects inside
+    q_embed_ann_ivf at the correctness SF: the vec_id-ordered float32
+    vectors, promoted to float64, through the shared kmeans_unit kernel."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from landlensdb_spark.operators.similarity import kmeans_unit
+
+    t = pq.read_table(
+        f"{_ORACLE_SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    t = t.sort_values("vec_id").head(4096)
+    x = np.array(list(t["embedding"]), dtype=np.float64)
+    return kmeans_unit(x, 32)
 
 
 def _probe_sql(limit_key: int, mul=1, add=0) -> str:
@@ -390,6 +425,33 @@ def q_extract_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_geotags(pages).select("url", "warc_ts")
 
 
+@query(
+    "extract_exif_real",
+    f"""
+    SELECT i AS photo_id,
+           round({synth.lat_sql('i')}, 6) AS lat,
+           round({synth.lon_sql('i')}, 6) AS lon,
+           (((i * 37) % 5000) + 150) / 100.0 AS focal_mm,
+           printf('CAM%d', i % 4) AS camera_model,
+           printf('2022:%02d:%02d %02d:%02d:%02d',
+                  1 + i % 12, 1 + i % 28, i % 24, (i * 11) % 60, (i * 29) % 60) AS exif_dt
+    FROM (SELECT unnest(range(2400)) AS i)
+    WHERE i % 7 != 0
+    """,
+)
+def q_extract_exif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 for REAL image bytes: JPEG APP1 -> TIFF IFDs -> GPSInfo decoded by
+    the pure-python wire parser (landlensdb_spark.exif), not html markers —
+    the reference's PIL path (image.py:69-93,294-415) re-expressed. Fixture
+    photos mix II/MM byte orders; GPS-less rows (i%7==0) are skipped."""
+    from landlensdb_spark.exif import extract_exif
+
+    ph = tables.photos(spark, 2400, num_partitions=8)
+    return extract_exif(ph).select(
+        "photo_id", "lat", "lon", "focal_mm", "camera_model", "exif_dt"
+    )
+
+
 # ---------------------------------------------------------------------------
 # bbox scan (P6/P10/S2) — predicate-pushdown bbox filter
 # ---------------------------------------------------------------------------
@@ -644,16 +706,20 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_docs")  # rows-only: 64-bit sign aggregation not SQL-expressible
+@query("simhash_docs", oracles.simhash_sql(n=2))
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit sign-vote simhash — DuckDB recomputes it from md5_number_upper
+    (arithmetic byteswap to the kernel's big-endian) + HUGEINT bit votes."""
     from landlensdb_spark.operators.dedup import simhash_udf
 
     docs = tables.load(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash_udf(2)(F.col("text")).alias("simhash"))
 
 
-@query("fingerprint_docs")  # rows-only: byte-rolling hash not SQL-expressible
+@query("fingerprint_docs", oracles.fingerprint_sql())
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash — DuckDB list_reduce in HUGEINT reproduces
+    the numpy kernel exactly (the 61-bit mask commutes past the u64 wrap)."""
     from landlensdb_spark.operators.textstats import with_fingerprint
 
     return with_fingerprint(tables.load(spark, sf_dir, "documents")).select(
@@ -792,16 +858,24 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
-@query("embed_ann_lsh")  # rows-only: LSH bucketing is approximate by design
+@query(
+    "embed_ann_lsh",
+    oracles.lsh_ann_sql(_LSH_PLANES, k=5, n_probes_id_below=10),
+)
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, oracle-checkable by construction: the planes are
+    deterministic constants (inlined as SQL literals) and the bucket signs /
+    re-rank scores use sequential dots, so DuckDB reproduces the SAME
+    approximate result — the check verifies the bucketing + re-rank logic,
+    not just recall."""
     from landlensdb_spark.operators.similarity import lsh_cosine_topk
 
     emb = tables.load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    dim = len(emb.select("embedding").first()[0])
-    return lsh_cosine_topk(emb, probes, k=5, dim=dim, n_planes=6)
+    out = lsh_cosine_topk(emb, probes, k=5, dim=_EMB_DIM, n_planes=6)
+    return out.select("probe_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
 @query(
@@ -938,18 +1012,24 @@ def q_snap_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hilbert_cells")  # rows-only: Hilbert curve rotation not SQL-expressible
+@query(
+    "hilbert_cells",
+    oracles.hilbert_sql(
+        _PTS_SQL, synth.tile_x_sql("lon", 13), synth.tile_y_sql("lat", 13), 13
+    ),
+)
 def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mercator-Hilbert secondary index: sortable longs at level 13."""
+    """Mercator-Hilbert secondary index: sortable longs at level 13. DuckDB
+    recomputes the 13 unrolled xy->d rotation steps as integer CASE math."""
     from landlensdb_spark.geo.cells import hilbert_cell_udf
 
     pts = _points(spark, sf_dir)
     return pts.select(
-        "key", hilbert_cell_udf(13)(F.col("lon"), F.col("lat")).alias("s2_cell")
+        "key", hilbert_cell_udf(13)(F.col("lon"), F.col("lat")).alias("hilbert_cell")
     )
 
 
-@query("s2_cells")  # rows-only: the cube-face Hilbert traversal isn't SQL
+@query("s2_cells", oracles.s2_sql(_PTS_SQL, 13))
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CANONICAL S2 level-13 cell ids (geo/s2.py: real library bit layout;
     encode<->decode round-trip + containment invariants pytest-locked) as
@@ -992,13 +1072,29 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
-@query("embed_ann_ivf")  # rows-only: IVF cell scan is approximate by design
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: spherical-k-means cells + multi-probe re-rank."""
+    """IVF-Flat ANN, oracle-checkable by construction: the k-means training
+    is deterministic (vec_id-ordered sample, fixed seed), so the centroids
+    are constants DuckDB gets as literals; assignment ties and re-rank
+    scores follow the same (dot DESC, id ASC) order in both engines. The
+    check verifies the inverted-list scan + re-rank, not the training."""
     from landlensdb_spark.operators.similarity import ivf_cosine_topk
 
     emb = tables.load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return ivf_cosine_topk(emb, probes, k=5, n_centroids=32, n_probe=4)
+    out = ivf_cosine_topk(emb, probes, k=5, n_centroids=32, n_probe=4)
+    return out.select("probe_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+QUERIES["embed_ann_ivf"] = q_embed_ann_ivf
+try:
+    # centroid constants for the oracle come from the SAME deterministic
+    # training the Spark query runs (numpy kernel on the vec_id-ordered
+    # sample); built once at import from the canonical correctness-gate SF
+    ORACLES["embed_ann_ivf"] = oracles.ivf_ann_sql(
+        _ivf_oracle_centroids(), k=5, n_probe=4, n_probes_id_below=10
+    )
+except Exception:  # pragma: no cover - oracle omitted if testdata missing
+    pass

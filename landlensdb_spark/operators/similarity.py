@@ -359,6 +359,13 @@ def train_centroids(
     """
     rows = vectors.select(vec_col).orderBy(F.col(id_col).asc()).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    return kmeans_unit(x, n_centroids, iters, seed)
+
+
+def kmeans_unit(x: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """The deterministic spherical-k-means kernel on a raw (n, dim) float64
+    sample — shared by the Spark trainer above and the oracle-SQL constant
+    builder (identical inputs -> bit-identical centroids)."""
     x = x / np.maximum(_norm(x)[:, None], 1e-12)
     k = min(n_centroids, len(x))
     rng = np.random.default_rng(seed)

@@ -161,3 +161,50 @@ def pages(
             yield out
 
     return rng.mapInPandas(gen, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# photos: deterministic JPEG-with-real-EXIF table (byte-level extraction path)
+# ---------------------------------------------------------------------------
+
+PHOTOS_SCHEMA = "photo_id long, image_bytes binary"
+
+
+def build_photo_row(i: int) -> tuple:
+    """One deterministic (photo_id, jpeg bytes) row: real APP1/TIFF/GPS EXIF
+    wire bytes (landlensdb_spark.exif encoder twin). Rows with i % 7 == 0
+    carry no GPS IFD (the reference's GPS-less skip path); odd ids use
+    big-endian TIFF so both byte orders flow through the parser."""
+    from landlensdb_spark.exif import encode_jpeg_exif
+
+    i_arr = np.array([i], dtype=np.int64)
+    lon = float(synth.np_lon(i_arr)[0])
+    lat = float(synth.np_lat(i_arr)[0])
+    has_gps = i % 7 != 0
+    jpeg = encode_jpeg_exif(
+        lat=lat if has_gps else None,
+        lon=lon if has_gps else None,
+        focal=(((i * 37) % 5000) + 150, 100),
+        model=f"CAM{i % 4}",
+        dt=(
+            f"2022:{1 + i % 12:02d}:{1 + i % 28:02d} "
+            f"{i % 24:02d}:{(i * 11) % 60:02d}:{(i * 29) % 60:02d}"
+        ),
+        byte_order="MM" if i % 2 else "II",
+    )
+    return (i, jpeg)
+
+
+def photos(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic photos table (pure function of the row id,
+    same parallelism-independence property as ``pages``)."""
+    rng = spark.range(n, numPartitions=num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [build_photo_row(int(i)) for i in pdf["id"]],
+                columns=["photo_id", "image_bytes"],
+            )
+
+    return rng.mapInPandas(gen, PHOTOS_SCHEMA)
