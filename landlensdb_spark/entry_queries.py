@@ -1043,6 +1043,59 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tz_values_sql() -> str:
+    from landlensdb_spark import tz as _tz
+
+    return _tz.zones_sql_values()
+
+
+@query(
+    "localized_iso",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    p2 AS (SELECT key, lon, lat, 1650000000 + (key * 7919) % 31536000 AS tse FROM pts),
+    z(tz_id, tz_name, offm, w, s, e, n) AS (VALUES {{tz_values}}),
+    j AS (
+      SELECT p2.key, p2.lon, p2.tse, z.tz_name AS zname, z.offm
+      FROM p2 LEFT JOIN z ON lon >= w AND lon < e AND lat >= s AND lat < n
+    ),
+    r AS (
+      SELECT key, tse,
+        coalesce(zname,
+          'Etc/GMT' || CASE WHEN noff > 0 THEN '-' || CAST(noff AS VARCHAR)
+                            WHEN noff < 0 THEN '+' || CAST(-noff AS VARCHAR)
+                            ELSE '+0' END) AS tz_name,
+        coalesce(offm, noff * 60) AS offset_min
+      FROM (SELECT *, CAST(round(lon / 15.0, 0) AS BIGINT) AS noff FROM j)
+    )
+    SELECT key, tz_name, offset_min,
+      strftime(to_timestamp(tse + offset_min * 60) AT TIME ZONE 'UTC',
+               '%Y-%m-%dT%H:%M:%S')
+      || CASE WHEN offset_min = 0 THEN 'Z' ELSE
+           (CASE WHEN offset_min > 0 THEN '+' ELSE '-' END)
+           || lpad(CAST(abs(offset_min) // 60 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST(abs(offset_min) % 60 AS VARCHAR), 2, '0') END AS local_iso
+    FROM r
+    """.replace("{tz_values}", _tz_values_sql()),
+)
+def q_localized_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8 with REAL zone resolution: PIP join against the tz polygon
+    fixture (half-hour zones included), nautical Etc/GMT±N only as the
+    outside-every-zone fallback — DuckDB reproduces the zone assignment
+    from the same rectangle table (reference: timezonefinder + zoneinfo,
+    image.py:352-366, cloud.py:1047-1074)."""
+    from landlensdb_spark import tz as TZ
+
+    pts = _points(spark, sf_dir).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1650000000) + (F.col("key") * 7919) % 31536000),
+    )
+    out = TZ.with_timezone(pts, key_cols=["key"])
+    return out.select(
+        "key", "tz_name", F.col("offset_min").cast("long").alias("offset_min"), "local_iso"
+    )
+
+
 @query(
     "sessionize_events",
     """

@@ -15,11 +15,11 @@ from pyspark.sql import functions as F
 # --- F7/F8: epoch/UTC timestamp -> local time of the point -----------------
 #
 # The reference looks up the IANA zone of each lat/lon with timezonefinder
-# (image.py:352-366, cloud.py:1047-1074). That library isn't in this
-# container, so the default resolver is the deterministic *nautical* zone
-# (UTC offset = round(lon / 15) hours) — swap `tz_name_for` for a real
-# point-in-timezone-polygon PIP join (the engine's own pip_join against the
-# tz-boundary polygon set) in production.
+# (image.py:352-366, cloud.py:1047-1074). The engine's real resolver is the
+# PIP join against the tz polygon table (landlensdb_spark.tz.with_timezone);
+# the nautical rule here (UTC offset = round(lon / 15) hours) is its
+# outside-every-zone / ocean FALLBACK, matching the reference's behavior
+# when timezonefinder returns None.
 
 def nautical_offset_hours(lon: Column | str) -> Column:
     lon = F.col(lon) if isinstance(lon, str) else lon
