@@ -1043,6 +1043,44 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quad_leaves_sql(capacity: int, max_zoom: int) -> str:
+    """Per-level histogram CTEs + leaf membership — DuckDB reproduces the
+    overflow-driven quad split level by level."""
+    ctes = [
+        f"pts AS ({_PTS_SQL})",
+        f"h{max_zoom} AS (SELECT {synth.tile_x_sql('lon', max_zoom)} AS x,"
+        f" {synth.tile_y_sql('lat', max_zoom)} AS y, count(*) AS c FROM pts GROUP BY 1, 2)",
+    ]
+    for z in range(max_zoom - 1, -1, -1):
+        ctes.append(
+            f"h{z} AS (SELECT x // 2 AS x, y // 2 AS y, sum(c) AS c"
+            f" FROM h{z + 1} GROUP BY 1, 2)"
+        )
+    parts = [
+        f"SELECT CAST(0 AS BIGINT) AS z, x, y, c AS n_points FROM h0 WHERE c <= {capacity}"
+    ]
+    for z in range(1, max_zoom + 1):
+        fits = f"AND a.c <= {capacity}" if z < max_zoom else ""
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS z, a.x, a.y, a.c AS n_points"
+            f" FROM h{z} a JOIN h{z - 1} p"
+            f" ON a.x // 2 = p.x AND a.y // 2 = p.y AND p.c > {capacity} {fits}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(parts)
+
+
+@query("quad_leaves", _quad_leaves_sql(100, 7))
+def q_quad_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: overflow-driven recursive bbox quad-split (cloud.py:913-979) —
+    quadtree leaves holding <= 100 points each, computed as histogram
+    roll-ups instead of a driver recursion (operators/quadtree.py)."""
+    from landlensdb_spark.operators.quadtree import adaptive_quad_cells
+
+    pts = _points(spark, sf_dir)
+    out = adaptive_quad_cells(pts, capacity=100, max_zoom=7)
+    return out.select(F.col("z").cast("long").alias("z"), "x", "y", "n_points")
+
+
 def _tz_values_sql() -> str:
     from landlensdb_spark import tz as _tz
 

@@ -84,3 +84,54 @@ def render_map_html(
         f"style='background:#eef'>{''.join(marks)}</svg>"
         f"<p>{len(records)} records</p></body></html>"
     )
+
+
+def write_geojson(
+    df,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    properties: list[str] | None = None,
+    limit: int = 10000,
+) -> int:
+    """GeoJSON FeatureCollection file sink — the reference's
+    ``GeoImageFrame.to_file`` GeoJSON path (geoimageframe.py:110-123),
+    driver-side over a bounded sample (edge export, like render_map_html;
+    the distributed sink for full tables is the spatially-sorted parquet
+    writer in catalog.write_spatial). Point geometry; all non-coordinate
+    columns (or ``properties``) become feature properties with
+    JSON-safe casts. Returns the number of features written."""
+    import datetime
+    import decimal
+    import json
+
+    rows = df.limit(limit).collect()
+    prop_names = properties
+    feats = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        if prop_names is None:
+            prop_names = [c for c in d if c not in (lon, lat)]
+
+        def safe(v):
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()
+            if isinstance(v, decimal.Decimal):
+                return float(v)
+            if isinstance(v, (bytes, bytearray)):
+                return base64.b64encode(v).decode()
+            return v
+
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [d[lon], d[lat]],
+                },
+                "properties": {k: safe(d[k]) for k in prop_names},
+            }
+        )
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return len(feats)
