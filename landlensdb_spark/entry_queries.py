@@ -706,6 +706,51 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_lsh",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    sig AS (
+      SELECT doc_id AS _id, seed, min(md5(shingle || '#' || seed)) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY 1, 2
+    ),
+    band AS (
+      SELECT _id, seed // 2 AS band,
+             array_to_string(list_sort(list(minhash)), '|') AS bucket
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full banded MinHash+LSH dedup path (candidates from band-bucket
+    collisions, exact Jaccard verified for candidates ONLY) — DuckDB
+    reproduces the identical banding (md5 signatures are engine-portable
+    strings) and the candidate-restricted verify."""
+    from landlensdb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4, threshold=0.5)
+
+
 @query("simhash_docs", oracles.simhash_sql(n=2))
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit sign-vote simhash — DuckDB recomputes it from md5_number_upper
@@ -725,6 +770,52 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(tables.load(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
     )
+
+
+@query(
+    "line_dedup",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(w) / 4.0) AS INT)),
+               j -> array_to_string(w[j*4+1 : j*4+4], ' ')
+             ) AS lines
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+    ),
+    l AS (
+      SELECT doc_id, generate_subscripts(lines, 1) - 1 AS pos, unnest(lines) AS line
+      FROM d2
+    ),
+    hot AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+    kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS nk
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_lines,
+           t.n_lines - coalesce(r.nk, 0) AS n_removed
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal over synthetic multi-line docs
+    (4-token lines): lines shared across documents are stripped, order
+    preserved. DuckDB reproduces both the line construction and the
+    df>1 removal."""
+    from landlensdb_spark.operators.dedup import line_dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / 4.0).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * 4 + 1, 4)),
+    )
+    ml = docs.select("doc_id", F.array_join(lines_arr, "\n").alias("ml_text"))
+    return line_dedup(ml, text="ml_text", max_line_df=1)
 
 
 @query(

@@ -255,6 +255,60 @@ def simhash_udf(n: int = 3):
     return _sh
 
 
+def line_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_line_df: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate-line removal: lines appearing in more than
+    ``max_line_df`` distinct documents (nav bars, cookie banners, footers)
+    are stripped from every document.
+
+    Scale shape: explode-with-position -> per-line distinct-doc counts
+    (map-side combined) -> the HOT line set (small by construction: only
+    values with df > threshold) broadcast anti-joins the line stream ->
+    order-preserving reassembly per doc. The only data-sized shuffles key
+    on uniform values (line hash, doc id). Returns
+    (id, clean_text, n_lines, n_removed); documents whose every line is
+    boilerplate come back with an empty clean_text.
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text), _re.escape(sep))).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    totals = lines.groupBy("_id").agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def simhash_dups(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:

@@ -233,3 +233,22 @@ def test_embedding_near_dup_exact_matches_brute_force(spark):
         assert abs(got_pairs[k] - want[k]) < 2e-6
     # every pair exactly once
     assert len(got) == len(got_pairs)
+
+
+def test_line_dedup_c4_style(spark):
+    footer = "all rights reserved"
+    rows = [
+        (1, f"unique one\n{footer}\nalpha beta"),
+        (2, f"{footer}\nother content here"),
+        (3, footer),                      # all-boilerplate doc -> empty
+        (4, "solo document body"),        # untouched
+        (5, "dup within doc\ndup within doc"),  # intra-doc dup: df=1, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+    assert got[1]["clean_text"] == "unique one\nalpha beta"
+    assert got[1]["n_lines"] == 3 and got[1]["n_removed"] == 1
+    assert got[2]["clean_text"] == "other content here"
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 1
+    assert got[4]["clean_text"] == "solo document body" and got[4]["n_removed"] == 0
+    assert got[5]["clean_text"] == "dup within doc\ndup within doc"
