@@ -1280,3 +1280,153 @@ try:
     )
 except Exception:  # pragma: no cover - oracle omitted if testdata missing
     pass
+
+
+# ---------------------------------------------------------------------------
+# Tile pyramid rollup (M1 multi-zoom) + web-corpus URL/quality ops
+# ---------------------------------------------------------------------------
+
+_PYR_MAXZ, _PYR_MINZ = 6, 2
+_PYR_MORTON6 = f"({_quadkey_sql('bx', 'by', _PYR_MAXZ)} - {_PYR_MAXZ * (1 << 58)})"
+
+
+@query(
+    "tile_pyramid",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    base AS (
+      SELECT {synth.tile_x_sql('lon', _PYR_MAXZ)} AS bx,
+             {synth.tile_y_sql('lat', _PYR_MAXZ)} AS by, lon, lat
+      FROM pts
+    ),
+    lv AS (
+      SELECT z, bx >> ({_PYR_MAXZ} - z) AS tile_x, by >> ({_PYR_MAXZ} - z) AS tile_y,
+             (z * {1 << 58}) + ({_PYR_MORTON6} >> (2 * ({_PYR_MAXZ} - z))) AS quadkey,
+             lon, lat
+      FROM base CROSS JOIN (SELECT unnest(range({_PYR_MINZ}, {_PYR_MAXZ + 1})) AS z)
+    )
+    SELECT z AS tile_z, tile_x, tile_y, quadkey, count(*) AS n_records,
+           round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon,
+           round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat
+    FROM lv GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom rollup in one shuffle (operators/tiles.py tile_pyramid)."""
+    from landlensdb_spark.operators.tiles import tile_pyramid
+
+    pts = _points(spark, sf_dir)
+    out = tile_pyramid(pts, min_zoom=_PYR_MINZ, max_zoom=_PYR_MAXZ)
+    return out.withColumn("tile_z", F.col("tile_z").cast("long"))
+
+
+_GOPHER_SQL = r"""
+    w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, sum(c) AS n_words, count(*) AS n_unique, max(c) AS top_cnt,
+             sum(length(word) * c) AS sum_len,
+             sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN c ELSE 0 END) AS n_alpha
+      FROM pw GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT d.doc_id,
+             coalesce(p.n_words, 0) AS n_words,
+             round(coalesce(p.n_unique, 0) / cast(greatest(coalesce(p.n_words, 0), 1) AS double), 6) AS frac_unique_words,
+             round(coalesce(p.top_cnt, 0) / cast(greatest(coalesce(p.n_words, 0), 1) AS double), 6) AS top_word_frac,
+             round(coalesce(p.sum_len, 0) / cast(greatest(coalesce(p.n_words, 0), 1) AS double), 6) AS mean_word_len,
+             round(coalesce(p.n_alpha, 0) / cast(greatest(coalesce(p.n_words, 0), 1) AS double), 6) AS frac_alpha_words
+      FROM documents d LEFT JOIN per p USING (doc_id)
+    )
+"""
+
+
+@query(
+    "gopher_stats",
+    f"""
+    WITH {_GOPHER_SQL}
+    SELECT doc_id, n_words, frac_unique_words, top_word_frac, mean_word_len,
+           frac_alpha_words,
+           (n_words >= 20 AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+            AND frac_unique_words >= 0.2 AND top_word_frac <= 0.2
+            AND frac_alpha_words >= 0.8) AS gopher_keep
+    FROM stats
+    """,
+)
+def q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition/shape signals (operators/textstats.py),
+    shuffle-free higher-order folds vs the oracle's unnest+groupBy."""
+    from landlensdb_spark.operators.textstats import with_repetition_stats
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "n_words", "frac_unique_words", "top_word_frac",
+        "mean_word_len", "frac_alpha_words", "gopher_keep",
+    )
+
+
+def _url_import():
+    from landlensdb_spark.operators import urls as U
+
+    return U
+
+
+_URLS_RAW_SQL = None
+
+
+def _urls_raw_sql() -> str:
+    from landlensdb_spark.operators import urls as U
+
+    return (
+        f"raw AS (SELECT o_orderkey AS key, {U.synth_url_sql('o_orderkey')} AS url "
+        f"FROM orders),{U.normalize_sql_cte('raw')}"
+    )
+
+
+@query("url_normalize", None)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL + host + registrable domain (operators/urls.py)."""
+    U = _url_import()
+    o = tables.load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_orderkey").alias("key"),
+        U.synth_url_col(F.col("o_orderkey")).alias("url"),
+    )
+    return U.with_url_parts(raw, "url")
+
+
+ORACLES["url_normalize"] = (
+    f"WITH {_urls_raw_sql()} SELECT key, url, norm_url, host, domain FROM norm"
+)
+
+
+@query("host_stats", None)
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain rollup over canonicalized URLs — the host-level
+    aggregate a crawl dedup/prioritization pass runs (one hash groupBy;
+    distincts are partial-aggregated map-side)."""
+    U = _url_import()
+    o = tables.load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_orderkey").alias("key"),
+        U.synth_url_col(F.col("o_orderkey")).alias("url"),
+    )
+    return (
+        U.with_url_parts(raw, "url")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("norm_url").alias("n_urls"),
+        )
+    )
+
+
+ORACLES["host_stats"] = (
+    f"WITH {_urls_raw_sql()} "
+    "SELECT domain, count(*) AS n_pages, count(DISTINCT host) AS n_hosts, "
+    "count(DISTINCT norm_url) AS n_urls FROM norm GROUP BY domain"
+)

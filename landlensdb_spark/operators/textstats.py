@@ -137,3 +137,77 @@ def fingerprint_udf(text: pd.Series) -> pd.Series:
 
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_udf(F.col(text)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality signals (Rae et al. 2021 §A1.1, public)
+# ---------------------------------------------------------------------------
+
+def words_of(col: Column) -> Column:
+    """Whitespace word array; empty/blank text -> empty array (F.split of ''
+    yields [''] which would count one phantom word)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def top_run_count(sorted_arr: Column) -> Column:
+    """Multiplicity of the most frequent element of a SORTED array — one
+    fold over the array (JVM higher-order aggregate, no explode/shuffle).
+    Per-document mode counting via explode+groupBy would shuffle every word
+    of the corpus; this keeps repetition scoring shuffle-free."""
+    state = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return state["best"]
+
+
+def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach the Gopher repetition/shape signals + a keep flag.
+
+    Columns: n_words, frac_unique_words, top_word_frac, mean_word_len,
+    frac_alpha_words, gopher_keep. All pure JVM column math (split /
+    array_sort / higher-order fold) — zero Python, zero shuffle; the same
+    numbers a Gopher-rule filter computes before training-data selection.
+    """
+    words = words_of(F.col(text))
+    n_words = F.size(words).cast("long")
+    n_unique = F.size(F.array_distinct(words)).cast("long")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    top_cnt = top_run_count(F.array_sort(words))
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    frac_unique = F.round(n_unique / nw, 6)
+    top_frac = F.round(top_cnt / nw, 6)
+    mean_len = F.round(sum_len / nw, 6)
+    frac_alpha = F.round(n_alpha / nw, 6)
+    keep = (
+        (n_words >= 20)
+        & (mean_len >= 2.0)
+        & (mean_len <= 10.0)
+        & (frac_unique >= 0.2)
+        & (top_frac <= 0.2)
+        & (frac_alpha >= 0.8)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("frac_unique_words", frac_unique)
+        .withColumn("top_word_frac", top_frac)
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("frac_alpha_words", frac_alpha)
+        .withColumn("gopher_keep", keep)
+    )
