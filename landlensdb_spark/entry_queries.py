@@ -1430,3 +1430,50 @@ ORACLES["host_stats"] = (
     "SELECT domain, count(*) AS n_pages, count(DISTINCT host) AS n_hosts, "
     "count(DISTINCT norm_url) AS n_urls FROM norm GROUP BY domain"
 )
+
+
+@query(
+    "bloom_anti",
+    """
+    SELECT c_custkey AS key FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderkey % 20 = 0)
+    """,
+)
+def q_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers absent from a seen-custkey set via the Bloom-accelerated
+    anti-join (operators/bloom.py): definitely-unseen rows never shuffle;
+    output is bit-for-bit the exact left-anti join the oracle computes."""
+    from landlensdb_spark.operators.bloom import bloom_anti_join
+
+    cust = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    seen = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return bloom_anti_join(cust, seen, "key")
+
+
+def _geohash_oracle() -> str:
+    from landlensdb_spark.geo.geohash import geohash_sql
+
+    return (
+        f"WITH pts AS ({_PTS_SQL}) "
+        f"SELECT key, {geohash_sql('lon', 'lat', 8)} AS gh FROM pts"
+    )
+
+
+@query("geohash_cells", None)
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash p=8 sort keys (geo/geohash.py) — third index family next to
+    quadkey and S2; pure integer column math, golden-formula oracle."""
+    from landlensdb_spark.geo.geohash import geohash_encode
+
+    pts = _points(spark, sf_dir)
+    return pts.select("key", geohash_encode("lon", "lat", 8).alias("gh"))
+
+
+ORACLES["geohash_cells"] = _geohash_oracle()

