@@ -102,6 +102,16 @@ def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
     """
     from landlensdb_spark.geo.tiles import tile_x, tile_y
 
+    # memoized per (point-plan, columns, k): repeated kNN calls against the
+    # same point table (the production shape — one index, many probe batches)
+    # pay the density probe once, like snap's network-prep cache
+    try:
+        memo_key = (points._jdf.queryExecution().analyzed().semanticHash(), lon, lat, k)
+        if memo_key in _RES_CACHE:
+            return _RES_CACHE[memo_key]
+    except Exception:  # pragma: no cover - semanticHash unavailable
+        memo_key = None
+
     cands = list(range(6, 25, 2))
     base = max(cands)
     # one trig pass at the finest candidate res; every coarser cell id is a
@@ -129,7 +139,14 @@ def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
     for r in cands:  # ascending: keep the finest res that still meets target
         if n / max(row[f"_c{r}"], 1) >= target:
             best = r
+    if memo_key is not None:
+        if len(_RES_CACHE) >= 64:
+            _RES_CACHE.pop(next(iter(_RES_CACHE)))
+        _RES_CACHE[memo_key] = best
     return best
+
+
+_RES_CACHE: dict = {}
 
 
 def _dist2() -> Column:
@@ -189,13 +206,12 @@ def knn_join(
 
     # -- ring selection: smallest box radius r1 holding >= k points ---------
     boxed = (
-        prb.select("_pid", "_pcell")
-        .withColumn("_dx", F.explode(F.sequence(F.lit(-cap), F.lit(cap))))
+        prb.withColumn("_dx", F.explode(F.sequence(F.lit(-cap), F.lit(cap))))
         .withColumn("_dy", F.explode(F.sequence(F.lit(-cap), F.lit(cap))))
         .withColumn("_ring", F.greatest(F.abs("_dx"), F.abs("_dy")))
         .withColumn("_jc", _cell_shift(F.col("_pcell"), F.col("_dx"), F.col("_dy"), res))
         .filter(F.col("_jc").isNotNull())
-        .select("_pid", "_ring", "_jc")
+        .select("_pid", "_px", "_py", "_pcell", "_ring", "_jc")
     )
     # ONE aggregation computes r1 = min ring with cumulative count >= k: the
     # per-probe (ring, cell-count) entries — at most (2*cap+1)^2 of them —
@@ -219,15 +235,23 @@ def knn_join(
             .alias("r1"),
         ),
     )
+    # probe coords ride through the (tiny) boxed side so the resolved set
+    # needs no second join back to prb — one fewer broadcast-build stage in
+    # the action's critical path (stage latency dominates small-probe runs)
     r1 = (
         hist.join(maybe_bc(boxed), F.col("_hc") == F.col("_jc"), "inner")
         .groupBy("_pid")
-        .agg(fold["r1"].alias("_r1"))
+        .agg(
+            fold["r1"].alias("_r1"),
+            F.first("_px").alias("_px"),
+            F.first("_py").alias("_py"),
+            F.first("_pcell").alias("_pcell"),
+        )
         .filter(F.col("_r1") >= 0)
     )
 
     # -- certified candidate join at r2 = ceil(sqrt(2) * (r1 + 1)) ----------
-    resolved = prb.join(maybe_bc(r1), "_pid", "inner").withColumn(
+    resolved = r1.withColumn(
         "_r2", F.ceil(F.sqrt(F.lit(2.0)) * (F.col("_r1") + 1)).cast("int")
     )
     probe_cells = (
