@@ -1477,3 +1477,47 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["geohash_cells"] = _geohash_oracle()
+
+
+@query(
+    "first_per_source",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_first_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-record-per-key — the exact batch twin of the watermarked
+    streaming dedup (streaming/dedup.py dedup_batch)."""
+    from landlensdb_spark.streaming.dedup import dedup_batch
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup_batch(docs, key="source", ts="doc_id")
+
+
+@query("fetch_plan", None)
+def q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness schedule (operators/fetch.py fetch_plan): per-host
+    fetch waves bounding requests/host/wave — the data-parallel planning
+    step in front of the paced downloader."""
+    from landlensdb_spark.operators.fetch import fetch_plan
+
+    U = _url_import()
+    o = tables.load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_orderkey").alias("key"),
+        U.synth_url_col(F.col("o_orderkey")).alias("url"),
+    )
+    out = fetch_plan(raw, rps_per_host=2.0, wave_seconds=1.0, order_cols=["url", "key"])
+    return out.select("key", "url", "host", "fetch_wave")
+
+
+ORACLES["fetch_plan"] = (
+    f"WITH {_urls_raw_sql()}, "
+    "hosted AS (SELECT s3.key, s3.url, s3.host FROM s3), "
+    "seq AS (SELECT key, url, host, "
+    "  row_number() OVER (PARTITION BY host ORDER BY url, key) AS rn FROM hosted) "
+    "SELECT key, url, host, CAST((rn - 1) // 2 AS bigint) AS fetch_wave FROM seq"
+)

@@ -142,3 +142,48 @@ def resume_filter(
         F.col("status").isin(SUCCESS, FAILED_PERMANENT)
     ).select(id_col)
     return work.join(done, id_col, "left_anti")
+
+
+def fetch_plan(
+    urls: "DataFrame",
+    url_col: str = "url",
+    host_col: str | None = None,
+    rps_per_host: float = 2.0,
+    wave_seconds: float = 1.0,
+    order_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Politeness schedule for a crawl frontier: assign every URL a fetch
+    wave so no host sees more than ``rps_per_host * wave_seconds`` requests
+    per wave — the distributed planning step in front of
+    :func:`fetch_batched`'s per-task pacing.
+
+    The reference rate-limits globally at request time
+    (/root/reference/landlensdb/handlers/cloud.py:50-78 sleeps between
+    calls); at 10^9 frontier URLs the schedule itself must be computed
+    data-parallel: one window per host (``row_number`` ordered by url for
+    determinism and SQL-oracle parity), then ``wave = (seq - 1) div per_wave``.
+    Executors can then process waves in order (``repartitionByRange(wave)``)
+    with each wave's host-fanout bounded by construction. Pure column math;
+    the per-host window is the only shuffle and hosts are the natural
+    partition key. Deterministic: same frontier -> same schedule (resumes
+    re-plan identically).
+    """
+    from pyspark.sql import Window as _W
+
+    from landlensdb_spark.operators.urls import url_host
+
+    per_wave = max(int(rps_per_host * wave_seconds), 1)
+    host = F.col(host_col) if host_col else url_host(F.col(url_col))
+    tagged = urls.withColumn("_host", host)
+    # duplicate urls across rows would make row_number ties arbitrary;
+    # callers pass extra order_cols (e.g. a unique key) for determinism
+    order = [F.col(c).asc() for c in (order_cols or [url_col])]
+    w = _W.partitionBy("_host").orderBy(*order)
+    return (
+        tagged.withColumn("_seq", F.row_number().over(w))
+        .withColumn(
+            "fetch_wave", ((F.col("_seq") - F.lit(1)) / F.lit(per_wave)).cast("long")
+        )
+        .withColumn("host", F.col("_host"))
+        .drop("_host", "_seq")
+    )

@@ -127,3 +127,36 @@ def test_fused_pipeline_pushdown_and_single_stage(spark, pages_parquet):
     assert "PushedFilters: [IsNotNull(warc_ts), GreaterThanOrEqual(warc_ts" in plan
     assert _n_nodes(plan, "MapInPandas") == 1
     assert _n_nodes(plan, "ArrowEvalPython") == 0
+
+
+def test_bloom_anti_probe_side_filters_before_join(spark):
+    """The corpus side must reach the residual join only AFTER the bloom bit
+    test: the definite-miss branch is join-free, and the bloom build side
+    shuffles compact (chunk, bits) longs, never raw keys to the probe."""
+    from landlensdb_spark.operators.bloom import bloom_anti_join
+
+    corpus = spark.range(5000).select(F.col("id").alias("key"))
+    seen = spark.range(0, 5000, 7).select(F.col("id").alias("key"))
+    plan = _plan(bloom_anti_join(corpus, seen, "key"))
+    # exactly one anti-join (the residual), fed by a Filter on the bit test
+    assert _n_nodes(plan, "BroadcastHashJoin") + _n_nodes(plan, "SortMergeJoin") >= 1
+    assert "_might" not in plan.split("LeftAnti")[0].split("Filter")[0], (
+        "bit-test filter must precede the anti join"
+    )
+    # the might-test is pure column math: no python/pandas UDF anywhere
+    assert _n_nodes(plan, "BatchEvalPython") == 0
+    assert _n_nodes(plan, "ArrowEvalPython") == 0
+
+
+def test_tile_pyramid_single_aggregation_shuffle(spark):
+    from landlensdb_spark.operators.tiles import tile_pyramid
+
+    pts = spark.range(500).select(
+        F.col("id").alias("rec_id"),
+        (F.col("id") % 360 - 180.0 + 0.5).alias("lon"),
+        (F.col("id") % 160 - 80.0 + 0.5).alias("lat"),
+    )
+    plan = _plan(tile_pyramid(pts, min_zoom=0, max_zoom=6))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    # partial aggregation must sit below the exchange (map-side combine)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
