@@ -1521,3 +1521,47 @@ ORACLES["fetch_plan"] = (
     "  row_number() OVER (PARTITION BY host ORDER BY url, key) AS rn FROM hosted) "
     "SELECT key, url, host, CAST((rn - 1) // 2 AS bigint) AS fetch_wave FROM seq"
 )
+
+
+def _mvt_local_sql(frac: str, tile: str) -> str:
+    return f"least(greatest(cast(floor(({frac} - {tile}) * 4096) as bigint), 0), 4095)"
+
+
+_MVT_FX = "(lon + 180.0) / 360.0 * 16384"
+_MVT_ASINH = "ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0))"
+_MVT_FY = f"(1.0 - {_MVT_ASINH}/pi()) / 2.0 * 16384"
+
+
+@query(
+    "mvt_build",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    t AS (
+      SELECT key, {synth.tile_x_sql('lon', 14)} AS tile_x,
+             {synth.tile_y_sql('lat', 14)} AS tile_y,
+             {_MVT_FX} AS fx, {_MVT_FY} AS fy
+      FROM pts
+    )
+    SELECT key AS feature_id, tile_x, tile_y,
+           {_mvt_local_sql('fx', 'tile_x')} AS px,
+           {_mvt_local_sql('fy', 'tile_y')} AS py
+    FROM t
+    """,
+)
+def q_mvt_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile BUILD path cross-checked through the engine's own wire
+    codec: points -> encode_tiles (real MVT 2.1 bytes) -> tile_features
+    decode -> per-feature tile + local pixel coords; the oracle recomputes
+    the golden slippy/extent formulas directly. Zigzag/varint are lossless,
+    so any encode bug breaks the hash."""
+    from landlensdb_spark.operators.mvt import encode_tiles, tile_features
+
+    pts = _points(spark, sf_dir).withColumnRenamed("key", "img_id")
+    tiles = encode_tiles(pts, "img_id", zoom=14)
+    feats = tile_features(tiles)
+    return feats.select(
+        F.col("feature_id").cast("long").alias("feature_id"),
+        "tile_x", "tile_y",
+        F.col("px").cast("long").alias("px"),
+        F.col("py").cast("long").alias("py"),
+    )
