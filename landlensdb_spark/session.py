@@ -45,9 +45,15 @@ def get_spark(
         )
 
     conf = {
-        # Arrow transfer for every pandas UDF / mapInPandas stage.
+        # Arrow transfer for every pandas UDF / mapInPandas stage. 60k rows
+        # per batch measured ~7% faster than 20k on the fused extract path
+        # (fewer IPC round-trips); at ~0.5-2 KB/row of html that is tens of
+        # MB per in-flight batch per worker — rows much wider than this
+        # corpus should size DOWN via SPARK_GRAFT_ARROW_BATCH.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+            "SPARK_GRAFT_ARROW_BATCH", "60000"
+        ),
         # AQE: runtime coalesce, skew-join split, dynamic broadcast.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
