@@ -1321,9 +1321,14 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GOPHER_SQL = r"""
+    tr AS (
+      SELECT doc_id,
+             regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS t
+      FROM documents
+    ),
     w AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
-      FROM documents WHERE len(trim(text)) > 0
+      SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS word
+      FROM tr WHERE len(t) > 0
     ),
     pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
     per AS (
@@ -1372,9 +1377,6 @@ def _url_import():
     from landlensdb_spark.operators import urls as U
 
     return U
-
-
-_URLS_RAW_SQL = None
 
 
 def _urls_raw_sql() -> str:

@@ -24,10 +24,11 @@ Output is bit-for-bit the exact left-anti join (false positives are
 re-checked, never dropped), so the SQL oracle is a plain NOT IN — the
 filter only changes the plan, not the result.
 
-Sizing: m = next_pow2(bits_per_key * n_seen) capped at 2^30 bits (128 MB
-array — the same "small build side" regime as a broadcast hash join but
-~10x more keys per byte; beyond that, fall back to the plain shuffled
-anti-join, which `bloom_anti_join` does automatically).
+Sizing: m = next_pow2(bits_per_key * n_seen), capped at MAX_BITS (2^24 =
+2 MB, ~1.6M seen keys) because the build currently round-trips the chunk
+rows through the driver; larger seen sets fall back to the plain shuffled
+anti-join automatically. Same "small build side" regime as a broadcast
+hash join but ~10x more keys per byte at equal memory.
 """
 
 from __future__ import annotations
@@ -38,7 +39,13 @@ from pyspark.sql import functions as F
 #: default bits per seen key (k=5 -> ~3% false-positive rate at 10 bits/key)
 BITS_PER_KEY = 10
 N_HASHES = 5
-MAX_BITS = 1 << 30
+#: filter cap: 2^24 bits = 2 MB bit array / ~260k collected chunk rows /
+#: ~1.6M seen keys at 10 bits/key. The build's driver hop (collect chunks,
+#: re-ship as one array row) is what this bounds — beyond it the operator
+#: falls back to the plain shuffled anti-join. Scaling the filter further
+#: is a production extension (per-partition blooms, or a JVM-side dense
+#: array build), not a constant bump.
+MAX_BITS = 1 << 24
 
 
 def _positions(key, m: int, k: int):
@@ -94,6 +101,13 @@ def bloom_anti_join(
     action on the small side). Falls back to the plain anti-join when the
     filter would exceed MAX_BITS.
     """
+    # xxhash64 is type-sensitive: an int probe key and a long seen key hash
+    # differently even for equal values, which would route true members down
+    # the definitely-unseen branch (wrong results, silently). The exact join
+    # coerces types; the hash cannot — so a dtype mismatch falls back to the
+    # always-correct plain anti-join.
+    if df.schema[key].dataType != seen.schema[key].dataType:
+        return df.join(seen.select(key).distinct(), key, "left_anti")
     n = seen_count if seen_count is not None else seen.count()
     m = _next_pow2(max(bits_per_key * max(n, 1), 64))
     if m > MAX_BITS:

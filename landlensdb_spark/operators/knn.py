@@ -146,7 +146,16 @@ def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
     return best
 
 
+#: semanticHash keys the PLAN, not the data: rewriting files at the same
+#: path in a long-lived session reuses a stale res (results stay exact —
+#: the certificate holds at any res — but a now-denser field at a coarse
+#: res is the ~60M-candidate perf cliff). Call clear_res_cache() after
+#: rewriting an indexed point table, or pass res explicitly.
 _RES_CACHE: dict = {}
+
+
+def clear_res_cache() -> None:
+    _RES_CACHE.clear()
 
 
 def _dist2() -> Column:

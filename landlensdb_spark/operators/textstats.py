@@ -144,9 +144,13 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def words_of(col: Column) -> Column:
-    """Whitespace word array; empty/blank text -> empty array (F.split of ''
-    yields [''] which would count one phantom word)."""
-    trimmed = F.trim(col)
+    """Whitespace word array; NULL/empty/blank text -> empty array.
+
+    Trimming must strip ALL regex whitespace, not just spaces: F.trim only
+    removes ' ', so 'hello\\n' would split to ['hello', ''] and the phantom
+    empty word corrupts every downstream ratio (trailing newlines are
+    ubiquitous in extracted web text)."""
+    trimmed = F.regexp_replace(F.coalesce(col, F.lit("")), r"^\s+|\s+$", "")
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

@@ -23,10 +23,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dedup_batch(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
-    """Exact first-record-per-key (order by event time, then key column set
-    for a deterministic tie-break) — the backfill/parity twin."""
-    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+def dedup_batch(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact first-record-per-key — the backfill/parity twin.
+
+    Equal timestamps for one key (same-second re-fetches are common) make
+    ``row_number`` over ts alone nondeterministic across runs; pass
+    ``tiebreak`` columns that make the ordering total, or every non-key
+    column is used (deterministic, at the cost of a wider sort key)."""
+    order = [F.col(ts).asc()] + [
+        F.col(c).asc()
+        for c in (tiebreak if tiebreak is not None else
+                  [c for c in df.columns if c not in (key, ts)])
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -77,3 +77,13 @@ def test_bloom_preserves_duplicates_and_columns(spark):
         (r["key"], r["val"]) for r in bloom_anti_join(df, seen, "key").collect()
     )
     assert got == [(1, "a"), (1, "b"), (5, "d")]
+
+
+def test_mismatched_key_dtypes_stay_exact(spark):
+    """xxhash64 is type-sensitive (int 2 and long 2 hash differently); a
+    dtype mismatch must fall back to the coercing exact join, never the
+    hash path (which would emit every seen row as 'definitely unseen')."""
+    corpus = spark.createDataFrame([(i,) for i in range(50)], "key int")
+    seen = spark.range(0, 50, 2).select(F.col("id").alias("key"))  # long
+    got = sorted(r["key"] for r in bloom_anti_join(corpus, seen, "key").collect())
+    assert got == list(range(1, 50, 2))

@@ -196,3 +196,22 @@ def test_gopher_keep_flags(spark):
     long_ok = " ".join(f"word{i} item{i} text{i}" for i in range(10))
     df2 = spark.createDataFrame([(9, long_ok)], "doc_id long, text string")
     assert with_repetition_stats(df2).collect()[0]["gopher_keep"] is True
+
+
+def test_repetition_stats_whitespace_and_null(spark):
+    """Tabs/newlines must not create phantom words; NULL text scores as
+    empty (matching the SQL oracle's coalesce), not NULL."""
+    rows = [
+        (0, "hello world\n"),
+        (1, "\t\t"),
+        (2, None),
+        (3, "  a\tb\nc  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert out[0]["n_words"] == 2
+    assert out[0]["mean_word_len"] == 5.0
+    assert out[0]["frac_alpha_words"] == 1.0
+    assert out[1]["n_words"] == 0
+    assert out[2]["n_words"] == 0 and out[2]["gopher_keep"] is False
+    assert out[3]["n_words"] == 3 and out[3]["mean_word_len"] == 1.0

@@ -201,8 +201,11 @@ def main() -> None:
     eff_total = (res_lo["value"] / res_hi["value"]) / factor
     # host-normalized: engine speedup over what the host SUSTAINS for the big
     # level (a real cluster's 4N executors own 4N real cores; this VM's
-    # hypervisor does not hand 4x sustained cycles to 4x pinned workers)
-    eff_norm = (eff_pipeline * factor / sus_ratio) if sus_ratio else None
+    # hypervisor does not hand 4x sustained cycles to 4x pinned workers).
+    # Only meaningful when the engine runs were ALSO pinned — unpinned
+    # local[N] freeloads extra host cores, and normalizing an unpinned
+    # numerator by the pinned sustained denominator would overstate scaling.
+    eff_norm = (eff_pipeline * factor / sus_ratio) if (sus_ratio and args.pin) else None
 
     md = f"""# BENCH — two-cluster-size scaling evidence
 
