@@ -1567,3 +1567,33 @@ def q_mvt_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px").cast("long").alias("px"),
         F.col("py").cast("long").alias("py"),
     )
+
+
+@query(
+    "raster_density",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    t AS (
+      SELECT {synth.tile_x_sql('lon', 5)} AS tile_x,
+             {synth.tile_y_sql('lat', 5)} AS tile_y,
+             least(greatest(cast(floor(((lon + 180.0)/360.0*32 - {synth.tile_x_sql('lon', 5)}) * 16) as bigint), 0), 15) AS px,
+             least(greatest(cast(floor(((1.0 - ({_MVT_ASINH})/pi())/2.0*32 - {synth.tile_y_sql('lat', 5)}) * 16) as bigint), 0), 15) AS py
+      FROM pts
+    )
+    SELECT tile_x, tile_y, cast(px AS int) AS px, cast(py AS int) AS py,
+           cast(least(count(*) * 255 // 64, 255) AS int) AS intensity
+    FROM t GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster BUILD path cross-checked through the real PNG wire bytes:
+    points -> per-tile density PNG (stdlib zlib writer) -> decode -> pixel
+    rows; the oracle recomputes bin counts and the intensity ramp directly.
+    A global cap makes the shading value-exact across engines."""
+    from landlensdb_spark.operators.raster import raster_to_pixels, tile_density_raster
+
+    pts = _points(spark, sf_dir)
+    tiles = tile_density_raster(pts, zoom=5, grid=16, cap=64)
+    return raster_to_pixels(tiles).select(
+        "tile_x", "tile_y", "px", "py", "intensity"
+    )
