@@ -1320,14 +1320,17 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("tile_z", F.col("tile_z").cast("long"))
 
 
-_GOPHER_SQL = r"""
+_WS = r"[ \t\n\r\f\x0b]"  # Java \s exactly — RE2's \s excludes \x0B
+
+_GOPHER_SQL = rf"""
     tr AS (
       SELECT doc_id,
-             regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS t
+             regexp_replace(coalesce(text, ''),
+                            '^{_WS}+|{_WS}+$', '', 'g') AS t
       FROM documents
     ),
     w AS (
-      SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS word
+      SELECT doc_id, unnest(string_split_regex(t, '{_WS}+')) AS word
       FROM tr WHERE len(t) > 0
     ),
     pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),

@@ -106,12 +106,16 @@ def bloom_anti_join(
     # the definitely-unseen branch (wrong results, silently). The exact join
     # coerces types; the hash cannot — so a dtype mismatch falls back to the
     # always-correct plain anti-join.
-    if df.schema[key].dataType != seen.schema[key].dataType:
-        return df.join(seen.select(key).distinct(), key, "left_anti")
+    # resolve the key type through column resolution (case-insensitive,
+    # like the join itself) rather than a case-sensitive StructType lookup
+    probe_t = df.select(key).schema[0].dataType
+    seen_t = seen.select(key).schema[0].dataType
+    if probe_t != seen_t:
+        return df.join(seen.select(key), key, "left_anti")
     n = seen_count if seen_count is not None else seen.count()
     m = _next_pow2(max(bits_per_key * max(n, 1), 64))
     if m > MAX_BITS:
-        return df.join(seen.select(key).distinct(), key, "left_anti")
+        return df.join(seen.select(key), key, "left_anti")
     bits = build_bloom_bits(seen, key, m, k)
     spark = df.sparkSession
     bits_df = spark.createDataFrame([(bits,)], "_bloom_bits array<long>")
@@ -128,9 +132,10 @@ def bloom_anti_join(
     )
     definite = tagged.filter(~F.col("_might")).drop("_might")
     # the ~fp_rate tail that must be checked exactly (plus true members)
+    # left_anti needs no distinct on the build side (duplicates are a no-op)
     residual = (
         tagged.filter(F.col("_might"))
         .drop("_might")
-        .join(seen.select(key).distinct(), key, "left_anti")
+        .join(seen.select(key), key, "left_anti")
     )
     return definite.unionByName(residual)

@@ -59,8 +59,13 @@ def encode_png_gray(img: np.ndarray) -> bytes:
 
 
 def decode_png_gray(blob: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_png_gray` (round-trip tests + consumers)."""
-    assert blob[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    """Inverse of :func:`encode_png_gray` (round-trip tests + consumers).
+
+    Real exceptions, not asserts: this is a production read path and
+    ``python -O`` must not turn a foreign RGB/filtered PNG into silently
+    garbage pixel data."""
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
     i, w, h, idat = 8, None, None, b""
     while i < len(blob):
         (ln,) = struct.unpack(">I", blob[i : i + 4])
@@ -68,16 +73,20 @@ def decode_png_gray(blob: bytes) -> np.ndarray:
         payload = blob[i + 8 : i + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            assert (depth, ctype) == (8, 0), "grayscale-8 only"
+            if (depth, ctype) != (8, 0):
+                raise ValueError(f"grayscale-8 only, got depth={depth} type={ctype}")
         elif tag == b"IDAT":
             idat += payload
         i += 12 + ln
+    if w is None:
+        raise ValueError("PNG has no IHDR chunk")
     rows = zlib.decompress(idat)
     img = np.zeros((h, w), dtype=np.uint8)
     stride = w + 1
     for r in range(h):
         line = rows[r * stride : (r + 1) * stride]
-        assert line[0] == 0, "only filter 0 is written"
+        if not line or line[0] != 0:
+            raise ValueError("only scanline filter 0 is supported")
         img[r] = np.frombuffer(line[1:], dtype=np.uint8)
     return img
 
@@ -147,19 +156,32 @@ def raster_to_pixels(tiles: DataFrame, png_col: str = "png") -> DataFrame:
 
     schema = "tile_z int, tile_x long, tile_y long, px int, py int, intensity int"
 
+    cols = ["tile_z", "tile_x", "tile_y", "px", "py", "intensity"]
+
     def _run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                img = decode_png_gray(bytes(r[png_col]))
-                ys, xs = np.nonzero(img)
-                for x, y in zip(xs, ys):
-                    out.append(
-                        (r["tile_z"], r["tile_x"], r["tile_y"], int(x), int(y),
-                         int(img[y, x]))
+            parts = []
+            for z, x, y, blob in zip(
+                pdf["tile_z"], pdf["tile_x"], pdf["tile_y"], pdf[png_col]
+            ):
+                img = decode_png_gray(bytes(blob))
+                ys, xs = np.nonzero(img)  # vectorized: no per-pixel python
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "tile_z": np.full(len(xs), z, dtype=np.int32),
+                            "tile_x": np.full(len(xs), x, dtype=np.int64),
+                            "tile_y": np.full(len(xs), y, dtype=np.int64),
+                            "px": xs.astype(np.int32),
+                            "py": ys.astype(np.int32),
+                            "intensity": img[ys, xs].astype(np.int32),
+                        }
                     )
-            yield pd.DataFrame(
-                out, columns=["tile_z", "tile_x", "tile_y", "px", "py", "intensity"]
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame({c: [] for c in cols})
             )
 
     return tiles.mapInPandas(_run, schema)

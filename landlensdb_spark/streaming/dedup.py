@@ -35,11 +35,17 @@ def dedup_batch(
     ``row_number`` over ts alone nondeterministic across runs; pass
     ``tiebreak`` columns that make the ordering total, or every non-key
     column is used (deterministic, at the cost of a wider sort key)."""
-    order = [F.col(ts).asc()] + [
-        F.col(c).asc()
-        for c in (tiebreak if tiebreak is not None else
-                  [c for c in df.columns if c not in (key, ts)])
-    ]
+    if tiebreak is None:
+        # default: every remaining ORDERABLE column (maps cannot be sorted;
+        # including one would throw where the old ts-only ordering worked)
+        from pyspark.sql.types import MapType
+
+        tiebreak = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in (key, ts) and not isinstance(f.dataType, MapType)
+        ]
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -163,7 +163,10 @@ def main() -> None:
     print(f"host capacity probe: {lo}w={cap[lo]:.3g} it/s, {hi}w={cap[hi]:.3g} it/s "
           f"-> host gives {cap_ratio:.2f}x (ideal {hi/lo:.0f}x)")
     sus = sus_ratio = None
-    if args.sustained:
+    if args.sustained and not args.pin:
+        print("NOTE: --sustained skipped — the host-normalized efficiency it "
+              "feeds is only valid for pinned engine runs (pass --pin)")
+    elif args.sustained:
         sus = sustained_capacity([lo, hi], seconds=args.sustained, rest=args.rest)
         sus_ratio = sus[hi] / sus[lo]
         print(f"sustained {args.sustained:.0f}s capacity: host gives {sus_ratio:.2f}x "
