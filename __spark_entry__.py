@@ -51,6 +51,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from landlensdb_spark.entry_queries import ORACLES
+    from landlensdb_spark.entry_queries import resolve_oracles
 
-    return dict(ORACLES)
+    return resolve_oracles()

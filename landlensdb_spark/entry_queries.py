@@ -28,6 +28,22 @@ from landlensdb_spark.operators.tiles import tile_stats
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+#: oracles whose SQL embeds data-derived constants (e.g. trained centroids) —
+#: built on first resolve_oracles() call, not at import, so a broken testdata
+#: path fails LOUDLY at gate time instead of silently regressing the
+#: every-query-has-an-oracle invariant
+LAZY_ORACLES: dict[str, Callable[[], str]] = {}
+_RESOLVED_LAZY: dict[str, str] = {}
+
+
+def resolve_oracles() -> dict[str, str]:
+    """Static ORACLES plus lazily-built ones; raises if a lazy build fails."""
+    out = dict(ORACLES)
+    for name, build in LAZY_ORACLES.items():
+        if name not in _RESOLVED_LAZY:
+            _RESOLVED_LAZY[name] = build()
+        out[name] = _RESOLVED_LAZY[name]
+    return out
 
 
 def query(name: str, oracle: str | None = None):
@@ -1144,7 +1160,7 @@ def _quad_leaves_sql(capacity: int, max_zoom: int) -> str:
     ]
     for z in range(max_zoom - 1, -1, -1):
         ctes.append(
-            f"h{z} AS (SELECT x // 2 AS x, y // 2 AS y, sum(c) AS c"
+            f"h{z} AS (SELECT x // 2 AS x, y // 2 AS y, CAST(sum(c) AS BIGINT) AS c"
             f" FROM h{z + 1} GROUP BY 1, 2)"
         )
     parts = [
@@ -1271,15 +1287,20 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embed_ann_ivf"] = q_embed_ann_ivf
-try:
+
+
+def _ivf_ann_oracle() -> str:
     # centroid constants for the oracle come from the SAME deterministic
     # training the Spark query runs (numpy kernel on the vec_id-ordered
-    # sample); built once at import from the canonical correctness-gate SF
-    ORACLES["embed_ann_ivf"] = oracles.ivf_ann_sql(
+    # sample) at the canonical correctness-gate SF; resolved lazily via
+    # LAZY_ORACLES so a missing/moved testdata path raises at gate time
+    # instead of silently dropping the oracle (round-2 VERDICT #4)
+    return oracles.ivf_ann_sql(
         _ivf_oracle_centroids(), k=5, n_probe=4, n_probes_id_below=10
     )
-except Exception:  # pragma: no cover - oracle omitted if testdata missing
-    pass
+
+
+LAZY_ORACLES["embed_ann_ivf"] = _ivf_ann_oracle
 
 
 # ---------------------------------------------------------------------------
@@ -1335,14 +1356,14 @@ _GOPHER_SQL = rf"""
     ),
     pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
     per AS (
-      SELECT doc_id, sum(c) AS n_words, count(*) AS n_unique, max(c) AS top_cnt,
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_unique, max(c) AS top_cnt,
              sum(length(word) * c) AS sum_len,
              sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN c ELSE 0 END) AS n_alpha
       FROM pw GROUP BY doc_id
     ),
     stats AS (
       SELECT d.doc_id,
-             coalesce(p.n_words, 0) AS n_words,
+             CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
              round(coalesce(p.n_unique, 0) / cast(greatest(coalesce(p.n_words, 0), 1) AS double), 6) AS frac_unique_words,
              round(coalesce(p.top_cnt, 0) / cast(greatest(coalesce(p.n_words, 0), 1) AS double), 6) AS top_word_frac,
              round(coalesce(p.sum_len, 0) / cast(greatest(coalesce(p.n_words, 0), 1) AS double), 6) AS mean_word_len,

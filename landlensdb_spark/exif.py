@@ -130,10 +130,15 @@ def parse_exif_bytes(data: bytes) -> dict[int, object] | None:
     return None
 
 
-def gps_to_decimal(dms: list[tuple[int, int]], ref: str, neg_ref: str) -> float:
+def gps_to_decimal(dms: list[tuple[int, int]], ref: str, neg_ref: str) -> float | None:
     """(d, m, s) rationals + hemisphere ref -> signed decimal degrees — the
-    reference's conversion ops exactly (image.py:140-163)."""
+    reference's conversion ops exactly (image.py:140-163).
+
+    A zero denominator (corrupt rational) yields None — treat as untagged —
+    instead of a ZeroDivisionError that would fail the whole executor task."""
     (dn, dd), (mn, md), (sn, sd) = dms
+    if dd == 0 or md == 0 or sd == 0:
+        return None
     dec = dn / dd + (mn / md) / 60.0 + (sn / sd) / 3600.0
     return round(-dec if ref == neg_ref else dec, 6)
 

@@ -10,9 +10,14 @@ dominant cost even though almost every row misses.
 This operator builds a Bloom filter of the seen keys with one compact
 shuffle and turns the anti-join into a map-side bit test:
 
-1. BUILD: k positions per seen key (``xxhash64(key, i)``, JVM-side),
-   reduced to ``m/64`` longs by ``groupBy(chunk).agg(bit_or(mask))`` —
-   map-side combined, shuffle volume <= m/64 longs per input partition.
+1. BUILD (fully distributed — no driver round-trip): k positions per seen
+   key (``xxhash64(key, i)``, JVM-side), reduced to ``m/64`` longs by
+   ``groupBy(chunk).agg(bit_or(mask))`` — map-side combined, shuffle
+   volume <= m/64 longs per input partition. A ``spark.range(m/64)``
+   zero-filler unioned before the groupBy guarantees every chunk id is
+   present, so the final single-row agg
+   (``array_sort(collect_list(struct(chunk, bits)))`` -> ``transform``)
+   assembles the DENSE bit array entirely executor-side.
 2. SHIP: the bit array is one array<long> row, broadcast-crossJoined
    (Spark's own pattern for small dense side data; ~m/8 bytes once per
    executor, vs 8-16x more to broadcast the raw key set).
@@ -24,11 +29,13 @@ Output is bit-for-bit the exact left-anti join (false positives are
 re-checked, never dropped), so the SQL oracle is a plain NOT IN — the
 filter only changes the plan, not the result.
 
-Sizing: m = next_pow2(bits_per_key * n_seen), capped at MAX_BITS (2^24 =
-2 MB, ~1.6M seen keys) because the build currently round-trips the chunk
-rows through the driver; larger seen sets fall back to the plain shuffled
-anti-join automatically. Same "small build side" regime as a broadcast
-hash join but ~10x more keys per byte at equal memory.
+Sizing: m = next_pow2(bits_per_key * n_seen), capped at MAX_BITS (2^28 =
+32 MB bit array, ~26M seen keys at 10 bits/key — the 10^7-key seen-set
+regime this operator exists for). The cap bounds the broadcast payload
+and the one reduce task that assembles the dense array, not a driver
+collect; larger seen sets fall back to the plain shuffled anti-join
+automatically. Same "small build side" regime as a broadcast hash join
+but ~10x more keys per byte at equal memory.
 """
 
 from __future__ import annotations
@@ -39,13 +46,12 @@ from pyspark.sql import functions as F
 #: default bits per seen key (k=5 -> ~3% false-positive rate at 10 bits/key)
 BITS_PER_KEY = 10
 N_HASHES = 5
-#: filter cap: 2^24 bits = 2 MB bit array / ~260k collected chunk rows /
-#: ~1.6M seen keys at 10 bits/key. The build's driver hop (collect chunks,
-#: re-ship as one array row) is what this bounds — beyond it the operator
-#: falls back to the plain shuffled anti-join. Scaling the filter further
-#: is a production extension (per-partition blooms, or a JVM-side dense
-#: array build), not a constant bump.
-MAX_BITS = 1 << 24
+#: filter cap: 2^28 bits = 32 MB bit array = ~26M seen keys at 10 bits/key.
+#: Bounds the broadcast payload + the single dense-assembly reduce task
+#: (m/64 = 4M longs at the cap); beyond it the operator falls back to the
+#: plain shuffled anti-join. The build itself is distributed — no driver
+#: collect anywhere.
+MAX_BITS = 1 << 28
 
 
 def _positions(key, m: int, k: int):
@@ -54,29 +60,42 @@ def _positions(key, m: int, k: int):
     return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(k)]
 
 
+def build_bloom_bits_df(
+    seen: DataFrame, key: str, m: int, k: int = N_HASHES
+) -> DataFrame:
+    """The filter as ONE row ``_bloom_bits array<long>`` (m/64 longs),
+    built entirely executor-side: map-side-combined chunk bit_or over the
+    exploded positions, a range() zero-filler for absent chunks, then a
+    single-row dense assembly (sort by chunk id, project the bits)."""
+    spark = seen.sparkSession
+    pos = F.explode(F.array(*_positions(F.col(key), m, k))).alias("pos")
+    chunks = seen.select(pos).select(
+        F.shiftright("pos", 6).alias("chunk"),
+        # shift amount is per-row, so SQL expr (the python shiftleft
+        # wrapper only takes a literal shift)
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("mask"),
+    )
+    filler = spark.range(m // 64).select(
+        F.col("id").alias("chunk"), F.lit(0).cast("long").alias("mask")
+    )
+    dense = (
+        chunks.unionByName(filler)
+        .groupBy("chunk")
+        .agg(F.bit_or("mask").alias("bits"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("chunk", "bits"))).alias("cb")
+        )
+        .select(F.transform("cb", lambda s: s["bits"]).alias("_bloom_bits"))
+    )
+    return dense
+
+
 def build_bloom_bits(
     seen: DataFrame, key: str, m: int, k: int = N_HASHES
 ) -> list[int]:
-    """The filter as m/64 longs: one map-side-combined shuffle, tiny collect."""
-    pos = F.explode(F.array(*_positions(F.col(key), m, k))).alias("pos")
-    chunks = (
-        seen.select(pos)
-        .select(
-            F.shiftright("pos", 6).alias("chunk"),
-            # shift amount is per-row, so SQL expr (the python shiftleft
-            # wrapper only takes a literal shift)
-            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
-                "mask"
-            ),
-        )
-        .groupBy("chunk")
-        .agg(F.bit_or("mask").alias("bits"))
-        .collect()
-    )
-    bits = [0] * (m // 64)
-    for r in chunks:
-        bits[r["chunk"]] = r["bits"]
-    return bits
+    """Diagnostic/test convenience: the dense bit array as a python list
+    (one bounded collect of the single assembled row)."""
+    return build_bloom_bits_df(seen, key, m, k).collect()[0][0]
 
 
 def _next_pow2(n: int) -> int:
@@ -116,9 +135,7 @@ def bloom_anti_join(
     m = _next_pow2(max(bits_per_key * max(n, 1), 64))
     if m > MAX_BITS:
         return df.join(seen.select(key), key, "left_anti")
-    bits = build_bloom_bits(seen, key, m, k)
-    spark = df.sparkSession
-    bits_df = spark.createDataFrame([(bits,)], "_bloom_bits array<long>")
+    bits_df = build_bloom_bits_df(seen, key, m, k)
     tagged = df.crossJoin(F.broadcast(bits_df))
     for i, pos in enumerate(_positions(F.col(key), m, k)):
         tagged = tagged.withColumn(f"_p{i}", pos)

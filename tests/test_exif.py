@@ -82,3 +82,12 @@ def test_spark_operator_end_to_end(spark):
         np.array([r["lat"] for r in got]), np.round(synth.np_lat(i), 6)
     )
     assert "image_bytes" not in got[0].asDict()
+
+
+def test_gps_zero_denominator_is_untagged():
+    """Corrupt rational with a 0 denominator -> None (untagged), never a
+    ZeroDivisionError in the executor (round-3 ADVICE)."""
+    assert gps_to_decimal([(40, 1), (30, 0), (0, 1)], "N", "S") is None
+    assert gps_to_decimal([(40, 0), (30, 1), (0, 1)], "S", "S") is None
+    assert gps_to_decimal([(40, 1), (30, 1), (0, 0)], "N", "S") is None
+    assert gps_to_decimal([(40, 1), (30, 1), (0, 1)], "N", "S") == 40.5

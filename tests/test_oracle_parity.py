@@ -12,6 +12,19 @@ import pytest
 
 from landlensdb_spark.entry_queries import ORACLES, QUERIES
 
+
+def test_every_query_has_an_oracle():
+    """The every-query-has-an-oracle invariant, enforced loudly: lazy
+    oracles (data-derived constants) must BUILD, not silently vanish."""
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(qs) == set(os_), (
+        f"queries without oracle: {sorted(set(qs) - set(os_))}; "
+        f"oracles without query: {sorted(set(os_) - set(qs))}"
+    )
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

@@ -160,3 +160,21 @@ def test_tile_pyramid_single_aggregation_shuffle(spark):
     assert _n_nodes(plan, "Exchange") == 1, plan
     # partial aggregation must sit below the exchange (map-side combine)
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_line_dedup_hot_side_not_force_broadcast(spark):
+    """The df>threshold hot-line set is unbounded on web corpora, so the
+    anti-join must NOT carry a mandatory broadcast hint — strategy is left
+    to AQE (round-2 VERDICT #3). The logical plan therefore has no
+    ResolvedHint; with AQE on, small inputs may still broadcast at runtime
+    (that is the point)."""
+    from landlensdb_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nnav\nb"), (2, "nav\nc")], "doc_id long, text string"
+    )
+    out = line_dedup(df)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got == {1: "a\nb", 2: "c"}

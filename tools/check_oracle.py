@@ -41,6 +41,55 @@ def canon(rows, cols):
     return out
 
 
+# DuckDB result type → the Spark dtype string the driver's dtype-aware hash
+# expects. Anything NOT in this map (HUGEINT, DECIMAL, UHUGEINT...) is a type
+# the gate's pandas round-trip serializes differently from Spark → hash-red
+# even when the values are exact. Oracles must CAST those away.
+_DUCK_TO_SPARK = {
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz",
+}
+
+
+def _map_duck_type(t: str) -> str | None:
+    t = t.upper()
+    if t.endswith("[]"):
+        inner = _map_duck_type(t[:-2])
+        return None if inner is None else f"array<{inner}>"
+    return _DUCK_TO_SPARK.get(t)
+
+
+def check_types(name, df, con, sql) -> list[str]:
+    """Compare Spark dtypes vs DuckDB result types (both lazy/cheap).
+
+    Returns human-readable mismatch strings; empty list = clean."""
+    spark_types = dict(df.dtypes)
+    duck = con.execute(f"DESCRIBE {sql}").fetchall()
+    problems = []
+    for col, dtype, *_ in duck:
+        mapped = _map_duck_type(dtype)
+        want = spark_types.get(col)
+        if want is None:
+            continue  # column-name mismatch reported elsewhere
+        # timestamps: spark 'timestamp' vs 'timestamp_ntz' both serialize
+        # as naive datetime64 through pandas — treat as equivalent
+        if mapped is None or (
+            mapped != want
+            and not (mapped == "timestamp_ntz" and want == "timestamp")
+        ):
+            problems.append(f"{col}: duckdb {dtype} vs spark {want}")
+    return problems
+
+
 def main(names: list[str]):
     import __spark_entry__ as entry
     from landlensdb_spark.session import get_spark
@@ -67,8 +116,12 @@ def main(names: list[str]):
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            type_problems = check_types(name, df, con, oracles[name])
             a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
-            if sorted(spark_cols) != sorted(duck_cols):
+            if type_problems:
+                print(f"{name:24s} FAIL types: {'; '.join(type_problems)}")
+                failed.append(name)
+            elif sorted(spark_cols) != sorted(duck_cols):
                 print(f"{name:24s} FAIL cols: {sorted(spark_cols)} vs {sorted(duck_cols)}")
                 failed.append(name)
             elif len(a) != len(b):
