@@ -135,3 +135,150 @@ def write_geojson(
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
     return len(feats)
+
+
+def write_gpkg(
+    df,
+    path: str,
+    layer: str = "features",
+    lon: str = "lon",
+    lat: str = "lat",
+    properties: list[str] | None = None,
+    batch_rows: int = 10_000,
+) -> int:
+    """GeoPackage point-layer sink — the reference's ``to_file`` GPKG path
+    (geoimageframe.py:110-123, via pyogrio), rebuilt on stdlib sqlite3
+    against the public OGC GPKG spec (application_id 'GPKG', required
+    gpkg_spatial_ref_sys / gpkg_contents / gpkg_geometry_columns rows, and
+    the standard GeoPackageBinary header in front of each WKB geometry).
+
+    A .gpkg is one sqlite file, so this is inherently a single-writer edge
+    sink: rows stream driver-side via ``toLocalIterator`` (one partition in
+    memory at a time, batched inserts) — bounded exports, same contract as
+    write_geojson. The distributed sink for full tables remains
+    catalog.write_spatial. Returns the number of features written.
+    """
+    import datetime
+    import decimal
+    import os
+    import sqlite3
+    import struct
+
+    from landlensdb_spark.geo.wkb import point_wkb
+
+    cols = [c for c in df.columns if c not in (lon, lat)]
+    if properties is not None:
+        cols = [c for c in cols if c in set(properties)]
+
+    def sql_type(spark_t: str) -> str:
+        if spark_t in ("bigint", "int", "smallint", "tinyint", "boolean"):
+            return "INTEGER"
+        if spark_t in ("double", "float"):
+            return "REAL"
+        if spark_t == "binary":
+            return "BLOB"
+        return "TEXT"
+
+    types = dict(df.dtypes)
+
+    def safe(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, bytearray):
+            return bytes(v)
+        return v
+
+    def gpkg_blob(x: float, y: float) -> bytes:
+        # GeoPackageBinary: magic 'GP', version 0, flags 0b00000011
+        # (little-endian header, envelope indicator 1 = XY), srs_id,
+        # [minx maxx miny maxy], then the WKB point
+        header = b"GP\x00\x03" + struct.pack("<i", 4326)
+        env = struct.pack("<4d", x, x, y, y)
+        return header + env + point_wkb(x, y)
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 0x47504B47")
+        con.execute("PRAGMA user_version = 10300")  # GPKG 1.3
+        con.execute(
+            """CREATE TABLE gpkg_spatial_ref_sys (
+                 srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+                 organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+                 definition TEXT NOT NULL, description TEXT)"""
+        )
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            [
+                ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+                ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+                (
+                    "WGS 84 geodetic",
+                    4326,
+                    "EPSG",
+                    4326,
+                    'GEOGCS["WGS 84",DATUM["WGS_1984",'
+                    'SPHEROID["WGS 84",6378137,298.257223563]],'
+                    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+                    None,
+                ),
+            ],
+        )
+        con.execute(
+            """CREATE TABLE gpkg_contents (
+                 table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+                 identifier TEXT UNIQUE, description TEXT DEFAULT '',
+                 last_change DATETIME NOT NULL DEFAULT
+                   (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+                 min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+                 srs_id INTEGER)"""
+        )
+        con.execute(
+            """CREATE TABLE gpkg_geometry_columns (
+                 table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+                 geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+                 z TINYINT NOT NULL, m TINYINT NOT NULL,
+                 CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"""
+        )
+        attr_ddl = "".join(f', "{c}" {sql_type(types[c])}' for c in cols)
+        con.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+            f"geom BLOB{attr_ddl})"
+        )
+        placeholders = ",".join("?" * (len(cols) + 1))
+        insert = f'INSERT INTO "{layer}" (geom{"".join(", " + chr(34) + c + chr(34) for c in cols)}) VALUES ({placeholders})'
+        n = 0
+        bounds = [None, None, None, None]  # minx miny maxx maxy
+        batch = []
+        for r in df.toLocalIterator():
+            d = r.asDict()
+            x, y = float(d[lon]), float(d[lat])
+            if bounds[0] is None:
+                bounds = [x, y, x, y]
+            else:
+                bounds[0], bounds[1] = min(bounds[0], x), min(bounds[1], y)
+                bounds[2], bounds[3] = max(bounds[2], x), max(bounds[3], y)
+            batch.append((gpkg_blob(x, y), *(safe(d[c]) for c in cols)))
+            if len(batch) >= batch_rows:
+                con.executemany(insert, batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany(insert, batch)
+            n += len(batch)
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+            "min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
+            (layer, "features", layer, *bounds, 4326),
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,?,?)",
+            (layer, "geom", "POINT", 4326, 0, 0),
+        )
+        con.commit()
+    finally:
+        con.close()
+    return n

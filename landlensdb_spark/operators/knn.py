@@ -102,11 +102,22 @@ def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
     """
     from landlensdb_spark.geo.tiles import tile_x, tile_y
 
-    # memoized per (point-plan, columns, k): repeated kNN calls against the
-    # same point table (the production shape — one index, many probe batches)
-    # pay the density probe once, like snap's network-prep cache
+    # memoized per (point-plan, data snapshot, columns, k): repeated kNN
+    # calls against the same point table (the production shape — one index,
+    # many probe batches) pay the density probe once, like snap's
+    # network-prep cache. inputFiles() folds the concrete part-file names
+    # into the key: Spark writes job-unique part names, so rewriting a
+    # table at the same path yields a different key and a fresh probe —
+    # the plan-only semanticHash alone would reuse a stale res there.
     try:
-        memo_key = (points._jdf.queryExecution().analyzed().semanticHash(), lon, lat, k)
+        snap = hash(tuple(sorted(points.inputFiles())))
+        memo_key = (
+            points._jdf.queryExecution().analyzed().semanticHash(),
+            snap,
+            lon,
+            lat,
+            k,
+        )
         if memo_key in _RES_CACHE:
             return _RES_CACHE[memo_key]
     except Exception:  # pragma: no cover - semanticHash unavailable
@@ -146,11 +157,11 @@ def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
     return best
 
 
-#: semanticHash keys the PLAN, not the data: rewriting files at the same
-#: path in a long-lived session reuses a stale res (results stay exact —
-#: the certificate holds at any res — but a now-denser field at a coarse
-#: res is the ~60M-candidate perf cliff). Call clear_res_cache() after
-#: rewriting an indexed point table, or pass res explicitly.
+#: keyed by (plan semanticHash, sorted-inputFiles hash, cols, k) — the
+#: file-name component makes a rewrite at the same path a cache MISS
+#: (Spark part names are job-unique), so no manual invalidation is needed
+#: for file-backed tables. clear_res_cache() remains for exotic sources
+#: whose inputFiles() is empty (e.g. JDBC) where only the plan is keyed.
 _RES_CACHE: dict = {}
 
 

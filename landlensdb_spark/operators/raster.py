@@ -58,11 +58,49 @@ def encode_png_gray(img: np.ndarray) -> bytes:
     )
 
 
+def png_dims(blob: bytes) -> tuple[int, int] | None:
+    """(width, height) from the IHDR chunk of ANY PNG, or None if the
+    payload is not a PNG — real metadata extraction without a full decode."""
+    if blob is None or len(blob) < 24 or blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w, h = struct.unpack(">II", blob[16:24])
+    return (w, h)
+
+
+def _unfilter_scanline(ft: int, line: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """One PNG scanline filter inversion (spec filters 0-4, bpp=1).
+
+    Sub/Paeth carry a left-pixel dependency, so they fold sequentially;
+    None/Up/Average(first half) vectorize."""
+    if ft == 0:  # None
+        return line.copy()
+    if ft == 2:  # Up
+        return (line + prev).astype(np.uint8)
+    out = np.empty_like(line)
+    left = 0
+    for x in range(len(line)):
+        if ft == 1:  # Sub
+            v = line[x] + left
+        elif ft == 3:  # Average
+            v = line[x] + ((left + int(prev[x])) >> 1)
+        else:  # Paeth
+            a, b, c = left, int(prev[x]), int(prev[x - 1]) if x else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = line[x] + pred
+        out[x] = v & 0xFF
+        left = int(out[x])
+    return out
+
+
 def decode_png_gray(blob: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_png_gray` (round-trip tests + consumers).
+    """Grayscale-8 PNG decoder (all five scanline filters of the public
+    spec; round-trip inverse of :func:`encode_png_gray`, and reads foreign
+    gray-8 PNGs regardless of the encoder's filter choices).
 
     Real exceptions, not asserts: this is a production read path and
-    ``python -O`` must not turn a foreign RGB/filtered PNG into silently
+    ``python -O`` must not turn an RGB/interlaced PNG into silently
     garbage pixel data."""
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
@@ -72,9 +110,13 @@ def decode_png_gray(blob: bytes) -> np.ndarray:
         tag = blob[i + 4 : i + 8]
         payload = blob[i + 8 : i + 8 + ln]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
             if (depth, ctype) != (8, 0):
                 raise ValueError(f"grayscale-8 only, got depth={depth} type={ctype}")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNGs are not supported")
         elif tag == b"IDAT":
             idat += payload
         i += 12 + ln
@@ -83,12 +125,51 @@ def decode_png_gray(blob: bytes) -> np.ndarray:
     rows = zlib.decompress(idat)
     img = np.zeros((h, w), dtype=np.uint8)
     stride = w + 1
+    prev = np.zeros(w, dtype=np.uint16)
     for r in range(h):
         line = rows[r * stride : (r + 1) * stride]
-        if not line or line[0] != 0:
-            raise ValueError("only scanline filter 0 is supported")
-        img[r] = np.frombuffer(line[1:], dtype=np.uint8)
+        if len(line) != stride or line[0] > 4:
+            raise ValueError("corrupt scanline")
+        cur = _unfilter_scanline(
+            line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.uint16), prev
+        )
+        img[r] = cur
+        prev = cur.astype(np.uint16)
     return img
+
+
+def resize_gray(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic downscale: exact box-filter (block mean) when the
+    ratio is integer on an axis, nearest-neighbor otherwise — the
+    dependency-free analog of the reference's LANCZOS thumbnail
+    (/root/reference/landlensdb/handlers/image.py:95-138)."""
+    h, w = img.shape
+    out = img
+    if out_h != h:
+        if h % out_h == 0:
+            out = out.reshape(out_h, h // out_h, -1).mean(axis=1)
+        else:
+            idx = (np.arange(out_h) * h) // out_h
+            out = out[idx]
+    if out_w != w:
+        if w % out_w == 0:
+            out = out.reshape(out.shape[0], out_w, w // out_w).mean(axis=2)
+        else:
+            idx = (np.arange(out_w) * w) // out_w
+            out = out[:, idx]
+    return np.asarray(np.round(out), dtype=np.uint8)
+
+
+def png_thumbnail(blob: bytes, max_w: int = 128, max_h: int = 128) -> bytes:
+    """Aspect-preserving PNG thumbnail (PIL ``Image.thumbnail`` contract:
+    shrink-only, fits within (max_w, max_h)) built entirely on the in-repo
+    codec — decode, box/nearest resize, re-encode. Raises ValueError for
+    non-PNG payloads (JPEG decode remains an injected-codec seam)."""
+    img = decode_png_gray(blob)
+    h, w = img.shape
+    scale = min(max_w / w, max_h / h, 1.0)
+    ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
+    return encode_png_gray(resize_gray(img, ow, oh))
 
 
 def tile_density_raster(

@@ -81,3 +81,48 @@ def test_merge_by_key(spark, tmp_path):
     merge_by_key(spark, path, second, "k", conflict="update")
     got = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_write_gpkg_spec_tables_and_geometry(spark, tmp_path):
+    """GPKG sink: application_id/user_version pragmas, the three required
+    spec tables, bounds in gpkg_contents, and per-row GeoPackageBinary
+    headers wrapping the exact point WKB."""
+    import sqlite3
+    import struct
+
+    from landlensdb_spark.export import write_gpkg
+    from landlensdb_spark.geo.wkb import point_wkb
+
+    df = spark.createDataFrame(
+        [(1, "a", -74.0, 40.7), (2, "b", 139.7, 35.7), (3, "c", 2.35, 48.85)],
+        "pid long, name string, lon double, lat double",
+    )
+    path = str(tmp_path / "out.gpkg")
+    assert write_gpkg(df, path, layer="pts") == 3
+
+    con = sqlite3.connect(path)
+    assert con.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
+    assert con.execute("PRAGMA user_version").fetchone()[0] == 10300
+    tables = {
+        r[0]
+        for r in con.execute("SELECT name FROM sqlite_master WHERE type='table'")
+    }
+    assert {
+        "gpkg_spatial_ref_sys",
+        "gpkg_contents",
+        "gpkg_geometry_columns",
+        "pts",
+    } <= tables
+    row = con.execute(
+        "SELECT data_type, min_x, min_y, max_x, max_y, srs_id FROM gpkg_contents"
+    ).fetchone()
+    assert row == ("features", -74.0, 35.7, 139.7, 48.85, 4326)
+    assert con.execute("SELECT geometry_type_name, srs_id FROM gpkg_geometry_columns").fetchone() == ("POINT", 4326)
+    rows = con.execute('SELECT pid, name, geom FROM "pts" ORDER BY pid').fetchall()
+    assert [(r[0], r[1]) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
+    blob = rows[0][2]
+    assert blob[:2] == b"GP" and blob[3] == 0x03
+    assert struct.unpack("<i", blob[4:8])[0] == 4326
+    assert struct.unpack("<4d", blob[8:40]) == (-74.0, -74.0, 40.7, 40.7)
+    assert bytes(blob[40:]) == point_wkb(-74.0, 40.7)
+    con.close()

@@ -159,3 +159,31 @@ def test_knn_auto_res_matches_manual(spark):
     # ~2000 points in a ~0.1-degree urban field: the density rule must land
     # in the fine-grid regime, not the coarse flood regime
     assert 16 <= r <= 24
+
+
+def test_auto_res_cache_misses_on_table_rewrite(spark, tmp_path):
+    """Rewriting a point table at the SAME path must re-run the density
+    probe (res cache keys the concrete part files, not just the plan) —
+    the round-2 stale-res perf cliff."""
+    import numpy as np
+
+    from landlensdb_spark.operators.knn import _auto_res
+
+    path = str(tmp_path / "pts.parquet")
+
+    def write(spread):
+        i = np.arange(2000)
+        lon = (i % 211) * spread / 211.0
+        lat = (i // 211) * spread / 211.0
+        spark.createDataFrame(
+            [(int(a), float(b), float(c)) for a, b, c in zip(i, lon, lat)],
+            "point_id long, lon double, lat double",
+        ).coalesce(2).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    dense = write(0.05)        # ~2000 pts in 0.05 deg -> very fine grid
+    r_dense = _auto_res(dense, "lon", "lat", 5)
+    sparse = write(120.0)      # same path, now spread over 120 deg
+    r_sparse = _auto_res(sparse, "lon", "lat", 5)
+    assert r_sparse != r_dense, "stale res reused after rewrite"
+    assert r_dense > r_sparse  # denser field -> finer grid

@@ -70,3 +70,115 @@ def test_density_normalization_modes(spark):
     for r in rows:
         img = decode_png_gray(bytes(r["png"]))
         assert img.max() <= r["n_records"] * 255 // 1000 + 255 // 1000 + 1
+
+
+# ---------------------------------------------------------------------------
+# PNG thumbnail path (round-3: F25 via the in-repo codec)
+# ---------------------------------------------------------------------------
+
+def _filtered_png(img, filters):
+    """Hand-build a gray-8 PNG using the GIVEN per-row filter types, so the
+    decoder's unfiltering (spec filters 0-4) is exercised — our encoder
+    always emits filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        line = img[r].astype(np.int64)
+        ft = filters[r % len(filters)]
+        raw.append(ft)
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - np.concatenate([[0], line[:-1]])
+        elif ft == 2:
+            enc = line - prev
+        elif ft == 3:
+            left = np.concatenate([[0], line[:-1]])
+            enc = line - ((left + prev) >> 1)
+        else:  # paeth
+            enc = np.empty(w, dtype=np.int64)
+            for x in range(w):
+                a = int(line[x - 1]) if x else 0
+                b, c = int(prev[x]), (int(prev[x - 1]) if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = line[x] - pred
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_all_scanline_filters():
+    import numpy as np
+
+    from landlensdb_spark.operators.raster import decode_png_gray
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(10, 17), dtype=np.uint8)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        blob = _filtered_png(img, filters)
+        assert np.array_equal(decode_png_gray(blob), img), f"filters {filters}"
+
+
+def test_png_thumbnail_roundtrip_dims_and_intensity():
+    import numpy as np
+
+    from landlensdb_spark.operators.raster import (
+        decode_png_gray,
+        encode_png_gray,
+        png_thumbnail,
+    )
+
+    # 64x32 horizontal ramp: each 4x4 block has a known mean
+    img = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+    blob = encode_png_gray(img)
+    thumb = png_thumbnail(blob, max_w=16, max_h=16)
+    out = decode_png_gray(thumb)
+    assert out.shape == (8, 16)  # aspect preserved: 64x32 -> 16x8
+    want = np.round(img.reshape(8, 4, 16, 4).mean(axis=(1, 3))).astype(np.uint8)
+    assert np.array_equal(out, want)
+    # shrink-only: already-small images pass through at native size
+    small = png_thumbnail(blob, max_w=256, max_h=256)
+    assert decode_png_gray(small).shape == (32, 64)
+
+
+def test_media_thumbnail_operator(spark):
+    import numpy as np
+
+    from landlensdb_spark.operators.multimodal import media_thumbnail
+    from landlensdb_spark.operators.raster import encode_png_gray
+
+    img = np.tile(np.arange(40, dtype=np.uint8) * 6, (20, 1))
+    rows = [
+        ("png", bytearray(encode_png_gray(img))),
+        ("jpeg", bytearray(b"\xff\xd8\xff\xe0 not decodable here")),
+        ("empty", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "name string, media binary")
+    got = {r["name"]: r for r in media_thumbnail(df, max_w=10, max_h=10).collect()}
+    assert (got["png"]["thumb_w"], got["png"]["thumb_h"]) == (10, 5)
+    assert got["png"]["thumb"] is not None
+    assert got["jpeg"]["thumb"] is None and got["jpeg"]["thumb_w"] is None
+    assert got["empty"]["thumb"] is None
