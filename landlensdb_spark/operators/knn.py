@@ -87,7 +87,11 @@ def _cell_shift(cell: Column, dx: Column, dy: Column, res: int) -> Column:
 
 
 def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
-    """Pick the expansion grid from OBSERVED density: the finest resolution
+    return _auto_res_info(points, lon, lat, k)[0]
+
+
+def _auto_res_info(points: DataFrame, lon: str, lat: str, k: int) -> tuple[int, bool]:
+    """(res, met_target): pick the expansion grid from OBSERVED density — the finest resolution
     whose average points per occupied cell is still >= k/2 (so the ring
     search certifies at r1 <= ~1 and box r2 holds O(k) candidates). One
     map-side HLL pass computes all candidate resolutions at once; hand-tuned
@@ -144,17 +148,18 @@ def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
     ).first()
     n = row["_n"]
     if not n:
-        return 12
-    best = cands[0]
+        return (12, False)
+    best, met = cands[0], False
     target = max(k / 2.0, 1.0)
     for r in cands:  # ascending: keep the finest res that still meets target
         if n / max(row[f"_c{r}"], 1) >= target:
-            best = r
+            best, met = r, True
+    out = (best, met)
     if memo_key is not None:
         if len(_RES_CACHE) >= 64:
             _RES_CACHE.pop(next(iter(_RES_CACHE)))
-        _RES_CACHE[memo_key] = best
-    return best
+        _RES_CACHE[memo_key] = out
+    return out
 
 
 #: keyed by (plan semanticHash, sorted-inputFiles hash, cols, k) — the
@@ -188,6 +193,7 @@ def knn_join(
     max_rounds: int = 3,
     broadcast_probes: bool = True,
     persist_points: bool = False,
+    fixed_ring: int | None = None,
 ) -> DataFrame:
     """Exact k-nearest ``points`` for every probe row.
 
@@ -199,9 +205,24 @@ def knn_join(
     ``start_ring << (max_rounds - 1)`` before brute-force fallback.
     ``broadcast_probes=False`` for probe sets too big to broadcast
     (e.g. self-kNN); the joins then shuffle both sides and AQE re-plans.
+
+    ``fixed_ring``: skip the adaptive histogram/ring-selection stages and
+    certify every probe at the CONSTANT box radius ``fixed_ring`` instead —
+    the certificate moves into the candidate join itself (a probe whose
+    box ``fixed_ring`` holds >= k candidates is provably exact; the rest
+    brute-force). Cuts three stage boundaries (histogram shuffle, ring
+    groupBy, one broadcast build) at the cost of a somewhat larger constant
+    candidate box. Engaged AUTOMATICALLY (at ring 1) when ``res`` came from
+    the density probe and the probe met its >= k/2 points-per-cell target —
+    there, box 1 averages >= 4.5*(k/2) candidates, so nearly every probe
+    certifies. Pass an int to force it, or rely on ``res=...`` to keep the
+    adaptive path.
     """
+    met_target = False
     if res is None:
-        res = _auto_res(points, lon, lat, k)
+        res, met_target = _auto_res_info(points, lon, lat, k)
+    if fixed_ring is None and met_target:
+        fixed_ring = 1
     cellsz = WORLD / (1 << res)
     cap = start_ring << (max_rounds - 1)
 
@@ -220,6 +241,57 @@ def knn_join(
     if persist_points:
         pts = pts.persist()
     maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
+    w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_nid").asc())
+
+    if fixed_ring is not None:
+        # -- fixed-ring fast path: no histogram, no ring selection ----------
+        # Certificate (same geometry as the adaptive path): if a probe's
+        # Chebyshev box r1c holds >= k points, they all lie within
+        # sqrt(2)*(r1c+1)*cell, and anything outside box
+        # r2c = ceil(sqrt(2)*(r1c+1)) is at least that far — so the top-k
+        # over the r2c candidates is exact. The within-r1c count is read off
+        # the candidate rows themselves (the ring tag rides the exploded
+        # box), so certification shares the candidate join's one shuffle.
+        r1c = fixed_ring
+        r2c = math.ceil(math.sqrt(2.0) * (r1c + 1))
+        probe_cells = (
+            prb.withColumn("_dx", F.explode(F.sequence(F.lit(-r2c), F.lit(r2c))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-r2c), F.lit(r2c))))
+            .withColumn("_ring", F.greatest(F.abs("_dx"), F.abs("_dy")))
+            .withColumn(
+                "_jc", _cell_shift(F.col("_pcell"), F.col("_dx"), F.col("_dy"), res)
+            )
+            .filter(F.col("_jc").isNotNull())
+            .select("_pid", "_px", "_py", "_ring", "_jc")
+        )
+        wp = Window.partitionBy("_pid")
+        cand = (
+            pts.join(maybe_bc(probe_cells), F.col("_ncell") == F.col("_jc"), "inner")
+            .withColumn(
+                "_nclose",
+                F.sum(F.when(F.col("_ring") <= r1c, 1).otherwise(0)).over(wp),
+            )
+            .withColumn("dist2", _dist2())
+            .withColumn("rank", F.row_number().over(w))
+        )
+        topk = cand.filter((F.col("_nclose") >= k) & (F.col("rank") <= k)).select(
+            "_pid", "_nid", "dist2", "rank"
+        )
+        unresolved = prb.join(maybe_bc(topk.select("_pid")), "_pid", "left_anti")
+        fallback = (
+            unresolved.select("_pid", "_px", "_py")
+            .crossJoin(pts.drop("_ncell"))
+            .withColumn("dist2", _dist2())
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("_pid", "_nid", "dist2", "rank")
+        )
+        return topk.unionByName(fallback).select(
+            F.col("_pid").alias(probe_id),
+            F.col("_nid").alias(point_id),
+            "dist2",
+            "rank",
+        )
 
     # -- histogram: points per cell (map-side combine keeps the shuffle tiny)
     hist = pts.groupBy(F.col("_ncell").alias("_hc")).agg(F.count("*").alias("_hn"))
@@ -281,7 +353,6 @@ def knn_join(
         .filter(F.col("_jc").isNotNull())
         .select("_pid", "_px", "_py", "_jc")
     )
-    w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_nid").asc())
     topk = (
         pts.join(maybe_bc(probe_cells), F.col("_ncell") == F.col("_jc"), "inner")
         .withColumn("dist2", _dist2())

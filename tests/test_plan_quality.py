@@ -178,3 +178,29 @@ def test_line_dedup_hot_side_not_force_broadcast(spark):
     assert "ResolvedHint" not in logical and "BROADCAST" not in logical
     got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
     assert got == {1: "a\nb", 2: "c"}
+
+
+def test_knn_fixed_ring_skips_histogram_stages(spark):
+    """The fixed-ring fast path must contain NO aggregation (histogram or
+    ring-selection groupBy) — certification rides the candidate join's own
+    window. Three stage boundaries fewer than the adaptive path."""
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark import synth
+    from landlensdb_spark.operators.knn import knn_join
+
+    k = F.col("id")
+    pts = spark.range(5000).select(
+        k.alias("point_id"),
+        synth.probe_lon_col(k).alias("lon"),
+        synth.probe_lat_col(k).alias("lat"),
+    )
+    prb = spark.range(50).select(
+        k.alias("probe_id"),
+        synth.probe_lon_col(k * 7).alias("lon"),
+        synth.probe_lat_col(k * 7).alias("lat"),
+    )
+    fixed = _plan(knn_join(prb, pts, k=5, res=18, fixed_ring=1))
+    assert _n_nodes(fixed, "HashAggregate") == 0
+    adaptive = _plan(knn_join(prb, pts, k=5, res=18))
+    assert _n_nodes(adaptive, "HashAggregate") > 0  # histogram + ring groupBy
