@@ -1621,3 +1621,228 @@ def q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_to_pixels(tiles).select(
         "tile_x", "tile_y", "px", "py", "intensity"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pipeline operators: PII scrub, deterministic sampling, shard
+# packing, benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _pii_aug_sql() -> str:
+    """Deterministic PII-bearing augmentation of the synthetic docs (the
+    corpus text has no emails/digits, so both engines append identical
+    planted PII keyed on doc_id before scanning)."""
+    return (
+        "coalesce(text, '')"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com for details' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'"
+        " || CAST(100 + doc_id % 900 AS VARCHAR) || '-'"
+        " || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+    )
+
+
+def _pii_aug_col() -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@mail.example.com for details"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.lit(100) + d % 900).cast("string"),
+                F.lit("-"),
+                (F.lit(1000) + d % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" from 192.168."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                ((d * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_oracle() -> str:
+    from landlensdb_spark.operators.pii import pii_sql_exprs
+
+    ex = pii_sql_exprs("aug")
+    return f"""
+    WITH a AS (SELECT doc_id, {_pii_aug_sql()} AS aug FROM documents)
+    SELECT doc_id, {ex['n_email']} AS n_email, {ex['n_phone']} AS n_phone,
+           {ex['n_ipv4']} AS n_ipv4, {ex['redacted']} AS redacted
+    FROM a
+    """
+
+
+@query("pii_redact", None)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (scale: pure-codegen regex map, zero shuffle) over docs
+    augmented with deterministic planted PII — counts + masked text must
+    match the oracle's RE2 run byte-for-byte."""
+    from landlensdb_spark.operators.pii import scrub_pii
+
+    docs = tables.load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _pii_aug_col().alias("text"))
+    return scrub_pii(aug).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+ORACLES["pii_redact"] = _pii_oracle()
+
+
+def _stratified_oracle() -> str:
+    from landlensdb_spark.operators.sampling import mix_key_sql
+
+    mk = mix_key_sql("doc_id")
+    return f"""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY {mk} ASC, doc_id ASC
+             ) AS INTEGER) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 20
+    """
+
+
+@query("stratified_docs", None)
+def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample (one window shuffle; identical
+    row set on any engine/cluster size — no RNG, no partition-order
+    dependence)."""
+    from landlensdb_spark.operators.sampling import stratified_sample
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 20).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+ORACLES["stratified_docs"] = _stratified_oracle()
+
+
+def _hash_sample_oracle(rate_ppm: int) -> str:
+    from landlensdb_spark.operators.sampling import MIX_MOD, mix_key_sql
+
+    threshold = rate_ppm * MIX_MOD // 1_000_000
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {mix_key_sql('doc_id')} < {threshold}
+    """
+
+
+@query("hash_sample_docs", None)
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~15% deterministic rate sample: a pure filter (no shuffle, no RNG)
+    that reproduces exactly on reruns and other engines."""
+    from landlensdb_spark.operators.sampling import hash_sample
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 150_000).select("doc_id", "lang")
+
+
+ORACLES["hash_sample_docs"] = _hash_sample_oracle(150_000)
+
+_SHARD_TOKENS = 2000
+
+
+@query(
+    "token_shards",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / {_SHARD_TOKENS}.0) AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the DISTRIBUTED prefix sum (range
+    shuffle + per-partition scan + broadcast offsets — never the single
+    global-window task); the oracle computes the same global cumsum
+    directly."""
+    from landlensdb_spark.operators.shards import pack_token_shards
+    from landlensdb_spark.operators.textstats import token_count
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_token_shards(toks, "n_tokens", "doc_id", _SHARD_TOKENS).select(
+        "doc_id", "n_tokens", "shard_id"
+    )
+
+
+_CONTAM_N = 5
+_CONTAM_BENCH = 25
+_CONTAM_SHINGLE = " || ' ' || ".join(f"w[i+{d + 1}]" for d in range(_CONTAM_N))
+
+
+@query(
+    "contamination_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, len(w) - {_CONTAM_N - 1}), i -> {_CONTAM_SHINGLE}
+               )) AS shingle
+        FROM toks WHERE len(w) >= {_CONTAM_N})
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_CONTAM_BENCH}),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+    hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM sh s JOIN bench b USING (shingle) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           round(coalesce(h.n_contaminated, 0)
+                 / CAST(greatest(coalesce(p.n_shingles, 0), 1) AS DOUBLE), 6)
+             AS contamination
+    FROM documents d
+    LEFT JOIN per p USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: 5-gram overlap of every doc vs the
+    doc_id<25 'eval set' (semi-join on the shingle string — the benchmark
+    side is tiny and broadcastable at any corpus scale)."""
+    from landlensdb_spark.operators.contamination import contamination_scores
+
+    docs = tables.load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < _CONTAM_BENCH)
+    return contamination_scores(docs, bench, n=_CONTAM_N)

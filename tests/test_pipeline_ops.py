@@ -1,0 +1,150 @@
+"""Round-3 pipeline operators: PII scrub, deterministic sampling, token
+shard packing, contamination scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+def test_pii_counts_and_redaction(spark):
+    from landlensdb_spark.operators.pii import scrub_pii
+
+    rows = [
+        (1, "write bob.smith+x@corp.example.co or call 555-123-4567 now"),
+        (2, "server at 10.0.200.13 and 192.168.1.1, mail a@b.io"),
+        (3, "no pii here at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in scrub_pii(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 0)
+    assert got[1]["redacted"] == "write [EMAIL] or call [PHONE] now"
+    assert (got[2]["n_email"], got[2]["n_ipv4"]) == (1, 2)
+    assert got[2]["redacted"] == "server at [IP] and [IP], mail [EMAIL]"
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
+    assert got[3]["redacted"] == "no pii here at all"
+    assert got[4]["redacted"] == ""
+
+
+def test_pii_email_redacted_before_phone_pattern_can_match(spark):
+    from landlensdb_spark.operators.pii import scrub_pii
+
+    # digits inside an email local part must not double-count as phone
+    df = spark.createDataFrame([(1, "x 555-123-4567@mail.example.com y")], "id long, text string")
+    r = scrub_pii(df).collect()[0]
+    assert (r["n_email"], r["n_phone"]) == (1, 1)  # counts scan the raw text
+    assert r["redacted"] == "x [EMAIL] y"  # but redaction masks email first
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from landlensdb_spark.operators.sampling import hash_sample
+
+    df = spark.range(10_000).select(F.col("id").alias("key"))
+    a = sorted(r["key"] for r in hash_sample(df, "key", 100_000).collect())
+    b = sorted(
+        r["key"]
+        for r in hash_sample(df.repartition(13), "key", 100_000).collect()
+    )
+    assert a == b and len(a) > 0
+    # ~10% +- 2% on 10k uniform keys
+    assert 800 <= len(a) <= 1200
+
+
+def test_stratified_sample_exact_counts_and_rank(spark):
+    from landlensdb_spark.operators.sampling import stratified_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("key"), (F.col("id") % 7).cast("string").alias("grp")
+    )
+    out = stratified_sample(df, "grp", "key", 10).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["sample_rank"])
+    assert set(by_grp) == {str(i) for i in range(7)}
+    for ranks in by_grp.values():
+        assert sorted(ranks) == list(range(1, 11))
+    # small groups return all their rows
+    small = spark.createDataFrame([(1, "a"), (2, "a")], "key long, grp string")
+    assert stratified_sample(small, "grp", "key", 10).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# shard packing
+# ---------------------------------------------------------------------------
+
+def test_pack_token_shards_matches_global_cumsum(spark):
+    from pyspark.sql import Window
+
+    from landlensdb_spark.operators.shards import pack_token_shards
+
+    df = spark.range(5000).select(
+        F.col("id").alias("key"), (F.col("id") % 37 + 1).alias("toks")
+    )
+    got = {
+        r["key"]: r["shard_id"]
+        for r in pack_token_shards(df, "toks", "key", 500, num_partitions=8).collect()
+    }
+    w = Window.orderBy("key")
+    want = {
+        r["key"]: r["want"]
+        for r in df.withColumn(
+            "want",
+            F.floor((F.sum("toks").over(w) - F.col("toks")) / F.lit(500)),
+        ).collect()
+    }
+    assert got == want
+    # invariant to the partition count (the whole point of the 2-phase scan)
+    got3 = {
+        r["key"]: r["shard_id"]
+        for r in pack_token_shards(df, "toks", "key", 500, num_partitions=3).collect()
+    }
+    assert got3 == want
+
+
+def test_pack_token_shards_contiguous(spark):
+    from landlensdb_spark.operators.shards import pack_token_shards
+
+    df = spark.range(300).select(F.col("id").alias("key"), F.lit(7).alias("toks"))
+    rows = sorted(
+        pack_token_shards(df, "toks", "key", 100, num_partitions=4).collect(),
+        key=lambda r: r["key"],
+    )
+    shard_ids = [r["shard_id"] for r in rows]
+    assert shard_ids == sorted(shard_ids)  # monotone over key order
+    assert shard_ids[0] == 0 and len(set(shard_ids)) > 1
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_scores_known_overlap(spark):
+    from landlensdb_spark.operators.contamination import contamination_scores
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # identical
+            (2, "a quick brown fox jumps over a sleepy cat today"),
+            (3, "completely different words in this one right here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_scores(corpus, bench, n=5).collect()}
+    assert got[1]["contamination"] == 1.0 and got[1]["n_shingles"] == 5
+    # doc 2 shares exactly 'quick brown fox jumps over' (the only common 5-gram)
+    assert got[2]["n_contaminated"] == 1 and got[2]["n_shingles"] == 6
+    assert got[3]["n_contaminated"] == 0 and got[3]["contamination"] == 0.0
+    assert (got[4]["n_shingles"], got[4]["contamination"]) == (0, 0.0)
