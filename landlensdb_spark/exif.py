@@ -268,6 +268,10 @@ def extract_exif_pdf(images: pd.Series) -> pd.DataFrame:
             if dms_lat and dms_lon:
                 lat = gps_to_decimal(dms_lat, tags.get(0x10000 + GPS_LAT_REF, "N"), "S")
                 lon = gps_to_decimal(dms_lon, tags.get(0x10000 + GPS_LON_REF, "E"), "W")
+                if lat is None or lon is None:
+                    # one corrupt axis (0-denominator rational) -> the whole
+                    # coordinate is untagged, never a dangling half-point
+                    lat = lon = None
             fr = tags.get(TAG_FOCAL_LENGTH)
             if fr:
                 num, den = fr[0]

@@ -11,8 +11,41 @@ dependency-free analogs (pure string templates, no folium/branca).
 from __future__ import annotations
 
 import base64
+import datetime
+import decimal
 import html as html_mod
+import json
 import math
+
+
+def _json_safe(v):
+    """Recursive JSON-safe cast shared by the edge sinks (GeoJSON, GPKG):
+    timestamps -> ISO strings, decimals -> floats, bytes -> base64,
+    containers element-wise."""
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(v).decode()
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    return v
+
+
+def _sqlite_safe(v):
+    """sqlite-bindable cast: raw bytes stay BLOBs; arrays/maps/structs
+    serialize to JSON text; everything else via _json_safe."""
+    if isinstance(v, bytearray):
+        return bytes(v)
+    if isinstance(v, bytes):
+        return v
+    v = _json_safe(v)
+    if isinstance(v, (list, dict)):
+        return json.dumps(v)
+    return v
 
 
 def svg_arrow(angle: float, color: str = "#3388ff", size: int = 24) -> str:
@@ -101,10 +134,6 @@ def write_geojson(
     writer in catalog.write_spatial). Point geometry; all non-coordinate
     columns (or ``properties``) become feature properties with
     JSON-safe casts. Returns the number of features written."""
-    import datetime
-    import decimal
-    import json
-
     rows = df.limit(limit).collect()
     prop_names = properties
     feats = []
@@ -113,15 +142,6 @@ def write_geojson(
         if prop_names is None:
             prop_names = [c for c in d if c not in (lon, lat)]
 
-        def safe(v):
-            if isinstance(v, (datetime.datetime, datetime.date)):
-                return v.isoformat()
-            if isinstance(v, decimal.Decimal):
-                return float(v)
-            if isinstance(v, (bytes, bytearray)):
-                return base64.b64encode(v).decode()
-            return v
-
         feats.append(
             {
                 "type": "Feature",
@@ -129,7 +149,7 @@ def write_geojson(
                     "type": "Point",
                     "coordinates": [d[lon], d[lat]],
                 },
-                "properties": {k: safe(d[k]) for k in prop_names},
+                "properties": {k: _json_safe(d[k]) for k in prop_names},
             }
         )
     with open(path, "w") as f:
@@ -158,8 +178,6 @@ def write_gpkg(
     write_geojson. The distributed sink for full tables remains
     catalog.write_spatial. Returns the number of features written.
     """
-    import datetime
-    import decimal
     import os
     import sqlite3
     import struct
@@ -180,15 +198,6 @@ def write_gpkg(
         return "TEXT"
 
     types = dict(df.dtypes)
-
-    def safe(v):
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return v.isoformat()
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-        if isinstance(v, bytearray):
-            return bytes(v)
-        return v
 
     def gpkg_blob(x: float, y: float) -> bytes:
         # GeoPackageBinary: magic 'GP', version 0, flags 0b00000011
@@ -254,14 +263,20 @@ def write_gpkg(
         bounds = [None, None, None, None]  # minx miny maxx maxy
         batch = []
         for r in df.toLocalIterator():
-            d = r.asDict()
-            x, y = float(d[lon]), float(d[lat])
-            if bounds[0] is None:
-                bounds = [x, y, x, y]
+            d = r.asDict(recursive=True)
+            # NULL coordinates -> NULL geometry row (GPKG-legal), excluded
+            # from the contents bounds — same tolerance as write_geojson
+            if d[lon] is None or d[lat] is None:
+                geom = None
             else:
-                bounds[0], bounds[1] = min(bounds[0], x), min(bounds[1], y)
-                bounds[2], bounds[3] = max(bounds[2], x), max(bounds[3], y)
-            batch.append((gpkg_blob(x, y), *(safe(d[c]) for c in cols)))
+                x, y = float(d[lon]), float(d[lat])
+                geom = gpkg_blob(x, y)
+                if bounds[0] is None:
+                    bounds = [x, y, x, y]
+                else:
+                    bounds[0], bounds[1] = min(bounds[0], x), min(bounds[1], y)
+                    bounds[2], bounds[3] = max(bounds[2], x), max(bounds[3], y)
+            batch.append((geom, *(_sqlite_safe(d[c]) for c in cols)))
             if len(batch) >= batch_rows:
                 con.executemany(insert, batch)
                 n += len(batch)

@@ -40,7 +40,11 @@ def contamination_scores(
     (only its distinct shingle SET matters).
     """
     corpus_sh = _shingles(corpus, text, id_col, n)
-    bench_sh = _shingles(benchmark, text, id_col, n).select("shingle").distinct()
+    # the benchmark contributes only its shingle SET, so it needs only the
+    # text column — shingle it under a synthetic id (eval suites often
+    # carry no ids at all)
+    bench_ids = benchmark.select(F.lit(0).alias("_bid"), F.col(text))
+    bench_sh = _shingles(bench_ids, text, "_bid", n).select("shingle").distinct()
     per_doc = corpus_sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
     hits = (
         corpus_sh.join(bench_sh, "shingle", "left_semi")

@@ -26,9 +26,12 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
-#: redaction order matters: emails first (an email can contain digit runs),
-#: then phones, then IPv4 (a phone match cannot contain dots, so the two
-#: later passes are order-independent; fixed order keeps engines identical).
+#: redaction order is LOAD-BEARING for cross-engine parity: the classes
+#: can overlap on the same span (an email local part can hold a phone-shaped
+#: run; '12.34.56.789-123-4567' matches IPv4 and phone on overlapping
+#: text), so a different pass order produces different masked output. Both
+#: the Spark operator and the SQL oracle derive their passes from this one
+#: list — reorder it only in both-by-construction, never per engine.
 _ORDERED = [
     ("email", EMAIL_RE, "[EMAIL]"),
     ("phone", PHONE_RE, "[PHONE]"),

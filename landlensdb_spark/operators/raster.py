@@ -63,6 +63,8 @@ def png_dims(blob: bytes) -> tuple[int, int] | None:
     payload is not a PNG — real metadata extraction without a full decode."""
     if blob is None or len(blob) < 24 or blob[:8] != b"\x89PNG\r\n\x1a\n":
         return None
+    if blob[12:16] != b"IHDR":  # signature kept but chunks mangled
+        return None
     w, h = struct.unpack(">II", blob[16:24])
     return (w, h)
 

@@ -11,20 +11,24 @@ function of (key order, token counts), so any engine reproduces it.
 The naive Spark formulation — ``sum() OVER (ORDER BY key)`` with no
 partition — collapses the whole corpus into ONE window task. This operator
 computes the same global prefix sum distributed, the classic two-phase
-scan:
+scan, with the bucket id a PURE FUNCTION OF THE KEY (quantile ranges
+embedded as literals) rather than ``spark_partition_id()`` — so the two
+passes need no persisted common lineage and no partition-numbering
+assumptions:
 
-1. ``repartitionByRange(key)`` — Spark's range partitioner puts ascending
-   key ranges in ascending partition ids (one data-sized shuffle, the only
-   one).
-2. Per-partition running sums (window partitioned by the partition id —
-   parallel across partitions).
-3. Per-partition TOTALS (one tiny row per partition) are collected,
-   prefix-summed on the driver (bounded: #partitions entries), and joined
-   back as broadcast offsets.
+1. Bucket boundaries: one ``approxQuantile`` on the key (driver gets
+   ~num_buckets doubles, never data rows); ``_b`` = #boundaries <= key,
+   pure column math over a literal array.
+2. Per-bucket TOTALS: map-side-combined groupBy — the shuffle moves one
+   row per bucket. Driver prefix-sums the totals (bounded) into offsets.
+3. Running sum within each bucket: window partitioned by ``_b`` — the
+   ONE data-sized shuffle (hash on the bucket id; buckets are quantile
+   ranges, so they are balanced by construction). Offsets join back as a
+   broadcast of #buckets rows.
 
-Total cost: one range shuffle + one broadcast of #partitions rows — the
-shape that survives 100 TB (the driver never sees data rows, only one
-total per partition).
+Total cost: one data shuffle + two bounded driver collects — the shape
+that survives 100 TB (the driver only ever sees quantiles and per-bucket
+totals).
 """
 
 from __future__ import annotations
@@ -41,41 +45,47 @@ def pack_token_shards(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Adds ``shard_id`` = floor(exclusive-prefix-sum(tokens) / shard_tokens)
-    over the ``key`` order. Deterministic, engine-independent, contiguous.
+    over the ``key`` order (``key`` must be numeric). Deterministic,
+    engine-independent, contiguous.
     """
-    n_parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
+    n_buckets = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = df.repartitionByRange(int(n_parts), F.col(key)).withColumn(
-        "_pidx", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pidx").orderBy(F.col(key).asc())
-    local = ranged.withColumn(
-        "_lcum", F.sum(F.col(tokens).cast("long")).over(w)
-    )
-    # one tiny row per partition -> driver prefix sum -> broadcast back.
-    # cached first so the totals action and the output reuse the same
-    # shuffled/cumsum lineage (and the same nondeterministic partition ids)
-    local = local.persist()
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(key, qs, 0.001))) if qs else []
+
+    def bucket_of(col):
+        if not bounds:
+            return F.lit(0)
+        # number of boundaries <= key: same pure function in both passes
+        return F.size(
+            F.filter(F.lit(bounds), lambda b: b <= col.cast("double"))
+        )
+
+    keyed = df.withColumn("_b", bucket_of(F.col(key)))
     totals = (
-        local.groupBy("_pidx").agg(F.max("_lcum").alias("_ptot")).collect()
+        keyed.groupBy("_b")
+        .agg(F.sum(F.col(tokens).cast("long")).alias("_btot"))
+        .collect()
     )
-    offs, acc = {}, 0
-    for r in sorted(totals, key=lambda r: r["_pidx"]):
-        offs[r["_pidx"]] = acc
-        acc += r["_ptot"]
+    offs, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["_b"]):
+        offs.append((r["_b"], acc))
+        acc += r["_btot"]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(p, o) for p, o in offs.items()], "_pidx int, _poff long"
-    )
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_b int, _boff long")
+
+    w = Window.partitionBy("_b").orderBy(F.col(key).asc())
     return (
-        local.join(F.broadcast(off_df), "_pidx")
+        keyed.withColumn("_lcum", F.sum(F.col(tokens).cast("long")).over(w))
+        .join(F.broadcast(off_df), "_b")
         .withColumn(
             "shard_id",
             F.floor(
-                (F.col("_poff") + F.col("_lcum") - F.col(tokens).cast("long"))
+                (F.col("_boff") + F.col("_lcum") - F.col(tokens).cast("long"))
                 / F.lit(shard_tokens)
             ),
         )
-        .drop("_pidx", "_lcum", "_poff")
+        .drop("_b", "_lcum", "_boff")
     )

@@ -126,3 +126,30 @@ def test_write_gpkg_spec_tables_and_geometry(spark, tmp_path):
     assert struct.unpack("<4d", blob[8:40]) == (-74.0, -74.0, 40.7, 40.7)
     assert bytes(blob[40:]) == point_wkb(-74.0, 40.7)
     con.close()
+
+
+def test_write_gpkg_null_coords_and_container_columns(spark, tmp_path):
+    """NULL lon/lat -> NULL geometry row (not a crash); array columns
+    serialize as JSON text (review findings, round 3)."""
+    import sqlite3
+
+    from landlensdb_spark.export import write_gpkg
+
+    df = spark.createDataFrame(
+        [
+            (1, ["t1", "t2"], -74.0, 40.7),
+            (2, ["x"], None, None),
+        ],
+        "pid long, tags array<string>, lon double, lat double",
+    )
+    path = str(tmp_path / "nulls.gpkg")
+    assert write_gpkg(df, path, layer="pts") == 2
+    con = sqlite3.connect(path)
+    rows = con.execute('SELECT pid, tags, geom FROM "pts" ORDER BY pid').fetchall()
+    assert rows[0][1] == '["t1", "t2"]' and rows[0][2] is not None
+    assert rows[1][2] is None
+    # bounds computed from the one valid point only
+    assert con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents"
+    ).fetchone() == (-74.0, 40.7, -74.0, 40.7)
+    con.close()

@@ -204,3 +204,24 @@ def test_knn_fixed_ring_skips_histogram_stages(spark):
     assert _n_nodes(fixed, "HashAggregate") == 0
     adaptive = _plan(knn_join(prb, pts, k=5, res=18))
     assert _n_nodes(adaptive, "HashAggregate") > 0  # histogram + ring groupBy
+
+
+def test_pack_token_shards_single_data_shuffle(spark):
+    """The distributed prefix sum must shuffle the corpus exactly ONCE
+    (hash on the literal-quantile bucket id); the offsets side joins as a
+    broadcast. A second data-sized Exchange here doubles the dominant cost
+    of the 100TB sharding pass."""
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.operators.shards import pack_token_shards
+
+    df = spark.range(2000).select(
+        F.col("id").alias("key"), (F.col("id") % 11 + 1).alias("toks")
+    )
+    out = pack_token_shards(df, "toks", "key", 100, num_partitions=8)
+    plan = _plan(out)
+    n_exchanges = _n_nodes(plan, "Exchange")
+    # one hash Exchange for the window; the broadcast side appears as
+    # BroadcastExchange (counted separately by its node name)
+    assert n_exchanges == 1, f"expected 1 shuffle Exchange, got {n_exchanges}\n{plan}"
+    assert _n_nodes(plan, "BroadcastExchange") == 1
