@@ -1846,3 +1846,86 @@ def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < _CONTAM_BENCH)
     return contamination_scores(docs, bench, n=_CONTAM_N)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval primitives: inverted index + BM25
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "spark", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "postings_stats",
+    r"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(lower(text))) > 0
+    ),
+    post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             FROM terms GROUP BY 1, 2)
+    SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM post GROUP BY term
+    """,
+)
+def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics off the postings relation (two map-side-
+    combined rollups; postings stay rows, never per-term arrays, so hot
+    terms shard like any other key)."""
+    from landlensdb_spark.operators.search import build_postings, term_stats
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return term_stats(build_postings(docs))
+
+
+def _bm25_oracle() -> str:
+    terms_list = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return rf"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(lower(text))) > 0
+    ),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2),
+    stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    dls AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+    q(term) AS (VALUES {terms_list}),
+    scored AS (
+      SELECT p.doc_id,
+             round(sum(
+               ln(1.0 + (t.n - s.df + 0.5) / (s.df + 0.5))
+               * (p.tf * {_BM25_K1 + 1.0})
+                 / (p.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * d.dl / t.avgdl))
+             ), 6) AS score
+      FROM post p
+      JOIN q USING (term)
+      JOIN stats s USING (term)
+      JOIN dls d USING (doc_id)
+      CROSS JOIN tot t
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 50
+    """
+
+
+@query("bm25_docs", None)
+def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 for a fixed keyword query (Lucene-flavored idf/tf
+    normalization, 6dp rounding + doc-id tie-break => engine-exact
+    ranking; distributed top-k via TakeOrderedAndProject)."""
+    from landlensdb_spark.operators.search import bm25_search
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return bm25_search(docs, _BM25_TERMS, top=50)
+
+
+ORACLES["bm25_docs"] = _bm25_oracle()

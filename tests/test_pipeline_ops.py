@@ -148,3 +148,55 @@ def test_contamination_scores_known_overlap(spark):
     assert got[2]["n_contaminated"] == 1 and got[2]["n_shingles"] == 6
     assert got[3]["n_contaminated"] == 0 and got[3]["contamination"] == 0.0
     assert (got[4]["n_shingles"], got[4]["contamination"]) == (0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# search (postings + BM25)
+# ---------------------------------------------------------------------------
+
+def test_build_postings_and_term_stats(spark):
+    from landlensdb_spark.operators.search import build_postings, term_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "  "), (4, "A")],
+        "doc_id long, text string",
+    )
+    post = {
+        (r["term"], r["doc_id"]): r["tf"] for r in build_postings(df).collect()
+    }
+    assert post == {("a", 1): 2, ("b", 1): 1, ("b", 2): 1, ("c", 2): 1, ("a", 4): 1}
+    stats = {r["term"]: (r["df"], r["cf"]) for r in term_stats(build_postings(df)).collect()}
+    assert stats == {"a": (2, 3), "b": (2, 2), "c": (1, 1)}
+
+
+def test_bm25_matches_hand_formula(spark):
+    import math
+
+    from landlensdb_spark.operators.search import bm25_search
+
+    rows = [(1, "x y x"), (2, "x z"), (3, "z z z z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in bm25_search(df, ["x"]).collect()}
+    n, avgdl, k1, b = 3, 3.0, 1.2, 0.75
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert got == {1: (s(2, 3), 1), 2: (s(1, 2), 2)}  # doc 3 has no 'x'
+
+
+def test_bm25_top_uses_distributed_topk(spark):
+    from landlensdb_spark.operators.search import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, "common term" + (" rare" if i == 5 else "")) for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = bm25_search(df, ["rare", "common"], top=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert len(rows) == 10
+    assert rows[0]["doc_id"] == 5  # the only doc matching the rare term wins
+    assert [r["rank"] for r in rows] == list(range(1, 11))
