@@ -1929,3 +1929,53 @@ def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bm25_docs"] = _bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Repeated-substring spans (span-level exact dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+_SPAN_CAT = " || ' ' || ".join(f"w[pos + {d + 1}]" for d in range(_SPAN_W))
+
+
+@query(
+    "repeated_spans",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, unnest(range(0, len(w) - {_SPAN_W - 1})) AS pos, w
+      FROM toks WHERE len(w) >= {_SPAN_W}
+    ),
+    ww AS (SELECT doc_id, pos, {_SPAN_CAT} AS win FROM wins),
+    hot AS (SELECT win FROM ww GROUP BY win HAVING count(*) >= 2),
+    rep AS (SELECT doc_id, pos FROM ww JOIN hot USING (win)),
+    flg AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                  THEN 1 ELSE 0 END AS brk
+      FROM rep
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM flg
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_W} AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: maximal token spans whose 8-token windows
+    recur verbatim corpus-wide (the windowed variant of suffix-array
+    substring dedup — all equi-keyed stages, no pairwise work)."""
+    from landlensdb_spark.operators.spans import repeated_spans
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return repeated_spans(docs, win=_SPAN_W, min_count=2)

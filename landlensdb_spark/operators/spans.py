@@ -1,0 +1,86 @@
+"""Repeated-substring span detection — span-level exact dedup.
+
+Document-level dedup (operators/dedup.py) drops whole near-duplicate
+documents; the complementary training-data op marks REGIONS of text whose
+content recurs verbatim elsewhere in the corpus (license boilerplate,
+quoted chunks, templated passages), so the pipeline can cut spans instead
+of documents — the practical windowed variant of suffix-array substring
+dedup (Lee et al. 2022): a fixed ``win``-token sliding window is
+"repeated" when its exact text occurs >= ``min_count`` times corpus-wide,
+and overlapping/touching repeated windows merge into maximal spans.
+
+Scale shape (all equi-keyed, no pairwise anything):
+
+1. per-doc token windows WITH POSITIONS (column-math transform + one
+   posexplode — same tokenizer as the dedup/shingle family),
+2. corpus-wide window counts: map-side-combined groupBy on the window
+   text (at real scale key by ``xxhash64(window)`` instead of the string
+   to shrink the shuffle — the string key here keeps the oracle exact),
+3. repeated windows join back (semi-equi on the window text),
+4. per-doc island merge: one lag + running-sum window partitioned by doc
+   (the same sorted-fold shape as the Gopher stats), then
+   groupBy(doc, island) -> (span_start, span_end, n_windows).
+
+Output spans are token-coordinate [start, end) with ``end`` exclusive;
+windows whose starts differ by <= ``win`` (overlapping OR touching)
+merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _windows(df: DataFrame, text: str, id_col: str, win: int) -> DataFrame:
+    """(id, pos, w): every ``win``-token window with its start position."""
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - win)
+    wins = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, win)))
+    return (
+        df.filter(F.size(toks) >= win)
+        .select(F.col(id_col).alias("_id"), F.posexplode(wins).alias("pos", "w"))
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    win: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, span_start, span_end, n_windows) maximal repeated spans."""
+    wins = _windows(df, text, id_col, win)
+    hot = (
+        wins.groupBy("w")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("w")
+    )
+    rep = wins.join(hot, "w", "left_semi").select("_id", "pos")
+    wd = Window.partitionBy("_id").orderBy("pos")
+    spans = (
+        rep.withColumn("_prev", F.lag("pos").over(wd))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > win),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_island", F.sum("_brk").over(wd))
+        .groupBy("_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + win).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )
+    return spans

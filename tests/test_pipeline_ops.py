@@ -200,3 +200,50 @@ def test_bm25_top_uses_distributed_topk(spark):
     assert len(rows) == 10
     assert rows[0]["doc_id"] == 5  # the only doc matching the rare term wins
     assert [r["rank"] for r in rows] == list(range(1, 11))
+
+
+# ---------------------------------------------------------------------------
+# repeated-substring spans
+# ---------------------------------------------------------------------------
+
+def test_repeated_spans_merge_and_coordinates(spark):
+    from landlensdb_spark.operators.spans import repeated_spans
+
+    boiler = "all rights reserved by the original content owner here"  # 9 toks
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} unrelated tail words go here now right"),
+        (3, "nothing shared with anybody in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repeated_spans(df, win=9, min_count=2).collect()}
+    # doc1: boiler occupies tokens [2, 11) -> exactly one 9-window at pos 2
+    assert (got[1]["span_start"], got[1]["span_end"], got[1]["n_windows"]) == (2, 11, 1)
+    # doc2: boiler at [0, 9)
+    assert (got[2]["span_start"], got[2]["span_end"]) == (0, 9)
+    assert 3 not in got
+
+
+def test_repeated_spans_islands_split_and_merge(spark):
+    from landlensdb_spark.operators.spans import repeated_spans
+
+    rep = "x1 x2 x3"  # win=3 window
+    rows = [
+        # two copies of `rep` far apart in the same doc -> repeated via
+        # self-count; gap > win so islands stay separate
+        (1, f"{rep} a b c d e f g h {rep}"),
+        # overlapping repeats merge: 'x1 x2 x3 x1 x2 x3' windows at 0..3
+        (2, f"{rep} {rep}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_spans(df, win=3, min_count=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    spans1 = sorted(by_doc[1])
+    assert spans1[0][0] == 0 and spans1[-1][1] == 14  # islands at both ends
+    assert len(spans1) == 2
+    assert len(by_doc[2]) == 1  # one merged span covering the whole doc
+    assert by_doc[2][0][0] == 0 and by_doc[2][0][1] == 6
