@@ -100,3 +100,35 @@ def merge_by_key(
     merged_cached.count()
     merged_cached.write.mode("overwrite").parquet(path)
     merged_cached.unpersist()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table: the co-located-join storage layout.
+
+    Spark's bucketBy records the bucketing spec in the table catalog; a
+    later equi-join between two tables bucketed on the same key with the
+    same bucket count reads co-located buckets and needs NO Exchange on
+    either side — at corpus scale that removes the dominant shuffle from
+    every fact-to-fact join (url-keyed page joins, doc-keyed
+    metadata joins). ``sort_by`` additionally sorts within buckets so
+    merge-join needs no per-task sort. The lakehouse analog is Iceberg's
+    ``bucket(n, key)`` partition transform (iceberg_available seam, as
+    with write_spatial).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, key)
+    if sort_by is not None:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a managed (possibly bucketed) table; bucket metadata rides the
+    catalog entry, so joins on the bucket key plan shuffle-free."""
+    return spark.table(table)

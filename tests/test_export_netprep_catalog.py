@@ -153,3 +153,34 @@ def test_write_gpkg_null_coords_and_container_columns(spark, tmp_path):
         "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents"
     ).fetchone() == (-74.0, 40.7, -74.0, 40.7)
     con.close()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key/count must equi-join with ZERO
+    Exchange nodes — the co-located-join layout that removes the dominant
+    shuffle from fact-to-fact joins at corpus scale."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.catalog import read_table, write_bucketed
+
+    a = spark.range(5000).select(
+        F.col("id").alias("url_id"), (F.col("id") % 97).alias("feat")
+    )
+    b = spark.range(5000).select(
+        F.col("id").alias("url_id"), (F.col("id") % 13).alias("label")
+    )
+    write_bucketed(a, "bk_a", "url_id", n_buckets=8, sort_by="url_id")
+    write_bucketed(b, "bk_b", "url_id", n_buckets=8, sort_by="url_id")
+    try:
+        joined = read_table(spark, "bk_a").join(read_table(spark, "bk_b"), "url_id")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert n_exchange == 0, f"bucketed join shuffled:\n{plan}"
+        assert joined.count() == 5000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
