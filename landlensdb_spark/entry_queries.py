@@ -1979,3 +1979,67 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return repeated_spans(docs, win=_SPAN_W, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# WARC wire-format round-trip (web-corpus container source)
+# ---------------------------------------------------------------------------
+
+_WARC_N = 2000
+
+
+@query(
+    "warc_scan",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS key,
+             '<html>page ' || CAST(o_orderkey AS VARCHAR) || '</html>' AS s
+      FROM orders WHERE o_orderkey < {_WARC_N}
+    )
+    SELECT 'https://h' || CAST(key % 50 AS VARCHAR) || '.example.com/p'
+             || CAST(key AS VARCHAR) AS target_uri,
+           'response' AS warc_type,
+           CAST(length(s) * (1 + key % 3) AS BIGINT) AS content_length,
+           md5(repeat(s, CAST(1 + key % 3 AS INTEGER))) AS payload_md5
+    FROM base
+    """,
+)
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round-trip through the REAL wire bytes: records are
+    built per 50-key segment with the encoder twin, concatenated into
+    ISO 28500 segment blobs, exploded back by the parser, and the decoded
+    fields + payload md5 must match the oracle's arithmetic expectations.
+    Any framing bug (CRLF placement, Content-Length slice) breaks the
+    hash."""
+    import pandas as pd
+
+    from landlensdb_spark.operators.warc import build_warc, warc_records
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < _WARC_N).select(
+        F.col("o_orderkey").alias("key"), (F.col("o_orderkey") / 50).cast("long").alias("seg")
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for k in sorted(pdf["key"]):
+            body = (f"<html>page {k}</html>" * (1 + k % 3)).encode()
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": f"https://h{k % 50}.example.com/p{k}",
+                    "warc_date": "2022-01-01T00:00:00Z",
+                    "content_type": "text/html",
+                    "payload": body,
+                }
+            )
+        return pd.DataFrame({"seg": [int(pdf["seg"].iloc[0])], "content": [build_warc(recs)]})
+
+    segments = keys.groupBy("seg").applyInPandas(_build, "seg long, content binary")
+    recs = warc_records(segments, "content")
+    return recs.select(
+        "target_uri",
+        "warc_type",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )

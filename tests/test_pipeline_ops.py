@@ -247,3 +247,57 @@ def test_repeated_spans_islands_split_and_merge(spark):
     assert len(spans1) == 2
     assert len(by_doc[2]) == 1  # one merged span covering the whole doc
     assert by_doc[2][0][0] == 0 and by_doc[2][0][1] == 6
+
+
+# ---------------------------------------------------------------------------
+# WARC codec
+# ---------------------------------------------------------------------------
+
+def test_warc_roundtrip_and_malformed():
+    import pytest
+
+    from landlensdb_spark.operators.warc import build_warc, parse_warc_bytes
+
+    recs = [
+        {
+            "warc_type": "warcinfo",
+            "payload": b"software: landlensdb-spark",
+            "content_type": "application/warc-fields",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://a.example.com/x",
+            "warc_date": "2022-06-01T12:00:00Z",
+            "content_type": "text/html",
+            # payload containing CRLFs and a fake header block must not
+            # confuse the Content-Length-delimited framing
+            "payload": b"<html>\r\n\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\n</html>",
+        },
+    ]
+    out = parse_warc_bytes(build_warc(recs))
+    assert len(out) == 2
+    assert out[0]["warc_type"] == "warcinfo" and out[0]["target_uri"] is None
+    assert out[1]["target_uri"] == "https://a.example.com/x"
+    assert out[1]["payload"] == recs[1]["payload"]
+    assert out[1]["content_length"] == len(recs[1]["payload"])
+
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+
+
+def test_warc_records_operator(spark):
+    from landlensdb_spark.operators.warc import build_warc, warc_records
+
+    blob = build_warc(
+        [
+            {"warc_type": "response", "target_uri": f"u{i}", "payload": bytes([65 + i]) * (i + 1)}
+            for i in range(3)
+        ]
+    )
+    df = spark.createDataFrame([("seg0", bytearray(blob))], "path string, content binary")
+    rows = sorted(warc_records(df).collect(), key=lambda r: r["target_uri"])
+    assert [r["path"] for r in rows] == ["seg0"] * 3
+    assert [(r["target_uri"], r["content_length"]) for r in rows] == [
+        ("u0", 1), ("u1", 2), ("u2", 3),
+    ]
+    assert bytes(rows[2]["payload"]) == b"CCC"
