@@ -28,6 +28,18 @@ RECORD_SCHEMA = (
 )
 
 _CRLF = b"\r\n"
+_SEP = _CRLF + _CRLF
+
+# Field names of RECORD_SCHEMA, in schema order (single source of truth for
+# the operator's output columns and the collision check).
+_RECORD_FIELDS = (
+    "warc_type",
+    "target_uri",
+    "warc_date",
+    "content_type",
+    "content_length",
+    "payload",
+)
 
 
 def build_warc(records: list[dict]) -> bytes:
@@ -56,25 +68,42 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
     """WARC bytes -> record dicts (RECORD_SCHEMA fields).
 
     Tolerant of trailing garbage after the last separator; raises
-    ValueError on a malformed header block (missing Content-Length) so
+    ValueError on a malformed record (missing/negative Content-Length,
+    undecodable header bytes, truncated payload, bad record separator) so
     corrupt segments fail loudly rather than mis-slice payloads."""
     records = []
     i, n = 0, len(blob)
     while i < n:
         if blob[i : i + 5] != b"WARC/":
             break  # trailing padding/garbage
-        hdr_end = blob.find(_CRLF + _CRLF, i)
+        hdr_end = blob.find(_SEP, i)
         if hdr_end < 0:
             break
         headers: dict[str, str] = {}
         for line in blob[i:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
+            try:
+                headers[k.strip().lower().decode()] = v.strip().decode()
+            except UnicodeDecodeError as e:
+                raise ValueError(f"undecodable WARC header line {line[:80]!r}") from e
         if "content-length" not in headers:
             raise ValueError("WARC record missing Content-Length")
         length = int(headers["content-length"])
+        if length < 0:
+            raise ValueError(f"WARC record with negative Content-Length {length}")
         payload_start = hdr_end + 4
-        payload = blob[payload_start : payload_start + length]
+        payload_end = payload_start + length
+        if payload_end > n:
+            raise ValueError(
+                f"truncated WARC record: Content-Length {length} but only "
+                f"{n - payload_start} payload bytes left"
+            )
+        sep = blob[payload_end : payload_end + 4]
+        if sep and sep != _SEP:
+            # a wrong Content-Length or non-CRLF framing would otherwise
+            # silently drop every record after this one as "trailing garbage"
+            raise ValueError(f"bad WARC record separator {sep!r}")
+        payload = blob[payload_start:payload_end]
         records.append(
             {
                 "warc_type": headers.get("warc-type", ""),
@@ -85,7 +114,7 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
                 "payload": payload,
             }
         )
-        i = payload_start + length + 4  # skip payload + blank-line separator
+        i = payload_end + 4  # skip payload + blank-line separator
     return records
 
 
@@ -93,6 +122,9 @@ def warc_records(df: DataFrame, blob_col: str = "content") -> DataFrame:
     """Explode WARC segment blobs into one row per record (keeps all other
     columns of ``df``, e.g. the segment path from binaryFile)."""
     keep = [f.name for f in df.schema.fields if f.name != blob_col]
+    clash = sorted(set(keep) & set(_RECORD_FIELDS))
+    if clash:
+        raise ValueError(f"input columns collide with WARC record fields: {clash}")
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != blob_col]
         + [RECORD_SCHEMA]
@@ -105,17 +137,6 @@ def warc_records(df: DataFrame, blob_col: str = "content") -> DataFrame:
                 base = {c: row[c] for c in keep}
                 for rec in parse_warc_bytes(bytes(row[blob_col])):
                     rows.append({**base, **rec})
-            yield pd.DataFrame(
-                rows,
-                columns=keep
-                + [
-                    "warc_type",
-                    "target_uri",
-                    "warc_date",
-                    "content_type",
-                    "content_length",
-                    "payload",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=keep + list(_RECORD_FIELDS))
 
     return df.mapInPandas(_parse, out_schema)

@@ -284,6 +284,24 @@ def test_warc_roundtrip_and_malformed():
     with pytest.raises(ValueError, match="Content-Length"):
         parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
 
+    # trailing garbage after the last full separator stays tolerated
+    assert len(parse_warc_bytes(build_warc(recs[:1]) + b"\x00padding")) == 1
+
+    # truncated payload must fail loudly, not emit a short payload
+    whole = build_warc(recs[:1])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_bytes(whole[:-10])
+
+    # negative Content-Length must fail loudly (a crafted value such that
+    # the cursor lands back on the record start would otherwise loop forever)
+    with pytest.raises(ValueError, match="negative"):
+        parse_warc_bytes(b"WARC/1.0\r\nContent-Length: -37\r\n\r\n")
+
+    # wrong Content-Length breaks the separator -> loud, not silent drop
+    # of every later record
+    with pytest.raises(ValueError, match="separator"):
+        parse_warc_bytes(b"WARC/1.0\r\nContent-Length: 2\r\n\r\nbody\r\n\r\n")
+
 
 def test_warc_records_operator(spark):
     from landlensdb_spark.operators.warc import build_warc, warc_records
