@@ -2043,3 +2043,102 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span removal (consumer of repeated_spans) + corpus mixing weights
+# ---------------------------------------------------------------------------
+
+_BAL_FRACS = {"src0": 0.5, "src1": 0.25}
+
+
+def _balance_oracle() -> str:
+    from landlensdb_spark.operators.sampling import MIX_MOD, mix_key_sql
+
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(f * MIX_MOD)}"
+        for g, f in sorted(_BAL_FRACS.items())
+    )
+    return f"""
+    SELECT doc_id, source FROM documents
+    WHERE {mix_key_sql('doc_id')} < (CASE {cases} ELSE {MIX_MOD} END)
+    """
+
+
+@query("balanced_docs", None)
+def q_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight resampling: per-source deterministic keep fractions
+    (pure filter — the corpus-mixing stage of a training pipeline)."""
+    from landlensdb_spark.operators.sampling import balance_sources
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return balance_sources(docs, "source", _BAL_FRACS).select("doc_id", "source")
+
+
+ORACLES["balanced_docs"] = _balance_oracle()
+
+
+@query(
+    "span_scrub",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS nt
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, unnest(range(0, len(w) - {_SPAN_W - 1})) AS pos, w
+      FROM toks WHERE len(w) >= {_SPAN_W} AND nt > 0
+    ),
+    ww AS (SELECT doc_id, pos, {_SPAN_CAT} AS win FROM wins),
+    hot AS (SELECT win FROM ww GROUP BY win HAVING count(*) >= 2),
+    rep AS (SELECT doc_id, pos FROM ww JOIN hot USING (win)),
+    flg AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                  THEN 1 ELSE 0 END AS brk
+      FROM rep
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM flg
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_W} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    toks2 AS (
+      SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS p
+      FROM toks WHERE nt > 0
+    ),
+    keep AS (
+      SELECT t.doc_id, t.p, t.tok FROM toks2 t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.p >= s.s AND t.p < s.e)
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(t.nt AS BIGINT) AS n_tokens,
+           CAST(t.nt - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-remove: repeated 8-token spans cut from every document
+    (column-math token filter, no Python; the span-level dedup pipeline
+    end-to-end)."""
+    from landlensdb_spark.operators.spans import remove_spans, repeated_spans
+
+    docs = tables.load(spark, sf_dir, "documents")
+    spans = repeated_spans(docs, win=_SPAN_W, min_count=2)
+    return remove_spans(docs, spans)

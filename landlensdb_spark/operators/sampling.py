@@ -70,3 +70,21 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_group)
     )
+
+
+def balance_sources(
+    df: DataFrame, group: str, fractions: dict[str, float], key: str = "doc_id"
+) -> DataFrame:
+    """Per-group deterministic rate sampling — corpus mixing weights.
+
+    ``fractions`` maps group value -> keep fraction in [0, 1]; groups not
+    listed are kept whole. Pure filter against the mixed key (no RNG, no
+    shuffle, rerun/partition invariant — the same guarantees as
+    :func:`hash_sample`, per group). The standard use is source balancing:
+    downweight an over-represented crawl to target mixture proportions.
+    """
+    thresholds = {g: int(f * MIX_MOD) for g, f in fractions.items()}
+    expr = F.lit(MIX_MOD)  # default: keep everything
+    for g, t in sorted(thresholds.items()):
+        expr = F.when(F.col(group) == g, F.lit(t)).otherwise(expr)
+    return df.filter(mix_key(F.col(key)) < expr)

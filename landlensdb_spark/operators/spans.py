@@ -84,3 +84,46 @@ def repeated_spans(
         )
     )
     return spans
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the given token spans out of each document — the consumer side
+    of :func:`repeated_spans` (detect -> remove, the span-level analog of
+    line_dedup's strip-and-rebuild).
+
+    ``spans`` needs (id_col, span_start, span_end) token coordinates,
+    [start, end) exclusive. Docs without spans pass through unchanged.
+    Output: (id, clean_text, n_tokens, n_removed). Shape: one groupBy on
+    the span side (collect the per-doc span list — bounded: spans are
+    maximal and disjoint, so there are at most n_tokens/win of them), a
+    left join, and a pure column-math filter over the token array (no
+    Python)."""
+    per_doc = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    empty = F.when(F.length(F.trim(F.col(text))) == 0, True).otherwise(False)
+    tok_arr = F.when(empty, F.array().cast("array<string>")).otherwise(toks)
+    joined = df.join(per_doc, df[id_col] == per_doc["_sid"], "left")
+    # keep token i unless some span covers it
+    kept = F.filter(
+        F.transform(tok_arr, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+            ),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        df[id_col].alias(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        F.size(tok_arr).cast("long").alias("n_tokens"),
+        (F.size(tok_arr) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -319,3 +319,39 @@ def test_warc_records_operator(spark):
         ("u0", 1), ("u1", 2), ("u2", 3),
     ]
     assert bytes(rows[2]["payload"]) == b"CCC"
+
+
+def test_remove_spans_cuts_and_passthrough(spark):
+    from landlensdb_spark.operators.spans import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 3, 1), (1, 5, 6, 1)],
+        "doc_id long, span_start long, span_end long, n_windows long",
+    )
+    got = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    assert got[1]["clean_text"] == "a d e" and got[1]["n_removed"] == 3
+    assert got[1]["n_tokens"] == 6
+    assert got[2]["clean_text"] == "x y z" and got[2]["n_removed"] == 0
+    assert got[3]["clean_text"] == "" and got[3]["n_tokens"] == 0
+
+
+def test_balance_sources_fractions(spark):
+    from landlensdb_spark.operators.sampling import balance_sources
+
+    df = spark.range(9000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = balance_sources(df, "source", {"s0": 0.5, "s1": 0.1})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["s2"] == 3000  # unlisted group kept whole
+    assert 1300 <= counts["s0"] <= 1700  # ~50% of 3000
+    assert 200 <= counts["s1"] <= 400  # ~10% of 3000
+    # deterministic across reruns
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in balance_sources(df.repartition(7), "source", {"s0": 0.5, "s1": 0.1}).collect())
+    assert a == b
