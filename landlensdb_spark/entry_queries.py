@@ -2142,3 +2142,85 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     spans = repeated_spans(docs, win=_SPAN_W, min_count=2)
     return remove_spans(docs, spans)
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-prep pipeline (the webtext flagship): quality gate ->
+# PII scrub -> exact dedup -> token-budget shard packing
+# ---------------------------------------------------------------------------
+
+_PREP_QMIN = 0.25
+_PREP_SHARD = 1000
+
+
+def _corpus_prep_oracle() -> str:
+    from landlensdb_spark.operators.pii import pii_sql_exprs
+    from landlensdb_spark.operators.sampling import MIX_MOD  # noqa: F401 (parity constants live here)
+
+    red = pii_sql_exprs("text")["redacted"]
+    return rf"""
+    WITH {_QUALITY_SQL},
+    gated AS (
+      SELECT s.doc_id, d.text,
+             round((s.len_band + s.punct_ratio + s.stop_ratio) / 3.0, 6) AS quality
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE round((s.len_band + s.punct_ratio + s.stop_ratio) / 3.0, 6) >= {_PREP_QMIN}
+    ),
+    red AS (SELECT doc_id, quality, {red} AS redacted FROM gated),
+    kept AS (
+      SELECT doc_id, quality, redacted FROM (
+        SELECT doc_id, quality, redacted,
+               row_number() OVER (PARTITION BY md5(redacted) ORDER BY doc_id) AS rn
+        FROM red) WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, quality,
+             CAST(CASE WHEN length(trim(redacted)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(redacted), '\s+')) END AS BIGINT)
+               AS n_tokens
+      FROM kept
+    ),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      FROM toks
+    )
+    SELECT doc_id, quality, n_tokens,
+           CAST(floor((cum - n_tokens) / {_PREP_SHARD}.0) AS BIGINT) AS shard_id
+    FROM c
+    """
+
+
+@query("corpus_prep", None)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed end-to-end: quality gate (pure
+    column math) -> PII redaction (codegen regex) -> exact dedup by
+    redacted-text hash (window keep-first) -> distributed token-budget
+    shard packing. Every stage is an operator this engine ships
+    individually; the composition is what a corpus run actually executes."""
+    from pyspark.sql import Window as W
+
+    from landlensdb_spark.operators.pii import redact
+    from landlensdb_spark.operators.shards import pack_token_shards
+    from landlensdb_spark.operators.textstats import quality_score, token_count
+
+    docs = tables.load(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id", "text", quality_score(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= _PREP_QMIN)
+    red = gated.select("doc_id", "quality", redact(F.col("text")).alias("redacted"))
+    w = W.partitionBy(F.md5("redacted")).orderBy("doc_id")
+    kept = (
+        red.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    toks = kept.select(
+        "doc_id", "quality", token_count(F.col("redacted")).cast("long").alias("n_tokens")
+    )
+    return pack_token_shards(toks, "n_tokens", "doc_id", _PREP_SHARD).select(
+        "doc_id", "quality", "n_tokens", "shard_id"
+    )
+
+
+ORACLES["corpus_prep"] = _corpus_prep_oracle()

@@ -29,8 +29,8 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-# the fast, structurally-distinct subset (full 33-query sweep runs via
-# tools/check_oracle.py at sf0.01)
+# the fast, structurally-distinct subset (the full 65-query sweep runs via
+# tools/check_oracle.py at sf0.01, with dtype checks)
 SUBSET = [
     "tile_assign",
     "pip_admin",
@@ -44,6 +44,10 @@ SUBSET = [
     "ngram_jaccard",
     "window_events",
     "upsert_orders",
+    "pii_redact",
+    "token_shards",
+    "bm25_docs",
+    "warc_scan",
 ]
 
 
