@@ -81,3 +81,39 @@ def test_stream_plan_has_bounded_state_operator(spark, tmp_path):
     stream = dedup_stream(spark.readStream.schema(SCHEMA).parquet(src))
     plan = stream._jdf.queryExecution().logical().toString()
     assert "WithinWatermark" in plan, plan
+
+
+def test_corpus_ops_compose_into_streams(spark, tmp_path):
+    """The batch corpus operators (quality gate, PII scrub) are narrow
+    column transforms, so the SAME functions run unchanged inside a
+    Structured Streaming plan — readStream -> scrub -> filter -> parquet
+    sink with availableNow, the incremental corpus-prep shape."""
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.operators.pii import scrub_pii
+    from landlensdb_spark.operators.textstats import quality_score
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (1, "the cat and the dog sat, together. mail me at a@b.example.com please."),
+        (2, "x"),  # low quality -> gated out
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    prepped = scrub_pii(stream).withColumn(
+        "quality", quality_score(F.col("text"))
+    ).filter(F.col("quality") >= 0.1).select("doc_id", "n_email", "redacted")
+    q = (
+        prepped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+    assert got[0]["n_email"] == 1 and "[EMAIL]" in got[0]["redacted"]
