@@ -1942,9 +1942,16 @@ _SPAN_CAT = " || ' ' || ".join(f"w[pos + {d + 1}]" for d in range(_SPAN_W))
 @query(
     "repeated_spans",
     rf"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+    WITH tr AS (
+      SELECT doc_id,
+             regexp_replace(coalesce(text, ''), '^{_WS}+|{_WS}+$', '', 'g') AS t
       FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(t, '{_WS}+') END AS w
+      FROM tr
     ),
     wins AS (
       SELECT doc_id, unnest(range(0, len(w) - {_SPAN_W - 1})) AS pos, w
@@ -2081,11 +2088,18 @@ ORACLES["balanced_docs"] = _balance_oracle()
 @query(
     "span_scrub",
     rf"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w,
-             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS nt
+    WITH tr AS (
+      SELECT doc_id,
+             regexp_replace(coalesce(text, ''), '^{_WS}+|{_WS}+$', '', 'g') AS t
       FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(t, '{_WS}+') END AS w,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE len(string_split_regex(t, '{_WS}+')) END AS nt
+      FROM tr
     ),
     wins AS (
       SELECT doc_id, unnest(range(0, len(w) - {_SPAN_W - 1})) AS pos, w
@@ -2155,7 +2169,6 @@ _PREP_SHARD = 1000
 
 def _corpus_prep_oracle() -> str:
     from landlensdb_spark.operators.pii import pii_sql_exprs
-    from landlensdb_spark.operators.sampling import MIX_MOD  # noqa: F401 (parity constants live here)
 
     red = pii_sql_exprs("text")["redacted"]
     return rf"""
@@ -2217,7 +2230,8 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = kept.select(
         "doc_id", "quality", token_count(F.col("redacted")).cast("long").alias("n_tokens")
-    )
+    ).persist()  # pack_token_shards runs 3 jobs (quantiles, totals, output);
+    # without the cache each re-executes the regex+window upstream
     return pack_token_shards(toks, "n_tokens", "doc_id", _PREP_SHARD).select(
         "doc_id", "quality", "n_tokens", "shard_id"
     )

@@ -33,8 +33,14 @@ from pyspark.sql import functions as F
 
 
 def _windows(df: DataFrame, text: str, id_col: str, win: int) -> DataFrame:
-    """(id, pos, w): every ``win``-token window with its start position."""
-    toks = F.split(F.trim(F.col(text)), r"\s+")
+    """(id, pos, w): every ``win``-token window with its start position.
+
+    Tokenizer is textstats.words_of (regex-trim + NULL/blank -> empty
+    array): a trailing newline must not mint a phantom empty token that
+    shifts span positions."""
+    from landlensdb_spark.operators.textstats import words_of
+
+    toks = words_of(F.col(text))
     idx = F.sequence(F.lit(0), F.size(toks) - win)
     wins = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, win)))
     return (
@@ -106,9 +112,9 @@ def remove_spans(
     per_doc = spans.groupBy(F.col(id_col).alias("_sid")).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = F.split(F.trim(F.col(text)), r"\s+")
-    empty = F.when(F.length(F.trim(F.col(text))) == 0, True).otherwise(False)
-    tok_arr = F.when(empty, F.array().cast("array<string>")).otherwise(toks)
+    from landlensdb_spark.operators.textstats import words_of
+
+    tok_arr = words_of(F.col(text))  # NULL/blank text -> empty array, no phantom tokens
     joined = df.join(per_doc, df[id_col] == per_doc["_sid"], "left")
     # keep token i unless some span covers it
     kept = F.filter(

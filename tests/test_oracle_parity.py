@@ -29,8 +29,8 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-# the fast, structurally-distinct subset (the full 65-query sweep runs via
-# tools/check_oracle.py at sf0.01, with dtype checks)
+# the fast, structurally-distinct subset (the full all-queries sweep runs
+# via tools/check_oracle.py at sf0.01, with dtype checks)
 SUBSET = [
     "tile_assign",
     "pip_admin",

@@ -355,3 +355,21 @@ def test_balance_sources_fractions(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in balance_sources(df.repartition(7), "source", {"s0": 0.5, "s1": 0.1}).collect())
     assert a == b
+
+
+def test_spans_tokenizer_has_no_phantom_tokens(spark):
+    """Trailing newline/NULL text must not mint phantom empty tokens that
+    shift span coordinates or inflate n_tokens (words_of tokenizer)."""
+    from landlensdb_spark.operators.spans import remove_spans, repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d\n"), (2, "a b c d"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    spans = repeated_spans(docs, win=4, min_count=2)
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()}
+    assert got == {(1, 0, 4), (2, 0, 4)}  # doc 1's trailing \n changes nothing
+    out = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["clean_text"] == ""
+    assert out[3]["clean_text"] == "" and out[3]["n_tokens"] == 0
+    assert out[4]["n_tokens"] == 0 and out[4]["n_removed"] == 0
