@@ -1,0 +1,389 @@
+"""Baseline JPEG codec (grayscale) — pure numpy/stdlib, public ITU T.81.
+
+Closes the last image-codec gap (round-2 VERDICT F25): PNG is handled by
+operators/raster.py; this module adds BASELINE sequential-DCT JPEG for
+single-component (grayscale) images — decode for corpus payloads, plus an
+encoder twin for fixtures/round-trips, exactly like the EXIF/MVT/PNG/WARC
+wire codecs in this repo. Everything is from the public spec: the zigzag
+order, the Annex K.1 luminance quantization table, and the Annex K.3
+typical luminance Huffman tables.
+
+Scope (documented, checked loudly): baseline DCT (SOF0), one component,
+no restart markers, no progressive/arithmetic coding. Color and
+progressive payloads raise ValueError — callers treat them as
+undecodable, the same contract as the PNG path. The DCT is the exact
+orthonormal matrix form (float64 matmul), so encode->decode error is
+bounded by quantization alone.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- spec constants ---------------------------------------------------------
+
+#: zigzag scan order: ZIGZAG[i] = (row*8 + col) of the i-th coefficient
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.1 luminance quantization table (quality 50 base), zigzag order
+QTABLE_LUMA = np.array(
+    [
+        16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+        26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+        56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+        95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+        103, 99,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.3.1: typical luminance DC table — BITS (codes per length 1..16)
+#: and HUFFVAL (symbols in code order)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+#: Annex K.3.2: typical luminance AC table
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C: dct2(B) = C @ B @ C.T."""
+    k = np.arange(8).reshape(-1, 1)
+    n = np.arange(8).reshape(1, -1)
+    c = np.cos((2 * n + 1) * k * np.pi / 16.0) * 0.5
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length), per spec Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _build_codes(DC_BITS, DC_VALS)
+_AC_CODES = _build_codes(AC_BITS, AC_VALS)
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _extend(code: int, size: int) -> int:
+    """Inverse of _magnitude."""
+    if size == 0:
+        return 0
+    if code < (1 << (size - 1)):
+        return code - (1 << size) + 1
+    return code
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad per spec
+        return bytes(self.out)
+
+
+def _scaled_qtable(quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of the Annex K table (zigzag order)."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (QTABLE_LUMA * s + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
+    """2-D uint8 array -> baseline JFIF bytes (grayscale, SOF0)."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("need a 2-D uint8 array")
+    h, w = img.shape
+    q = _scaled_qtable(quality)
+    q_raster = np.empty(64, dtype=np.int64)
+    q_raster[ZIGZAG] = q  # natural-order table for the DCT divide
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1 : h, :]  # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    writer = _BitWriter()
+    prev_dc = 0
+    qmat = q_raster.reshape(8, 8)
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _C @ block @ _C.T
+            quant = np.round(coef / qmat).astype(np.int64)
+            zz = quant.flatten()[ZIGZAG]
+            # DC difference
+            size, code = _magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            hc, hl = _DC_CODES[size]
+            writer.write(hc, hl)
+            if size:
+                writer.write(code, size)
+            # AC run-lengths
+            run = 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = _AC_CODES[0xF0]  # ZRL
+                    writer.write(hc, hl)
+                    run -= 16
+                size, code = _magnitude(v)
+                hc, hl = _AC_CODES[(run << 4) | size]
+                writer.write(hc, hl)
+                writer.write(code, size)
+                run = 0
+            if run:
+                hc, hl = _AC_CODES[0x00]  # EOB
+                writer.write(hc, hl)
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # un-stuff
+                else:
+                    self.pos -= 1  # marker: stop feeding
+                    break
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        self._fill()
+        if n > self.nbits:
+            # trailing pad bits: treat missing bits as 1s (spec pad)
+            self.acc = (self.acc << (n - self.nbits)) | ((1 << (n - self.nbits)) - 1)
+            self.nbits = n
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_code(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def decode_jpeg_gray(blob: bytes) -> np.ndarray:
+    """Baseline grayscale JFIF bytes -> 2-D uint8 array.
+
+    Raises ValueError for anything outside the documented scope
+    (multi-component color, progressive SOF2, restart intervals,
+    arithmetic coding) — loud, never garbage pixels."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tbl = ac_tbl = None
+    h = w = None
+    qsel = 0
+    scan_start = None
+    while i < len(blob) - 1:
+        if blob[i] != 0xFF:
+            raise ValueError("marker desync")
+        marker = blob[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", blob, i + 2)
+        payload = blob[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    payload[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
+        elif marker == 0xC0:  # SOF0
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if precision != 8 or ncomp != 1:
+                raise ValueError("grayscale 8-bit baseline only")
+            # per-component bytes after the frame header: id, sampling, qtable
+            if payload[6 + 1] != 0x11:
+                raise ValueError("subsampling on a single component unsupported")
+            qsel = payload[6 + 2]
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, _th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                if tc == 0:
+                    dc_tbl = _decode_table(bits, vals)
+                else:
+                    ac_tbl = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            scan_start = i + 2 + ln
+            break
+        i += 2 + ln
+    if scan_start is None or h is None or dc_tbl is None or ac_tbl is None:
+        raise ValueError("missing SOF/DHT/SOS")
+    if qsel not in qtables:
+        raise ValueError("missing quantization table")
+    q_raster = np.empty(64, dtype=np.int64)
+    q_raster[ZIGZAG] = qtables[qsel]
+    qmat = q_raster.reshape(8, 8)
+
+    reader = _BitReader(blob[scan_start:])
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    zz = np.zeros(64, dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            zz[:] = 0
+            size = reader.read_code(dc_tbl)
+            prev_dc += _extend(reader.read(size), size)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = reader.read_code(ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient overrun")
+                zz[k] = _extend(reader.read(size), size)
+                k += 1
+            quant = np.zeros(64, dtype=np.int64)
+            quant[ZIGZAG] = zz
+            coef = quant.reshape(8, 8) * qmat
+            block = _C.T @ coef @ _C + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def jpeg_dims(blob: bytes) -> tuple[int, int] | None:
+    """(width, height) from any JPEG's SOFn marker, or None if not a JPEG
+    — real metadata extraction without a full decode (works for color and
+    progressive files too)."""
+    if blob is None or len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i < len(blob) - 9:
+        if blob[i] != 0xFF:
+            return None
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _, h, w = struct.unpack_from(">BHH", blob, i + 4)
+            return (w, h)
+        (ln,) = struct.unpack_from(">H", blob, i + 2)
+        i += 2 + ln
+    return None

@@ -35,43 +35,65 @@ META_SCHEMA = "width int, height int, n_frames int, codec string, ok boolean"
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
-    """Metadata decode: REAL for PNG payloads (IHDR parse via the in-repo
-    codec — any color type), deterministic content-hash fake for other
-    formats (JPEG/video headers need codecs this container lacks)."""
+    """Metadata decode: REAL for PNG (IHDR parse) and JPEG (SOFn parse —
+    any color/progressive variant) via the in-repo codecs; deterministic
+    content-hash fake only for formats this container cannot parse
+    (video needs ffmpeg)."""
     if payload is None or len(payload) == 0:
         return (0, 0, 0, "none", False)
+    from landlensdb_spark.operators.jpeg import jpeg_dims
     from landlensdb_spark.operators.raster import png_dims
 
-    dims = png_dims(bytes(payload))
+    b = bytes(payload)
+    dims = png_dims(b)
     if dims is not None:
         return (dims[0], dims[1], 1, "png", True)
+    dims = jpeg_dims(b)
+    if dims is not None:
+        return (dims[0], dims[1], 1, "jpeg", True)
     h = hashlib.md5(payload).digest()
     return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 30, "fake", True)
 
 
 def real_decode(payload: bytes):
-    """The production decoder hook for NON-PNG media — not available in
-    this container (PNG is handled natively by operators/raster.py)."""
+    """The production decoder hook for media beyond the in-repo codecs
+    (color/progressive JPEG pixel decode, video frames). PNG and baseline
+    grayscale JPEG need no swap — operators/raster.py and
+    operators/jpeg.py cover them natively."""
     raise NotImplementedError(
-        "JPEG/video codecs (PIL/ffmpeg) are not installed in this "
-        "environment; swap DECODERS['decode'] for a real implementation. "
-        "PNG metadata/thumbnails need no swap — the in-repo codec covers them."
+        "full-color JPEG / video codecs (PIL/ffmpeg) are not installed in "
+        "this environment; swap DECODERS['decode'] for a real implementation."
     )
 
 
 def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
-    """REAL thumbnails for grayscale-8 PNG payloads via the in-repo codec
-    (decode -> box/nearest resize -> encode); None (null column) for
-    payloads the container cannot decode — the JPEG seam, narrowed from
-    'all images' to 'non-PNG' (round-2 VERDICT missing #2)."""
+    """REAL thumbnails via the in-repo codecs: gray-8 PNG (decode ->
+    box/nearest resize -> PNG) and baseline grayscale JPEG (decode ->
+    resize -> JPEG, format-preserving). None (null column) for payloads
+    outside codec scope — the seam is now color/progressive JPEG + video
+    only."""
     import struct
     import zlib
 
-    from landlensdb_spark.operators.raster import png_thumbnail
+    from landlensdb_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from landlensdb_spark.operators.raster import (
+        encode_png_gray,
+        png_thumbnail,
+        resize_gray,
+    )
 
+    b = bytes(payload)
     try:
-        return png_thumbnail(bytes(payload), max_w, max_h)
+        return png_thumbnail(b, max_w, max_h)
     except (ValueError, zlib.error, struct.error):
+        pass
+    try:
+        img = decode_jpeg_gray(b)
+        h, w = img.shape
+        scale = min(max_w / w, max_h / h, 1.0)
+        ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
+        return encode_jpeg_gray(resize_gray(img, ow, oh), quality=85)
+    except (ValueError, struct.error):
         return None
 
 
@@ -114,6 +136,7 @@ def media_thumbnail(
     )
 
     def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.jpeg import jpeg_dims
         from landlensdb_spark.operators.raster import png_dims
 
         thumbnail = DECODERS["thumbnail"]
@@ -122,7 +145,7 @@ def media_thumbnail(
             thumbs, ws, hs = [], [], []
             for b in pdf[media_col]:
                 t = None if b is None or len(b) == 0 else thumbnail(b, max_w, max_h)
-                d = png_dims(t) if t is not None else None
+                d = (png_dims(t) or jpeg_dims(t)) if t is not None else None
                 thumbs.append(t)
                 ws.append(d[0] if d else None)
                 hs.append(d[1] if d else None)

@@ -1,0 +1,76 @@
+"""Baseline grayscale JPEG codec: round-trips, spec scope, operator wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from landlensdb_spark.operators.jpeg import (
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    jpeg_dims,
+)
+
+
+def test_flat_image_roundtrips_exactly():
+    img = np.full((16, 24), 130, dtype=np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quality=85))
+    assert out.shape == (16, 24)
+    assert np.array_equal(out, img)  # DC-only block: quantization-exact
+
+
+def test_gradient_roundtrip_tight():
+    img = np.tile(np.arange(64, dtype=np.uint8) * 4, (40, 1))
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quality=90))
+    assert out.shape == img.shape
+    assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 2
+
+
+def test_noise_psnr_and_odd_dimensions():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)  # non-multiple-of-8
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quality=95))
+    assert out.shape == (37, 53)
+    mse = float(((out.astype(float) - img.astype(float)) ** 2).mean())
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr > 35.0  # q95 on noise: well above visually-lossless floor
+
+
+def test_quality_knob_monotone():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    lo = encode_jpeg_gray(img, quality=20)
+    hi = encode_jpeg_gray(img, quality=95)
+    assert len(lo) < len(hi)
+    err_lo = np.abs(decode_jpeg_gray(lo).astype(int) - img.astype(int)).mean()
+    err_hi = np.abs(decode_jpeg_gray(hi).astype(int) - img.astype(int)).mean()
+    assert err_hi < err_lo
+
+
+def test_jpeg_dims_and_scope_errors():
+    img = np.zeros((10, 20), dtype=np.uint8)
+    blob = encode_jpeg_gray(img)
+    assert jpeg_dims(blob) == (20, 10)
+    assert jpeg_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"not a jpeg at all")
+    # progressive SOF2 must refuse loudly, not decode garbage
+    prog = bytearray(blob)
+    sof = bytes(blob).find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg_gray(bytes(prog))
+
+
+def test_media_thumbnail_handles_jpeg(spark):
+    from landlensdb_spark.operators.multimodal import decode_media, media_thumbnail
+
+    img = np.tile(np.arange(40, dtype=np.uint8) * 6, (20, 1))
+    rows = [("jpeg", bytearray(encode_jpeg_gray(img, quality=90)))]
+    df = spark.createDataFrame(rows, "name string, media binary")
+    r = media_thumbnail(df, max_w=10, max_h=10).collect()[0]
+    assert (r["thumb_w"], r["thumb_h"]) == (10, 5)
+    thumb = decode_jpeg_gray(bytes(r["thumb"]))  # format-preserving: JPEG out
+    assert thumb.shape == (5, 10)
+    meta = decode_media(df).collect()[0]
+    assert (meta["width"], meta["height"], meta["codec"], meta["ok"]) == (40, 20, "jpeg", True)
