@@ -2238,3 +2238,56 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["corpus_prep"] = _corpus_prep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# JPEG wire round-trip (baseline grayscale codec)
+# ---------------------------------------------------------------------------
+
+@query(
+    "jpeg_roundtrip",
+    """
+    SELECT o_orderkey AS key,
+           CAST(8 * (1 + o_orderkey % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + o_orderkey % 3) AS INTEGER) AS height,
+           CAST(o_orderkey % 256 AS INTEGER) AS intensity
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG codec through the REAL wire bytes: per key, encode a
+    flat (key%256)-intensity image of side 8*(1+key%3), decode it back,
+    and report dims + the single recovered intensity. Flat blocks are
+    DC-only and the Annex-K DC quantizer at q85 keeps the reconstruction
+    within 0.32 of the source value, so the round-trip is EXACT — any
+    huffman/bitstream/DCT bug breaks the hash."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+        for pdf in batches:
+            ks, ws, hs, vs = [], [], [], []
+            for k in pdf["key"]:
+                k = int(k)
+                side = 8 * (1 + k % 3)
+                img = np.full((side, side), k % 256, dtype=np.uint8)
+                out = decode_jpeg_gray(encode_jpeg_gray(img, quality=85))
+                assert (out == out[0, 0]).all()
+                ks.append(k)
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+                vs.append(int(out[0, 0]))
+            yield pd.DataFrame(
+                {"key": ks, "width": ws, "height": hs, "intensity": vs}
+            )
+
+    return keys.mapInPandas(_rt, "key long, width int, height int, intensity int")
