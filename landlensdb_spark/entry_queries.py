@@ -2291,3 +2291,48 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return keys.mapInPandas(_rt, "key long, width int, height int, intensity int")
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram-LM scoring (CCNet-style perplexity gate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "lm_scores",
+    rf"""
+    WITH tr AS (
+      SELECT doc_id,
+             regexp_replace(coalesce(text, ''), '^{_WS}+|{_WS}+$', '', 'g') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(t, '{_WS}+') END AS w
+      FROM tr
+    ),
+    bgr AS (
+      SELECT doc_id,
+             CASE WHEN p = 0 THEN chr(2) ELSE w[p] END AS prev,
+             w[p + 1] AS word
+      FROM (SELECT doc_id, unnest(range(0, len(w))) AS p, w
+            FROM toks WHERE len(w) > 0)
+    ),
+    bc AS (SELECT prev, word, count(*) AS c_bg FROM bgr GROUP BY 1, 2),
+    cc AS (SELECT prev, count(*) AS c_ctx FROM bgr GROUP BY 1),
+    vv AS (SELECT count(DISTINCT word) AS v FROM bgr)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(log2((c_bg + 0.5) / (c_ctx + 0.5 * v))), 6) AS logprob
+    FROM bgr JOIN bc USING (prev, word) JOIN cc USING (prev) CROSS JOIN vv
+    GROUP BY doc_id
+    """,
+)
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log2 bigram probability under the corpus-trained
+    add-0.5 model (the distributed CCNet-perplexity shape: the model is
+    two count DataFrames, scoring is equi-joins — vocabulary never
+    touches the driver)."""
+    from landlensdb_spark.operators.lm import lm_scores
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return lm_scores(docs)

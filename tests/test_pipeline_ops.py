@@ -373,3 +373,40 @@ def test_spans_tokenizer_has_no_phantom_tokens(spark):
     assert out[1]["n_tokens"] == 4 and out[1]["clean_text"] == ""
     assert out[3]["clean_text"] == "" and out[3]["n_tokens"] == 0
     assert out[4]["n_tokens"] == 0 and out[4]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+# ---------------------------------------------------------------------------
+
+def test_lm_scores_hand_computed(spark):
+    import math
+
+    from landlensdb_spark.operators.lm import BOS, lm_scores
+
+    # corpus: "a b" x2, "a c" -> bigrams: (BOS,a)x3, (a,b)x2, (a,c)x1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_scores(docs, add_k=0.5).collect()}
+    v = 3  # vocab: a, b, c
+    p_bos_a = (3 + 0.5) / (3 + 0.5 * v)
+    p_a_b = (2 + 0.5) / (3 + 0.5 * v)
+    p_a_c = (1 + 0.5) / (3 + 0.5 * v)
+    lp = lambda *ps: round(sum(math.log2(p) for p in ps) / len(ps), 6)
+    assert got[1]["logprob"] == lp(p_bos_a, p_a_b) and got[1]["n_bigrams"] == 2
+    assert got[3]["logprob"] == lp(p_bos_a, p_a_c)
+    assert got[1]["logprob"] > got[3]["logprob"]  # common bigram scores higher
+    assert 4 not in got  # empty doc has no bigrams
+
+
+def test_lm_model_is_dataframes_not_driver_state(spark):
+    from landlensdb_spark.operators.lm import train_bigram_counts
+
+    docs = spark.createDataFrame([(1, "x y x y z")], "doc_id long, text string")
+    bigrams, contexts, vocab = train_bigram_counts(docs)
+    bc = {(r["prev"], r["word"]): r["c_bg"] for r in bigrams.collect()}
+    assert bc[("x", "y")] == 2 and bc[("y", "x")] == 1 and bc[("y", "z")] == 1
+    assert {r["prev"]: r["c_ctx"] for r in contexts.collect()}["x"] == 2
+    assert vocab.collect()[0]["v"] == 3
