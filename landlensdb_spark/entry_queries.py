@@ -2336,3 +2336,66 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return lm_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Link-graph PageRank (host-graph centrality)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS, _PR_D = 5, 0.85
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        f"e AS (SELECT DISTINCT o_orderkey % 200 AS s, (o_orderkey * 13 + 7) % 250 AS d"
+        f" FROM orders WHERE o_orderkey < 5000)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT s AS node FROM e UNION ALL SELECT d FROM e))",
+        "deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for t in range(_PR_ITERS):
+        ctes.append(
+            f"d{t} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{t}"
+            f" LEFT JOIN deg ON node = s WHERE deg IS NULL)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT e.d AS node, sum(r.rank / g.deg) AS inflow"
+            f" FROM e JOIN r{t} r ON e.s = r.node JOIN deg g ON e.s = g.s"
+            f" GROUP BY e.d)"
+        )
+        ctes.append(
+            f"r{t + 1} AS (SELECT n.node,"
+            f" ({1.0 - _PR_D} / (SELECT n FROM nn))"
+            f" + {_PR_D} * (coalesce(c.inflow, 0) + (SELECT dm FROM d{t}) / (SELECT n FROM nn)) AS rank"
+            f" FROM nodes n LEFT JOIN c{t} c USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+@query("pagerank_hosts", None)
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (5 unrolled power steps, dangling-mass exact) over a
+    deterministic 250-node host graph derived from orders keys — per
+    iteration: one edges x ranks equi-join + one map-side-combined
+    groupBy; the edge list itself is never re-shuffled between
+    iterations."""
+    from landlensdb_spark.operators.graph import pagerank
+
+    o = tables.load(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_orderkey") < 5000)
+        .select(
+            (F.col("o_orderkey") % 200).alias("src"),
+            ((F.col("o_orderkey") * 13 + 7) % 250).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=_PR_ITERS, damping=_PR_D)
+
+
+ORACLES["pagerank_hosts"] = _pagerank_oracle()

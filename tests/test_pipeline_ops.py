@@ -410,3 +410,28 @@ def test_lm_model_is_dataframes_not_driver_state(spark):
     assert bc[("x", "y")] == 2 and bc[("y", "x")] == 1 and bc[("y", "z")] == 1
     assert {r["prev"]: r["c_ctx"] for r in contexts.collect()}["x"] == 2
     assert vocab.collect()[0]["v"] == 3
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_known_graph(spark):
+    from landlensdb_spark.operators.graph import pagerank
+
+    # 1 -> 2, 1 -> 3, 2 -> 3: node 3 must rank highest, node 1 lowest
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=20).collect()}
+    assert got[3] > got[2] > got[1]
+    assert abs(sum(got.values()) - 1.0) < 1e-3  # mass conserved (dangling 3)
+
+
+def test_pagerank_uniform_cycle(spark):
+    from landlensdb_spark.operators.graph import pagerank
+
+    # a 4-cycle is symmetric: every node gets exactly 1/4
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+    assert got == {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
