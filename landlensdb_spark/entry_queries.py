@@ -2399,3 +2399,61 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["pagerank_hosts"] = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster canonicalization (pairs -> connected components)
+# ---------------------------------------------------------------------------
+
+_CC_ITERS = 5
+
+
+def _dup_clusters_oracle() -> str:
+    ctes = [
+        _SHINGLE_SQL,
+        "sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1)",
+        """inter AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)""",
+        """prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5)""",
+        "e AS (SELECT id_a AS s, id_b AS d FROM prs"
+        " UNION ALL SELECT id_b AS s, id_a AS d FROM prs)",
+        "l0 AS (SELECT node, node AS label FROM (SELECT DISTINCT s AS node FROM e))",
+    ]
+    for t in range(_CC_ITERS):
+        ctes.append(
+            f"m{t} AS (SELECT e.d AS node, min(l.label) AS nl"
+            f" FROM e JOIN l{t} l ON e.s = l.node GROUP BY e.d)"
+        )
+        ctes.append(
+            f"l{t + 1} AS (SELECT l.node,"
+            f" least(l.label, coalesce(m.nl, l.label)) AS label"
+            f" FROM l{t} l LEFT JOIN m{t} m USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT node AS doc_id, label AS cluster_id,
+           node = label AS is_canonical
+    FROM l{_CC_ITERS}
+    """
+    )
+
+
+@query("dup_clusters", None)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact n-gram-Jaccard pair graph: one
+    survivor per duplicate CLUSTER (transitive), not per pair."""
+    from landlensdb_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dup_clusters(pairs, iterations=_CC_ITERS)
+
+
+ORACLES["dup_clusters"] = _dup_clusters_oracle()

@@ -323,3 +323,51 @@ def simhash_dups(
         .filter(F.col("cluster_size") > 1)
         .select(id_col, "simhash", "cluster_size")
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 5,
+) -> DataFrame:
+    """Near-duplicate pair list -> (doc_id, cluster_id, is_canonical):
+    connected components by min-label propagation, the last mile of the
+    dedup story ("keep ONE doc per duplicate cluster", not one per pair —
+    pairwise keep-lowest drops too much when A~B and B~C but A!~C).
+
+    Fixed ``iterations`` rounds of "take the min label among yourself and
+    your neighbors" — labels propagate one hop per round, so components
+    with diameter <= iterations converge (near-dup clusters are dense;
+    5 covers them), and a FIXED count keeps the result a pure function of
+    the pairs, reproducible in the SQL oracle. Per round: one equi-join +
+    one map-side-combined groupBy; lineage truncated every 4 rounds like
+    graph.pagerank. cluster_id is the component's minimum doc id;
+    is_canonical marks that doc (the survivor)."""
+    e = pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d")).unionByName(
+        pairs.select(F.col(id_b).alias("_s"), F.col(id_a).alias("_d"))
+    )
+    labels = e.select(F.col("_s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for it in range(iterations):
+        if it and it % 4 == 0:
+            labels = labels.localCheckpoint(eager=True)
+        nbr = (
+            e.join(labels, e["_s"] == labels["node"])
+            .select(F.col("_d").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("_nl", "label")).alias("label"),
+            )
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

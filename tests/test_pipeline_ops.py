@@ -435,3 +435,22 @@ def test_pagerank_uniform_cycle(spark):
     )
     got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
     assert got == {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster canonicalization
+# ---------------------------------------------------------------------------
+
+def test_dup_clusters_transitive_components(spark):
+    from landlensdb_spark.operators.dedup import dup_clusters
+
+    # chain 1~2, 2~3 (1 and 3 never paired directly) + separate pair 10~11
+    pairs = spark.createDataFrame(
+        [(2, 1, 0.9), (2, 3, 0.9), (10, 11, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in dup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+    }
