@@ -666,7 +666,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE_SQL = """
-  toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+  toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') w FROM documents),
   sh AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(
@@ -797,7 +797,7 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                range(0, CAST(ceil(len(w) / 4.0) AS INT)),
                j -> array_to_string(w[j*4+1 : j*4+4], ' ')
              ) AS lines
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS w FROM documents)
     ),
     l AS (
       SELECT doc_id, generate_subscripts(lines, 1) - 1 AS pos, unnest(lines) AS line
@@ -838,7 +838,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_stats",
     r"""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+')) AS n_tokens,
            len(regexp_extract_all(text, '([A-Za-z0-9]+|[^A-Za-z0-9\s])', 1)) AS n_subwords
     FROM documents
     """,
@@ -859,7 +859,7 @@ _QUALITY_SQL = r"""
     SELECT doc_id, text,
       ' ' || lower(text) || ' ' AS padded,
       CASE WHEN len(trim(text)) = 0 THEN 0
-           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+           ELSE len(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+')) END AS n_tok
     FROM documents
   ),
   scored AS (
@@ -1769,7 +1769,7 @@ _SHARD_TOKENS = 2000
     WITH t AS (
       SELECT doc_id,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+')) END AS BIGINT)
                AS n_tokens
       FROM documents
     ),
@@ -1860,7 +1860,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     "postings_stats",
     r"""
     WITH terms AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0b]+')) AS term
       FROM documents WHERE length(trim(lower(text))) > 0
     ),
     post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
@@ -1883,7 +1883,7 @@ def _bm25_oracle() -> str:
     terms_list = ", ".join(f"('{t}')" for t in _BM25_TERMS)
     return rf"""
     WITH terms AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0b]+')) AS term
       FROM documents WHERE length(trim(lower(text))) > 0
     ),
     post AS (SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2),
@@ -1891,7 +1891,7 @@ def _bm25_oracle() -> str:
     dls AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+')) END AS dl
       FROM documents
     ),
     tot AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
@@ -1938,11 +1938,10 @@ ORACLES["bm25_docs"] = _bm25_oracle()
 _SPAN_W = 8
 _SPAN_CAT = " || ' ' || ".join(f"w[pos + {d + 1}]" for d in range(_SPAN_W))
 
-
-@query(
-    "repeated_spans",
-    rf"""
-    WITH tr AS (
+#: shared span-detection CTE chain (tokenize -> windows -> hot windows ->
+#: lag/running-sum island merge -> spans) — the ONE source both span
+#: oracles build on, so their semantics can never desynchronize
+_SPAN_SQL = rf"""tr AS (
       SELECT doc_id,
              regexp_replace(coalesce(text, ''), '^{_WS}+|{_WS}+$', '', 'g') AS t
       FROM documents
@@ -1950,7 +1949,9 @@ _SPAN_CAT = " || ' ' || ".join(f"w[pos + {d + 1}]" for d in range(_SPAN_W))
     toks AS (
       SELECT doc_id,
              CASE WHEN len(t) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(t, '{_WS}+') END AS w
+                  ELSE string_split_regex(t, '{_WS}+') END AS w,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE len(string_split_regex(t, '{_WS}+')) END AS nt
       FROM tr
     ),
     wins AS (
@@ -1971,11 +1972,22 @@ _SPAN_CAT = " || ' ' || ".join(f"w[pos + {d + 1}]" for d in range(_SPAN_W))
       SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
       FROM flg
-    )
-    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + {_SPAN_W} AS BIGINT) AS span_end,
-           CAST(count(*) AS BIGINT) AS n_windows
-    FROM isl GROUP BY doc_id, island
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_W} AS e,
+             count(*) AS n_win
+      FROM isl GROUP BY doc_id, island
+    )"""
+
+
+@query(
+    "repeated_spans",
+    f"""
+    WITH {_SPAN_SQL}
+    SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+           CAST(e AS BIGINT) AS span_end,
+           CAST(n_win AS BIGINT) AS n_windows
+    FROM spans
     """,
 )
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2087,43 +2099,8 @@ ORACLES["balanced_docs"] = _balance_oracle()
 
 @query(
     "span_scrub",
-    rf"""
-    WITH tr AS (
-      SELECT doc_id,
-             regexp_replace(coalesce(text, ''), '^{_WS}+|{_WS}+$', '', 'g') AS t
-      FROM documents
-    ),
-    toks AS (
-      SELECT doc_id,
-             CASE WHEN len(t) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(t, '{_WS}+') END AS w,
-             CASE WHEN len(t) = 0 THEN 0
-                  ELSE len(string_split_regex(t, '{_WS}+')) END AS nt
-      FROM tr
-    ),
-    wins AS (
-      SELECT doc_id, unnest(range(0, len(w) - {_SPAN_W - 1})) AS pos, w
-      FROM toks WHERE len(w) >= {_SPAN_W} AND nt > 0
-    ),
-    ww AS (SELECT doc_id, pos, {_SPAN_CAT} AS win FROM wins),
-    hot AS (SELECT win FROM ww GROUP BY win HAVING count(*) >= 2),
-    rep AS (SELECT doc_id, pos FROM ww JOIN hot USING (win)),
-    flg AS (
-      SELECT doc_id, pos,
-             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
-                  THEN 1 ELSE 0 END AS brk
-      FROM rep
-    ),
-    isl AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM flg
-    ),
-    spans AS (
-      SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_W} AS e
-      FROM isl GROUP BY doc_id, island
-    ),
+    f"""
+    WITH {_SPAN_SQL},
     toks2 AS (
       SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS p
       FROM toks WHERE nt > 0
@@ -2189,7 +2166,7 @@ def _corpus_prep_oracle() -> str:
     toks AS (
       SELECT doc_id, quality,
              CAST(CASE WHEN length(trim(redacted)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(redacted), '\s+')) END AS BIGINT)
+                  ELSE len(string_split_regex(trim(redacted), '[ \t\n\r\f\x0b]+')) END AS BIGINT)
                AS n_tokens
       FROM kept
     ),
@@ -2230,8 +2207,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = kept.select(
         "doc_id", "quality", token_count(F.col("redacted")).cast("long").alias("n_tokens")
-    ).persist()  # pack_token_shards runs 3 jobs (quantiles, totals, output);
-    # without the cache each re-executes the regex+window upstream
+    ).localCheckpoint(eager=True)
+    # pack_token_shards runs 3 jobs (quantiles, totals, output); the eager
+    # materialization runs the regex+window upstream exactly once, and the
+    # blocks are released by the ContextCleaner when the result is GC'd
+    # (unlike persist, nothing lingers in the catalog cache registry)
     return pack_token_shards(toks, "n_tokens", "doc_id", _PREP_SHARD).select(
         "doc_id", "quality", "n_tokens", "shard_id"
     )

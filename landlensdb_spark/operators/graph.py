@@ -58,9 +58,14 @@ def pagerank(
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg")).localCheckpoint(
+        eager=True
+    )
     n_nodes = nodes.count()  # one bounded action; N is a plan constant below
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))  # empty in, empty out
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
 
     for it in range(iterations):

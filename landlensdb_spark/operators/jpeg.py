@@ -274,9 +274,11 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
     qtables: dict[int, np.ndarray] = {}
-    dc_tbl = ac_tbl = None
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
     h = w = None
     qsel = 0
+    dc_sel = ac_sel = 0
     scan_start = None
     while i < len(blob) - 1:
         if blob[i] != 0xFF:
@@ -299,6 +301,8 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
         elif marker == 0xC0:  # SOF0
+            if len(payload) < 9:
+                raise ValueError("truncated SOF0 segment")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8 or ncomp != 1:
                 raise ValueError("grayscale 8-bit baseline only")
@@ -306,26 +310,38 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
             if payload[6 + 1] != 0x11:
                 raise ValueError("subsampling on a single component unsupported")
             qsel = payload[6 + 2]
-        elif marker == 0xC4:  # DHT (possibly several tables)
+        elif marker == 0xC4:  # DHT (possibly several tables, keyed by
+            # destination id Th — a file may also carry unused chroma
+            # tables, so the SOS Td/Ta selectors below pick the right ones)
             p = 0
             while p < len(payload):
-                tc, _th = payload[p] >> 4, payload[p] & 0x0F
+                if p + 17 > len(payload):
+                    raise ValueError("truncated DHT segment")
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + nv])
                 if tc == 0:
-                    dc_tbl = _decode_table(bits, vals)
+                    dc_tables[th] = _decode_table(bits, vals)
                 else:
-                    ac_tbl = _decode_table(bits, vals)
+                    ac_tables[th] = _decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: ncomp, then (component id, Td<<4|Ta)
+            if len(payload) < 3:
+                raise ValueError("truncated SOS segment")
+            if payload[0] != 1:
+                raise ValueError("grayscale single-component scan only")
+            dc_sel, ac_sel = payload[2] >> 4, payload[2] & 0x0F
             scan_start = i + 2 + ln
             break
         i += 2 + ln
-    if scan_start is None or h is None or dc_tbl is None or ac_tbl is None:
+    if scan_start is None or h is None or not dc_tables or not ac_tables:
         raise ValueError("missing SOF/DHT/SOS")
+    if dc_sel not in dc_tables or ac_sel not in ac_tables:
+        raise ValueError("SOS selects an undefined Huffman table")
+    dc_tbl, ac_tbl = dc_tables[dc_sel], ac_tables[ac_sel]
     if qsel not in qtables:
         raise ValueError("missing quantization table")
     q_raster = np.empty(64, dtype=np.int64)

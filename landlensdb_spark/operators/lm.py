@@ -48,17 +48,20 @@ def _bigrams(df: DataFrame, text: str, id_col: str) -> DataFrame:
     )
 
 
+def _model_from(bg: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    bigrams = bg.groupBy("prev", "word").agg(F.count("*").alias("c_bg"))
+    contexts = bg.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    vocab = bg.select("word").distinct().agg(F.count("*").alias("v"))
+    return bigrams, contexts, vocab
+
+
 def train_bigram_counts(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(bigram_counts, context_counts, vocab_size_df): the model as
     DataFrames. vocab counts distinct WORDS (BOS is a context, not a
     vocabulary entry)."""
-    bg = _bigrams(df, text, id_col)
-    bigrams = bg.groupBy("prev", "word").agg(F.count("*").alias("c_bg"))
-    contexts = bg.groupBy("prev").agg(F.count("*").alias("c_ctx"))
-    vocab = bg.select("word").distinct().agg(F.count("*").alias("v"))
-    return bigrams, contexts, vocab
+    return _model_from(_bigrams(df, text, id_col))
 
 
 def lm_scores(
@@ -70,8 +73,11 @@ def lm_scores(
     """(id, n_bigrams, logprob): mean log2 P(w|prev) per document under
     the corpus-trained add-k bigram model (6dp rounding for cross-engine
     exactness). Empty docs are absent (no bigrams to score)."""
-    bigrams, contexts, vocab = train_bigram_counts(df, text, id_col)
-    bg = _bigrams(df, text, id_col)
+    # the tokenize+explode feeds FOUR consumers (three model rollups +
+    # the probe side); materialize it once so the corpus scan and explode
+    # never re-execute per subtree
+    bg = _bigrams(df, text, id_col).localCheckpoint(eager=True)
+    bigrams, contexts, vocab = _model_from(bg)
     scored = (
         bg.join(bigrams, ["prev", "word"], "left")
         .join(contexts, "prev", "left")

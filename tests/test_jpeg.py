@@ -74,3 +74,34 @@ def test_media_thumbnail_handles_jpeg(spark):
     assert thumb.shape == (5, 10)
     meta = decode_media(df).collect()[0]
     assert (meta["width"], meta["height"], meta["codec"], meta["ok"]) == (40, 20, "jpeg", True)
+
+
+def test_decoder_honors_table_destination_ids():
+    """A file carrying UNUSED id-1 huffman tables after the id-0 ones must
+    decode with the tables the SOS actually selects (Td/Ta), not whichever
+    DHT came last."""
+    import struct
+
+    img = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    blob = bytearray(encode_jpeg_gray(img, quality=90))
+    # craft a junk DHT pair with destination id 1 (one 2-bit code each) and
+    # splice it AFTER the real DHT segment
+    def dht(tc_th, bits, vals):
+        payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        return struct.pack(">HH", 0xFFC4, len(payload) + 2) + payload
+    junk = dht(0x01, [0, 1] + [0] * 14, [0]) + dht(0x11, [0, 1] + [0] * 14, [1])
+    sos = bytes(blob).find(b"\xff\xda")
+    patched = bytes(blob[:sos]) + junk + bytes(blob[sos:])
+    assert np.array_equal(decode_jpeg_gray(patched), decode_jpeg_gray(bytes(blob)))
+
+
+def test_truncated_segments_raise_valueerror():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytes(encode_jpeg_gray(img))
+    import struct
+
+    sof = blob.find(b"\xff\xc0")
+    # shrink SOF0 payload to 7 bytes (cuts the component spec)
+    bad = blob[:sof] + struct.pack(">HH", 0xFFC0, 9) + blob[sof + 4 : sof + 11] + blob[blob.find(b"\xff\xc4"):]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bad)
