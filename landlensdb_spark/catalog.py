@@ -132,3 +132,109 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a managed (possibly bucketed) table; bucket metadata rides the
     catalog entry, so joins on the bucket key plan shuffle-free."""
     return spark.table(table)
+
+
+def compact_dir(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet dir into ~target-sized
+    files. Returns the new file count.
+
+    Long-running incremental pipelines (merge_by_key, streaming sinks)
+    accrete many small files; at scan time each costs an open + footer
+    read and caps split packing. Standard maintenance: size the rewrite
+    from the ACTUAL on-disk bytes, coalesce, atomically swap (tmp dir +
+    rename locally; on an object store the same two-phase commit).
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(math.ceil(total / target_file_bytes), 1)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
+def snapshot_write(
+    df: DataFrame, path: str, note: str = ""
+) -> int:
+    """Append a new immutable snapshot version under ``path/v=N`` and
+    update ``manifest.json`` — the mini-lakehouse layout behind the
+    reference's local-store sync (every sync is a new consistent version;
+    readers never see partial writes because the manifest is updated only
+    after the version dir is complete). Returns the new version number.
+    """
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    manifest_path = os.path.join(path, "manifest.json")
+    manifest = {"versions": []}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    version = (manifest["versions"][-1]["version"] + 1) if manifest["versions"] else 1
+    vdir = os.path.join(path, f"v={version:05d}")
+    df.write.mode("errorifexists").parquet(vdir)
+    n_rows = df.sparkSession.read.parquet(vdir).count()
+    manifest["versions"].append(
+        {"version": version, "rows": n_rows, "note": note}
+    )
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)  # atomic manifest swap = the commit
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table at the latest (default) or an explicit
+    version — time travel over the ``v=N`` layout."""
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    known = [v["version"] for v in manifest["versions"]]
+    if not known:
+        raise ValueError("snapshot table has no committed versions")
+    v = version if version is not None else known[-1]
+    if v not in known:
+        raise ValueError(f"version {v} not in {known}")
+    return spark.read.parquet(os.path.join(path, f"v={v:05d}"))
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    key: str,
+    conflict: str = "update",
+    note: str = "",
+) -> int:
+    """Incremental sync as a NEW snapshot version: latest ∪ incoming by
+    key (upsert semantics), committed via snapshot_write — the versioned
+    twin of merge_by_key (old versions stay readable; time travel is the
+    audit trail the reference's destructive local sync lacks)."""
+    import os
+
+    from landlensdb_spark.dsl import upsert
+
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        return snapshot_write(incoming, path, note)
+    existing = snapshot_read(spark, path)
+    return snapshot_write(upsert(existing, incoming, key, conflict), path, note)

@@ -184,3 +184,47 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_compact_dir_reduces_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.catalog import compact_dir
+
+    path = str(tmp_path / "many")
+    spark.range(10_000).select(F.col("id"), (F.col("id") % 7).alias("x")).repartition(
+        40
+    ).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 40
+    compact_dir(spark, path, target_file_bytes=1 << 30)
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000 and set(out.columns) == {"id", "x"}
+
+
+def test_snapshot_versions_and_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    from landlensdb_spark.catalog import snapshot_read, snapshot_upsert, snapshot_write
+
+    path = str(tmp_path / "snap")
+    v1 = snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path, "init"
+    )
+    assert v1 == 1
+    v2 = snapshot_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        key="k",
+    )
+    assert v2 == 2
+    latest = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert latest == {1: "a", 2: "B", 3: "c"}
+    # time travel: version 1 is unchanged
+    old = {r["k"]: r["v"] for r in snapshot_read(spark, path, version=1).collect()}
+    assert old == {1: "a", 2: "b"}
+    with _pytest.raises(ValueError, match="not in"):
+        snapshot_read(spark, path, version=9)
