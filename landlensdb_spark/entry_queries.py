@@ -2437,3 +2437,66 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dup_clusters"] = _dup_clusters_oracle()
+
+
+# ---------------------------------------------------------------------------
+# robots.txt gating (RFC 9309 longest-match through the real parser)
+# ---------------------------------------------------------------------------
+
+@query(
+    "robots_gate",
+    """
+    WITH u AS (
+      SELECT o_orderkey AS key,
+             'h' || CAST(o_orderkey % 50 AS VARCHAR) AS host,
+             o_orderkey % 50 AS h,
+             o_orderkey % 4 AS cls
+      FROM orders WHERE o_orderkey < 3000
+    )
+    SELECT key, host,
+           CASE
+             WHEN cls = 0 THEN FALSE                       -- /private/doc...
+             WHEN cls = 1 THEN h % 3 <> 0                  -- /tmp only blocked on h%3=0
+             WHEN cls = 2 THEN TRUE                        -- /public
+             ELSE h % 4 = 0                                -- /private/ok: Allow wins iff present
+           END AS allowed,
+           CAST(1 + h % 5 AS DOUBLE) AS crawl_delay
+    FROM u
+    """,
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance gate through the REAL RFC 9309 parser: per-host
+    robots.txt text is synthesized from key arithmetic, parsed once per
+    host, and every url verdict (longest-match allow/disallow, tie->
+    allow) is a pure higher-order column expression — the oracle states
+    the expected verdicts arithmetically, so any grammar/matching bug
+    breaks the hash."""
+    from landlensdb_spark.operators.robots import gate_urls
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 3000).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 50).alias("h"),
+        (F.col("o_orderkey") % 4).alias("cls"),
+    )
+    urls = keys.select(
+        "key",
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        F.when(F.col("cls") == 0, F.concat(F.lit("/private/doc"), F.col("key").cast("string")))
+        .when(F.col("cls") == 1, F.concat(F.lit("/tmp/f"), F.col("key").cast("string")))
+        .when(F.col("cls") == 2, F.concat(F.lit("/public/p"), F.col("key").cast("string")))
+        .otherwise(F.concat(F.lit("/private/ok/x"), F.col("key").cast("string")))
+        .alias("path"),
+    )
+    hosts = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.when(F.col("id") % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
+            F.when(F.col("id") % 4 == 0, F.lit("Allow: /private/ok\n")).otherwise(F.lit("")),
+            F.lit("Crawl-delay: "),
+            (F.lit(1) + F.col("id") % 5).cast("string"),
+            F.lit("\n"),
+        ).alias("robots_txt"),
+    )
+    return gate_urls(urls, hosts).select("key", "host", "allowed", "crawl_delay")

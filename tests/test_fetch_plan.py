@@ -48,3 +48,60 @@ def test_duplicate_urls_deterministic_with_tiebreak(spark):
         for r in fetch_plan(df, order_cols=["url", "k"], rps_per_host=1.0).collect()
     }
     assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parser + gate (round 3)
+# ---------------------------------------------------------------------------
+
+def test_parse_robots_groups_and_precedence():
+    from landlensdb_spark.operators.robots import parse_robots
+
+    txt = """
+# comment
+User-agent: googlebot
+Disallow: /g
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Crawl-delay: 2.5
+"""
+    rules, delay = parse_robots(txt, agent="*")
+    assert rules == [("/private", False), ("/private/ok", True)]
+    assert delay == 2.5
+    # exact agent match beats *
+    rules_g, delay_g = parse_robots(txt, agent="GoogleBot")
+    assert rules_g == [("/g", False)] and delay_g is None
+    # stacked user-agents share one rule group
+    both = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots(both, agent="b")[0] == [("/x", False)]
+    # empty Disallow contributes no rule; absent robots -> no rules
+    assert parse_robots("User-agent: *\nDisallow:\n")[0] == []
+    assert parse_robots("")[0] == []
+
+
+def test_gate_urls_longest_match_and_missing_host(spark):
+    from landlensdb_spark.operators.robots import gate_urls
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\nCrawl-delay: 3\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/p/secret"),
+            ("a.com", "/p/ok/fine"),
+            ("a.com", "/open"),
+            ("b.com", "/p/anything"),  # no robots entry -> allowed
+        ],
+        "host string, path string",
+    )
+    got = {
+        (r["host"], r["path"]): (r["allowed"], r["crawl_delay"])
+        for r in gate_urls(urls, robots).collect()
+    }
+    assert got[("a.com", "/p/secret")] == (False, 3.0)
+    assert got[("a.com", "/p/ok/fine")] == (True, 3.0)
+    assert got[("a.com", "/open")] == (True, 3.0)
+    assert got[("b.com", "/p/anything")] == (True, None)
