@@ -2500,3 +2500,31 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots_txt"),
     )
     return gate_urls(urls, hosts).select("key", "host", "allowed", "crawl_delay")
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling: exact per-language length quantiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "length_quantiles",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-language length quantiles (Spark percentile
+    == SQL quantile_cont linear interpolation) — the corpus profiling
+    rollup that sizes filters and shard budgets."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99"),
+    )

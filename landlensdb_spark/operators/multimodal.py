@@ -210,3 +210,65 @@ def frame_sample(
 def with_media_table(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Treat the html payload as the opaque media column (schema adapter)."""
     return pages.withColumn("media", F.col(html_col))
+
+
+def phash64(img) -> int:
+    """Perceptual 64-bit image hash (classic DCT pHash, public algorithm):
+    box-resize to 32x32, 2-D DCT, take the top-left 8x8 low-frequency
+    block, threshold each coefficient against the block's median (DC
+    excluded from the median). Robust to re-encoding/resizing; Hamming
+    distance <= ~10 means perceptually-same image."""
+    import numpy as np
+
+    from landlensdb_spark.operators.raster import resize_gray
+
+    small = resize_gray(np.asarray(img, dtype=np.uint8), 32, 32).astype(np.float64)
+    k = np.arange(32).reshape(-1, 1)
+    n = np.arange(32).reshape(1, -1)
+    c = np.cos((2 * n + 1) * k * np.pi / 64.0) * np.sqrt(2.0 / 32.0)
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    coef = c @ small @ c.T
+    block = coef[:8, :8].flatten()
+    med = np.median(block[1:])  # DC excluded
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # as signed 64-bit so it fits a Spark long column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Attach a ``phash long`` column (null for undecodable payloads) in
+    one Arrow-batched pass — the image near-dup key: exact-match or
+    banded grouping on it is the image analog of text simhash dedup."""
+    keep = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["phash long"]
+    )
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        from landlensdb_spark.operators.jpeg import decode_jpeg_gray
+        from landlensdb_spark.operators.raster import decode_png_gray
+
+        for pdf in batches:
+            out = pdf[keep].copy()
+            hashes = []
+            for b in pdf[media_col]:
+                img = None
+                if b is not None and len(b):
+                    for dec in (decode_png_gray, decode_jpeg_gray):
+                        try:
+                            img = dec(bytes(b))
+                            break
+                        except (ValueError, _zlib.error, _struct.error):
+                            continue
+                hashes.append(phash64(img) if img is not None else None)
+            out["phash"] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(_ph, out_schema)

@@ -105,3 +105,56 @@ def test_truncated_segments_raise_valueerror():
     bad = blob[:sof] + struct.pack(">HH", 0xFFC0, 9) + blob[sof + 4 : sof + 11] + blob[blob.find(b"\xff\xc4"):]
     with pytest.raises(ValueError):
         decode_jpeg_gray(bad)
+
+
+def test_phash_invariant_to_reencoding_and_scale():
+    from landlensdb_spark.operators.jpeg import encode_jpeg_gray
+    from landlensdb_spark.operators.multimodal import phash64
+    from landlensdb_spark.operators.raster import resize_gray
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    # smooth it so it has real low-frequency structure
+    img = resize_gray(resize_gray(base, 8, 8), 64, 64)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h0 = phash64(img)
+    # survives a lossy JPEG round-trip
+    from landlensdb_spark.operators.jpeg import decode_jpeg_gray
+
+    h_jpeg = phash64(decode_jpeg_gray(encode_jpeg_gray(img, quality=70)))
+    assert ham(h0, h_jpeg) <= 6
+    # survives downscaling
+    h_small = phash64(resize_gray(img, 32, 32))
+    assert ham(h0, h_small) <= 6
+    # a different image is far away
+    other = resize_gray(resize_gray(rng.integers(0, 256, (64, 64), dtype=np.uint8), 8, 8), 64, 64)
+    assert ham(h0, phash64(other)) > 16
+
+
+def test_media_phash_operator(spark):
+    from landlensdb_spark.operators.jpeg import encode_jpeg_gray
+    from landlensdb_spark.operators.multimodal import media_phash
+    from landlensdb_spark.operators.raster import encode_png_gray
+
+    from landlensdb_spark.operators.raster import resize_gray
+
+    # low-frequency structured image (a pure ramp keeps half the hash
+    # coefficients AT the median, where lossy quantization flips bits)
+    rng = np.random.default_rng(5)
+    img = resize_gray(
+        resize_gray(rng.integers(0, 256, (32, 32), dtype=np.uint8), 4, 4), 32, 32
+    )
+    rows = [
+        ("png", bytearray(encode_png_gray(img))),
+        ("jpeg", bytearray(encode_jpeg_gray(img, quality=90))),
+        ("junk", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "name string, media binary")
+    got = {r["name"]: r["phash"] for r in media_phash(df).collect()}
+    assert got["junk"] is None
+    assert got["png"] is not None and got["jpeg"] is not None
+    ham = bin((got["png"] ^ got["jpeg"]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 10  # same image through two codecs -> near-identical hash
