@@ -2528,3 +2528,130 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed crawl-planning flagship: link-rank priority + robots gating +
+# politeness waves
+# ---------------------------------------------------------------------------
+
+def _crawl_schedule_oracle() -> str:
+    # 50-node host graph pagerank, 3 unrolled iterations (no dangling:
+    # every residue 0..49 appears as src)
+    ctes = [
+        "he AS (SELECT DISTINCT o_orderkey % 50 AS s, (o_orderkey * 17 + 3) % 50 AS d"
+        " FROM orders WHERE o_orderkey < 2000)",
+        "hn AS (SELECT DISTINCT node FROM"
+        " (SELECT s AS node FROM he UNION ALL SELECT d FROM he))",
+        "hdeg AS (SELECT s, count(*) AS deg FROM he GROUP BY s)",
+        "hnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hn)",
+        "hr0 AS (SELECT node, 1.0 / (SELECT n FROM hnn) AS rank FROM hn)",
+    ]
+    for t in range(3):
+        ctes.append(
+            f"hd{t} AS (SELECT coalesce(sum(rank), 0) AS dm FROM hr{t}"
+            f" LEFT JOIN hdeg ON node = s WHERE deg IS NULL)"
+        )
+        ctes.append(
+            f"hc{t} AS (SELECT he.d AS node, sum(r.rank / g.deg) AS inflow"
+            f" FROM he JOIN hr{t} r ON he.s = r.node JOIN hdeg g ON he.s = g.s"
+            f" GROUP BY he.d)"
+        )
+        ctes.append(
+            f"hr{t + 1} AS (SELECT n.node,"
+            f" (0.15 / (SELECT n FROM hnn))"
+            f" + 0.85 * (coalesce(c.inflow, 0) + (SELECT dm FROM hd{t}) / (SELECT n FROM hnn)) AS rank"
+            f" FROM hn n LEFT JOIN hc{t} c USING (node))"
+        )
+    ctes.append(
+        """u AS (
+      SELECT o_orderkey AS key,
+             'h' || CAST(o_orderkey % 50 AS VARCHAR) AS host,
+             o_orderkey % 50 AS h,
+             o_orderkey % 4 AS cls
+      FROM orders WHERE o_orderkey < 3000)"""
+    )
+    ctes.append(
+        """gated AS (
+      SELECT key, host, h FROM u
+      WHERE CASE
+        WHEN cls = 0 THEN FALSE
+        WHEN cls = 1 THEN h % 3 <> 0
+        WHEN cls = 2 THEN TRUE
+        ELSE h % 4 = 0 END)"""
+    )
+    ctes.append(
+        """sched AS (
+      SELECT g.key, g.host, round(r.rank, 6) AS host_rank,
+             row_number() OVER (PARTITION BY g.host ORDER BY g.key) AS rn
+      FROM gated g JOIN hr3 r ON g.h = r.node)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT key, host, host_rank,"
+        " CAST((rn - 1) // 2 AS BIGINT) AS fetch_wave FROM sched"
+    )
+
+
+@query("crawl_schedule", None)
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-planning pipeline composed end-to-end: host-graph
+    PageRank (3 power steps) scores every host, robots.txt (real RFC 9309
+    parse) gates every url, and the survivors get politeness fetch waves
+    (2/host/wave) — each stage is an operator this engine ships
+    individually."""
+    from pyspark.sql import Window as W
+
+    from landlensdb_spark.operators.graph import pagerank
+    from landlensdb_spark.operators.robots import gate_urls
+
+    o = tables.load(spark, sf_dir, "orders")
+    hedges = (
+        o.filter(F.col("o_orderkey") < 2000)
+        .select(
+            (F.col("o_orderkey") % 50).alias("src"),
+            ((F.col("o_orderkey") * 17 + 3) % 50).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(hedges, iterations=3).select(
+        F.concat(F.lit("h"), F.col("node").cast("string")).alias("host"),
+        F.col("rank").alias("host_rank"),
+    )
+    keys = o.filter(F.col("o_orderkey") < 3000).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 50).alias("h"),
+        (F.col("o_orderkey") % 4).alias("cls"),
+    )
+    urls = keys.select(
+        "key",
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        F.when(F.col("cls") == 0, F.concat(F.lit("/private/doc"), F.col("key").cast("string")))
+        .when(F.col("cls") == 1, F.concat(F.lit("/tmp/f"), F.col("key").cast("string")))
+        .when(F.col("cls") == 2, F.concat(F.lit("/public/p"), F.col("key").cast("string")))
+        .otherwise(F.concat(F.lit("/private/ok/x"), F.col("key").cast("string")))
+        .alias("path"),
+    )
+    hosts = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.when(F.col("id") % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
+            F.when(F.col("id") % 4 == 0, F.lit("Allow: /private/ok\n")).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    gated = gate_urls(urls, hosts).filter(F.col("allowed")).select("key", "host")
+    w = W.partitionBy("host").orderBy(F.col("key").asc())
+    return (
+        gated.join(F.broadcast(ranks), "host")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "key",
+            "host",
+            "host_rank",
+            ((F.col("_rn") - 1) / F.lit(2)).cast("long").alias("fetch_wave"),
+        )
+    )
+
+
+ORACLES["crawl_schedule"] = _crawl_schedule_oracle()
