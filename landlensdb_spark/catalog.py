@@ -135,7 +135,10 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def compact_dir(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: str | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet dir into ~target-sized
     files. Returns the new file count.
@@ -143,12 +146,30 @@ def compact_dir(
     Long-running incremental pipelines (merge_by_key, streaming sinks)
     accrete many small files; at scan time each costs an open + footer
     read and caps split packing. Standard maintenance: size the rewrite
-    from the ACTUAL on-disk bytes, coalesce, atomically swap (tmp dir +
-    rename locally; on an object store the same two-phase commit).
+    from the ACTUAL on-disk bytes, rewrite, swap (tmp dir + rename
+    locally; on an object store the same two-phase commit).
+
+    ``cluster_by`` preserves a sorted/clustered layout through the
+    rewrite (range partition + in-file sort on that column); it defaults
+    to the ``cell`` column when present, so compacting a write_spatial
+    table keeps the row-group-stats spatial index read_bbox depends on.
+
+    Crash safety: the two renames are not jointly atomic on a local FS,
+    so entry-time RECOVERY handles every crash window — a leftover
+    ``.compact.old`` with no live dir is restored, stale ``.tmp``/``.old``
+    dirs are removed — and repeated runs never wedge.
     """
     import math
     import os
     import shutil
+
+    tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crashed between the two renames: roll back
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     total = sum(
         os.path.getsize(os.path.join(r, f))
@@ -158,9 +179,15 @@ def compact_dir(
     )
     n_files = max(math.ceil(total / target_file_bytes), 1)
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact.tmp"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".compact.old"
+    if cluster_by is None and "cell" in df.columns:
+        cluster_by = "cell"
+    if cluster_by is not None:
+        out = df.repartitionByRange(n_files, F.col(cluster_by)).sortWithinPartitions(
+            cluster_by
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -187,7 +214,10 @@ def snapshot_write(
             manifest = json.load(f)
     version = (manifest["versions"][-1]["version"] + 1) if manifest["versions"] else 1
     vdir = os.path.join(path, f"v={version:05d}")
-    df.write.mode("errorifexists").parquet(vdir)
+    # overwrite, not errorifexists: a version dir NOT in the manifest is an
+    # uncommitted leftover from a crashed write (the manifest swap below is
+    # the commit point), and a retry must be able to reclaim it
+    df.write.mode("overwrite").parquet(vdir)
     n_rows = df.sparkSession.read.parquet(vdir).count()
     manifest["versions"].append(
         {"version": version, "rows": n_rows, "note": note}

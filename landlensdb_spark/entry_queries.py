@@ -2443,6 +2443,47 @@ ORACLES["dup_clusters"] = _dup_clusters_oracle()
 # robots.txt gating (RFC 9309 longest-match through the real parser)
 # ---------------------------------------------------------------------------
 
+
+def _synthetic_crawl_urls(o: DataFrame) -> DataFrame:
+    """Deterministic (key, host, path) url set shared by the robots_gate
+    and crawl_schedule queries (one definition, two oracles state the same
+    arithmetic)."""
+    keys = o.filter(F.col("o_orderkey") < 3000).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 50).alias("h"),
+        (F.col("o_orderkey") % 4).alias("cls"),
+    )
+    return keys.select(
+        "key",
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        F.when(F.col("cls") == 0, F.concat(F.lit("/private/doc"), F.col("key").cast("string")))
+        .when(F.col("cls") == 1, F.concat(F.lit("/tmp/f"), F.col("key").cast("string")))
+        .when(F.col("cls") == 2, F.concat(F.lit("/public/p"), F.col("key").cast("string")))
+        .otherwise(F.concat(F.lit("/private/ok/x"), F.col("key").cast("string")))
+        .alias("path"),
+    )
+
+
+def _synthetic_robots(spark: SparkSession, with_delay: bool) -> DataFrame:
+    """Per-host robots.txt text keyed on host-id arithmetic (the real
+    parser runs over these; the oracles state the verdicts directly)."""
+    parts = [
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(F.col("id") % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
+        F.when(F.col("id") % 4 == 0, F.lit("Allow: /private/ok\n")).otherwise(F.lit("")),
+    ]
+    if with_delay:
+        parts += [
+            F.lit("Crawl-delay: "),
+            (F.lit(1) + F.col("id") % 5).cast("string"),
+            F.lit("\n"),
+        ]
+    return spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(*parts).alias("robots_txt"),
+    )
+
+
 @query(
     "robots_gate",
     """
@@ -2474,31 +2515,8 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landlensdb_spark.operators.robots import gate_urls
 
     o = tables.load(spark, sf_dir, "orders")
-    keys = o.filter(F.col("o_orderkey") < 3000).select(
-        F.col("o_orderkey").alias("key"),
-        (F.col("o_orderkey") % 50).alias("h"),
-        (F.col("o_orderkey") % 4).alias("cls"),
-    )
-    urls = keys.select(
-        "key",
-        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
-        F.when(F.col("cls") == 0, F.concat(F.lit("/private/doc"), F.col("key").cast("string")))
-        .when(F.col("cls") == 1, F.concat(F.lit("/tmp/f"), F.col("key").cast("string")))
-        .when(F.col("cls") == 2, F.concat(F.lit("/public/p"), F.col("key").cast("string")))
-        .otherwise(F.concat(F.lit("/private/ok/x"), F.col("key").cast("string")))
-        .alias("path"),
-    )
-    hosts = spark.range(50).select(
-        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
-        F.concat(
-            F.lit("User-agent: *\nDisallow: /private\n"),
-            F.when(F.col("id") % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
-            F.when(F.col("id") % 4 == 0, F.lit("Allow: /private/ok\n")).otherwise(F.lit("")),
-            F.lit("Crawl-delay: "),
-            (F.lit(1) + F.col("id") % 5).cast("string"),
-            F.lit("\n"),
-        ).alias("robots_txt"),
-    )
+    urls = _synthetic_crawl_urls(o)
+    hosts = _synthetic_robots(spark, with_delay=True)
     return gate_urls(urls, hosts).select("key", "host", "allowed", "crawl_delay")
 
 
@@ -2559,7 +2577,7 @@ def _crawl_schedule_oracle() -> str:
         )
         ctes.append(
             f"hr{t + 1} AS (SELECT n.node,"
-            f" (0.15 / (SELECT n FROM hnn))"
+            f" ({1.0 - 0.85} / (SELECT n FROM hnn))"
             f" + 0.85 * (coalesce(c.inflow, 0) + (SELECT dm FROM hd{t}) / (SELECT n FROM hnn)) AS rank"
             f" FROM hn n LEFT JOIN hc{t} c USING (node))"
         )
@@ -2618,28 +2636,8 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), F.col("node").cast("string")).alias("host"),
         F.col("rank").alias("host_rank"),
     )
-    keys = o.filter(F.col("o_orderkey") < 3000).select(
-        F.col("o_orderkey").alias("key"),
-        (F.col("o_orderkey") % 50).alias("h"),
-        (F.col("o_orderkey") % 4).alias("cls"),
-    )
-    urls = keys.select(
-        "key",
-        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
-        F.when(F.col("cls") == 0, F.concat(F.lit("/private/doc"), F.col("key").cast("string")))
-        .when(F.col("cls") == 1, F.concat(F.lit("/tmp/f"), F.col("key").cast("string")))
-        .when(F.col("cls") == 2, F.concat(F.lit("/public/p"), F.col("key").cast("string")))
-        .otherwise(F.concat(F.lit("/private/ok/x"), F.col("key").cast("string")))
-        .alias("path"),
-    )
-    hosts = spark.range(50).select(
-        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
-        F.concat(
-            F.lit("User-agent: *\nDisallow: /private\n"),
-            F.when(F.col("id") % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
-            F.when(F.col("id") % 4 == 0, F.lit("Allow: /private/ok\n")).otherwise(F.lit("")),
-        ).alias("robots_txt"),
-    )
+    urls = _synthetic_crawl_urls(o)
+    hosts = _synthetic_robots(spark, with_delay=False)
     gated = gate_urls(urls, hosts).filter(F.col("allowed")).select("key", "host")
     w = W.partitionBy("host").orderBy(F.col("key").asc())
     return (

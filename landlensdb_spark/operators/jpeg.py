@@ -22,6 +22,10 @@ import struct
 
 import numpy as np
 
+#: decode-side allocation guard: refuse images beyond 64 MPix (forged
+#: headers in crawled payloads must fail loudly, not OOM the executor)
+MAX_PIXELS = 64 * 1024 * 1024
+
 # -- spec constants ---------------------------------------------------------
 
 #: zigzag scan order: ZIGZAG[i] = (row*8 + col) of the i-th coefficient
@@ -306,6 +310,10 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
             precision, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8 or ncomp != 1:
                 raise ValueError("grayscale 8-bit baseline only")
+            if h * w > MAX_PIXELS or h == 0 or w == 0:
+                # a forged SOF claiming 65535x65535 would otherwise drive a
+                # multi-GB allocation before any scan-data validation
+                raise ValueError(f"image dimensions {w}x{h} outside sane bounds")
             # per-component bytes after the frame header: id, sampling, qtable
             if payload[6 + 1] != 0x11:
                 raise ValueError("subsampling on a single component unsupported")

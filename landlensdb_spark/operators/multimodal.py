@@ -212,6 +212,24 @@ def with_media_table(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return pages.withColumn("media", F.col(html_col))
 
 
+_PHASH_BASIS = None
+
+
+def _phash_dct_basis():
+    """32x32 orthonormal DCT-II basis, built once per process (hot-loop
+    constant, same pattern as jpeg._C)."""
+    global _PHASH_BASIS
+    if _PHASH_BASIS is None:
+        import numpy as np
+
+        k = np.arange(32).reshape(-1, 1)
+        n = np.arange(32).reshape(1, -1)
+        c = np.cos((2 * n + 1) * k * np.pi / 64.0) * np.sqrt(2.0 / 32.0)
+        c[0, :] *= 1.0 / np.sqrt(2.0)
+        _PHASH_BASIS = c
+    return _PHASH_BASIS
+
+
 def phash64(img) -> int:
     """Perceptual 64-bit image hash (classic DCT pHash, public algorithm):
     box-resize to 32x32, 2-D DCT, take the top-left 8x8 low-frequency
@@ -223,10 +241,7 @@ def phash64(img) -> int:
     from landlensdb_spark.operators.raster import resize_gray
 
     small = resize_gray(np.asarray(img, dtype=np.uint8), 32, 32).astype(np.float64)
-    k = np.arange(32).reshape(-1, 1)
-    n = np.arange(32).reshape(1, -1)
-    c = np.cos((2 * n + 1) * k * np.pi / 64.0) * np.sqrt(2.0 / 32.0)
-    c[0, :] *= 1.0 / np.sqrt(2.0)
+    c = _phash_dct_basis()
     coef = c @ small @ c.T
     block = coef[:8, :8].flatten()
     med = np.median(block[1:])  # DC excluded

@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 
 from landlensdb_spark.geo.tiles import tile_x, tile_y
 
+#: decode-side allocation guard (shared contract with operators/jpeg.py):
+#: forged IHDR dims in crawled payloads fail loudly instead of OOMing
+MAX_PIXELS = 64 * 1024 * 1024
+
 
 def encode_png_gray(img: np.ndarray) -> bytes:
     """Minimal 8-bit grayscale PNG encoder (public wire format, stdlib only).
@@ -124,6 +128,8 @@ def decode_png_gray(blob: bytes) -> np.ndarray:
         i += 12 + ln
     if w is None:
         raise ValueError("PNG has no IHDR chunk")
+    if h * w > MAX_PIXELS or h == 0 or w == 0:
+        raise ValueError(f"image dimensions {w}x{h} outside sane bounds")
     rows = zlib.decompress(idat)
     img = np.zeros((h, w), dtype=np.uint8)
     stride = w + 1

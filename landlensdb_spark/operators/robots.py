@@ -126,11 +126,17 @@ def gate_urls(
     url_host: str = "host",
     url_path: str = "path",
     agent: str = "*",
+    robots_host: str = "host",
+    robots_text: str = "robots_txt",
 ) -> DataFrame:
     """urls x per-host robots rules -> urls + (allowed boolean,
     crawl_delay double). Hosts with no robots entry are fully allowed
-    (RFC: unavailable robots.txt means no restrictions)."""
-    rules = robots_rules_df(robots, host=url_host, agent=agent)
+    (RFC: unavailable robots.txt means no restrictions). The robots
+    frame's own column names (``robots_host``/``robots_text``) are
+    independent of the urls join column ``url_host``."""
+    rules = robots_rules_df(robots, host=robots_host, text=robots_text, agent=agent)
+    if robots_host != url_host:
+        rules = rules.withColumnRenamed(robots_host, url_host)
     joined = urls.join(rules, url_host, "left")
     return joined.select(
         *[F.col(c) for c in urls.columns],
