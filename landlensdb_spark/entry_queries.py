@@ -2653,3 +2653,66 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["crawl_schedule"] = _crawl_schedule_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Self-kNN (no-broadcast path): nearest neighbors within one point set
+# ---------------------------------------------------------------------------
+
+@query(
+    "knn_self",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey AS key, {synth.probe_lon_sql('o_orderkey')} AS lon,
+             {synth.probe_lat_sql('o_orderkey')} AS lat
+      FROM orders WHERE o_orderkey < 1500
+    ),
+    m AS (
+      SELECT key, round(radians(lon) * 6378137.0, 3) AS x,
+             round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 3) AS y
+      FROM pts
+    ),
+    d AS (
+      SELECT a.key AS probe_id, b.key AS point_id,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM m a JOIN m b ON a.key <> b.key
+    ),
+    r AS (
+      SELECT probe_id, point_id, dist2,
+             CAST(row_number() OVER (
+               PARTITION BY probe_id ORDER BY dist2, point_id
+             ) AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT probe_id, point_id, dist2, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-kNN over one point set (k=3, self-pairs excluded): the
+    ``broadcast_probes=False`` path — both joins shuffle and AQE picks
+    the strategy, the shape for probe sets too big to broadcast. The
+    oracle brute-forces all pairs."""
+    from landlensdb_spark.operators.knn import knn_join
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pts = o.filter(k < 1500).select(
+        k.alias("key"),
+        synth.probe_lon_col(k).alias("lon"),
+        synth.probe_lat_col(k).alias("lat"),
+    )
+    probes = pts.select(F.col("key").alias("probe_id"), "lon", "lat")
+    points = pts.select(F.col("key").alias("point_id"), "lon", "lat")
+    out = knn_join(probes, points, k=4, broadcast_probes=False)
+    # drop the self-match and re-rank with a window (robust even if
+    # coincident points put the self-match beyond rank 1): k=4 guarantees
+    # the top-3 non-self neighbors are present in the output
+    from pyspark.sql import Window as W
+
+    w2 = W.partitionBy("probe_id").orderBy(F.col("dist2").asc(), F.col("point_id").asc())
+    return (
+        out.filter(F.col("probe_id") != F.col("point_id"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "point_id", "dist2", F.col("rank").cast("int").alias("rank"))
+    )
