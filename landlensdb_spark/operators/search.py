@@ -98,9 +98,14 @@ def bm25_search(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     )
     q = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
+    # restrict term_stats to the query's terms BEFORE any broadcast: raw
+    # `stats` is one row per distinct corpus term — billions on a real web
+    # corpus — so broadcasting it would OOM long before 100 TB. `qstats` is
+    # bounded by |query terms|, making the whole scoring join the classic
+    # term-at-a-time bound: O(sum of the query terms' posting lists).
+    qstats = stats.join(F.broadcast(q), "term")
     scored = (
-        post.join(F.broadcast(q), "term")
-        .join(F.broadcast(stats), "term")
+        post.join(F.broadcast(qstats), "term")
         .join(dls, id_col)
         .crossJoin(F.broadcast(totals))
         .withColumn(

@@ -13,10 +13,14 @@ Scale shape (all equi-keyed, no pairwise anything):
 
 1. per-doc token windows WITH POSITIONS (column-math transform + one
    posexplode — same tokenizer as the dedup/shingle family),
-2. corpus-wide window counts: map-side-combined groupBy on the window
-   text (at real scale key by ``xxhash64(window)`` instead of the string
-   to shrink the shuffle — the string key here keeps the oracle exact),
-3. repeated windows join back (semi-equi on the window text),
+2. corpus-wide window counts: map-side-combined groupBy keyed on
+   ``xxhash64(window)`` — the window STRING (tens of bytes x win tokens)
+   never shuffles, only the 8-byte hash does, shrinking shuffle bytes by
+   ~the window length. A hash collision could mark a non-repeated window
+   repeated, but at P(collision) ~ n_windows^2 / 2^64 that is
+   negligible even at 10^9 windows (~3e-2 expected false pairs corpus-
+   wide), and the failure mode is one spurious span, not corruption,
+3. repeated windows join back (semi-equi on the 8-byte hash),
 4. per-doc island merge: one lag + running-sum window partitioned by doc
    (the same sorted-fold shape as the Gopher stats), then
    groupBy(doc, island) -> (span_start, span_end, n_windows).
@@ -57,14 +61,19 @@ def repeated_spans(
     min_count: int = 2,
 ) -> DataFrame:
     """(id, span_start, span_end, n_windows) maximal repeated spans."""
-    wins = _windows(df, text, id_col, win)
+    # hash BEFORE any shuffle: count + semi-join carry only the 8-byte
+    # xxhash64, the window text is map-side-only (scale note in the module
+    # docstring; round-3 VERDICT #3)
+    wins = _windows(df, text, id_col, win).select(
+        "_id", "pos", F.xxhash64("w").alias("_h")
+    )
     hot = (
-        wins.groupBy("w")
+        wins.groupBy("_h")
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= min_count)
-        .select("w")
+        .select("_h")
     )
-    rep = wins.join(hot, "w", "left_semi").select("_id", "pos")
+    rep = wins.join(hot, "_h", "left_semi").select("_id", "pos")
     wd = Window.partitionBy("_id").orderBy("pos")
     spans = (
         rep.withColumn("_prev", F.lag("pos").over(wd))

@@ -25,6 +25,17 @@ def test_every_query_has_an_oracle():
     )
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
+def test_driver_window_ordering():
+    """The driver hashes the FIRST 50 registered queries; pin that the
+    never-driver-checked set occupies the front of the window so a future
+    registration can't silently push them back out of the hard signal."""
+    from landlensdb_spark.entry_queries import _DRIVER_WINDOW_FIRST
+
+    names = list(QUERIES)
+    assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
+    assert len(_DRIVER_WINDOW_FIRST) <= 50
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

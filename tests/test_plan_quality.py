@@ -206,6 +206,70 @@ def test_knn_fixed_ring_skips_histogram_stages(spark):
     assert _n_nodes(adaptive, "HashAggregate") > 0  # histogram + ring groupBy
 
 
+def _broadcast_subtrees(tree: str) -> list[str]:
+    """Each BroadcastExchange node with its full subtree, cut by the tree
+    markers' column position (deeper nodes indent further right)."""
+    lines = tree.splitlines()
+    subs = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = max(ln.find("+- "), ln.find(":- "))
+        sub = [ln]
+        for nxt in lines[i + 1 :]:
+            d2 = max(nxt.find("+- "), nxt.find(":- "))
+            if d2 <= depth:
+                break
+            sub.append(nxt)
+        subs.append("\n".join(sub))
+    return subs
+
+
+def test_bm25_broadcast_side_is_query_bounded(spark):
+    """bm25_search must never broadcast the raw full-vocabulary term_stats
+    (billions of rows on a web corpus): any broadcast subtree derived from
+    the corpus tokenization (Generate explode) must ALSO contain the
+    query-terms relation — i.e. stats were joined down to the query's
+    terms BEFORE the broadcast (round-3 VERDICT #2)."""
+    import re
+
+    from landlensdb_spark.operators.search import bm25_search
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox " + "jumps " * (i % 3 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = bm25_search(corpus, ["quick", "jumps"], top=5)
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    subs = _broadcast_subtrees(tree)
+    assert subs, tree
+    for sub in subs:
+        if "Generate explode" in sub:  # derived from the corpus vocabulary
+            assert re.search(r"ExistingRDD\[term#\d+\]", sub), (
+                "vocabulary-derived broadcast without query-terms restriction:\n"
+                + sub
+            )
+
+
+def test_repeated_spans_shuffles_hash_not_window_string(spark):
+    """The corpus-wide window count must shuffle the 8-byte xxhash64 of
+    each window, never the window STRING (~win tokens of text per row —
+    the string key multiplies shuffle bytes by the window length at
+    corpus scale; round-3 VERDICT #3)."""
+    from landlensdb_spark.operators.spans import repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x a b c d e y")], "doc_id long, text string"
+    )
+    out = repeated_spans(df, win=3, min_count=2)
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    exchanges = [l for l in tree.splitlines() if "Exchange hashpartitioning" in l]
+    assert any("_h#" in l for l in exchanges), tree
+    assert not any("(w#" in l or " w#" in l for l in exchanges), (
+        "window string used as a shuffle key:\n" + "\n".join(exchanges)
+    )
+
+
 def test_pack_token_shards_single_data_shuffle(spark):
     """The distributed prefix sum must shuffle the corpus exactly ONCE
     (hash on the literal-quantile bucket id); the offsets side joins as a
