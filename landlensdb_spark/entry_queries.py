@@ -1809,7 +1809,9 @@ _CONTAM_SHINGLE = " || ' ' || ".join(f"w[i+{d + 1}]" for d in range(_CONTAM_N))
     "contamination_docs",
     rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+      SELECT doc_id, string_split_regex(
+               regexp_replace(coalesce(text, ''), '^{_WS}+|{_WS}+$', '', 'g'),
+               '{_WS}+') AS w
       FROM documents
     ),
     sh AS (
@@ -2261,7 +2263,12 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 side = 8 * (1 + k % 3)
                 img = np.full((side, side), k % 256, dtype=np.uint8)
                 out = decode_jpeg_gray(encode_jpeg_gray(img, quality=85))
-                assert (out == out[0, 0]).all()
+                if not (out == out[0, 0]).all():  # not assert: python -O
+                    # silently removes asserts, and this exactness claim IS
+                    # the oracle's premise
+                    raise ValueError(
+                        f"flat block round-trip not exact for key={k}"
+                    )
                 ks.append(k)
                 hs.append(out.shape[0])
                 ws.append(out.shape[1])

@@ -31,11 +31,14 @@ filter only changes the plan, not the result.
 
 Sizing: m = next_pow2(bits_per_key * n_seen), capped at MAX_BITS (2^28 =
 32 MB bit array, ~26M seen keys at 10 bits/key — the 10^7-key seen-set
-regime this operator exists for). The cap bounds the broadcast payload
-and the one reduce task that assembles the dense array, not a driver
-collect; larger seen sets fall back to the plain shuffled anti-join
-automatically. Same "small build side" regime as a broadcast hash join
-but ~10x more keys per byte at equal memory.
+regime this operator exists for). The cap bounds the broadcast payload;
+the dense assembly is two-level (per-group collect_list then a flatten
+merge) so no single task ever materializes more than GROUP_CHUNKS structs
+— at the cap the final merge handles 64 pre-assembled long arrays, ~the
+32 MB payload itself plus negligible overhead. Larger seen sets fall back
+to the plain shuffled anti-join automatically. Same "small build side"
+regime as a broadcast hash join but ~10x more keys per byte at equal
+memory.
 """
 
 from __future__ import annotations
@@ -60,13 +63,23 @@ def _positions(key, m: int, k: int):
     return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(k)]
 
 
+#: chunks per assembly group: bounds any single collect_list task to 2^16
+#: (chunk, bits) structs (~4 MB with struct overhead) — at the MAX_BITS cap
+#: the old single-row assembly gathered 4M structs (~hundreds of MB) in one
+#: reduce task, an executor-OOM risk on small executors (round-3 ADVICE)
+GROUP_CHUNKS = 1 << 16
+
+
 def build_bloom_bits_df(
     seen: DataFrame, key: str, m: int, k: int = N_HASHES
 ) -> DataFrame:
     """The filter as ONE row ``_bloom_bits array<long>`` (m/64 longs),
     built entirely executor-side: map-side-combined chunk bit_or over the
     exploded positions, a range() zero-filler for absent chunks, then a
-    single-row dense assembly (sort by chunk id, project the bits)."""
+    TWO-LEVEL dense assembly — per-group collect_list (<= GROUP_CHUNKS
+    structs per task, parallel across groups) followed by a final merge of
+    the <= m/64/GROUP_CHUNKS pre-assembled long arrays (already dense:
+    flatten, no struct overhead)."""
     spark = seen.sparkSession
     pos = F.explode(F.array(*_positions(F.col(key), m, k))).alias("pos")
     chunks = seen.select(pos).select(
@@ -78,14 +91,21 @@ def build_bloom_bits_df(
     filler = spark.range(m // 64).select(
         F.col("id").alias("chunk"), F.lit(0).cast("long").alias("mask")
     )
-    dense = (
+    group_bits = int(GROUP_CHUNKS).bit_length() - 1
+    per_group = (
         chunks.unionByName(filler)
         .groupBy("chunk")
         .agg(F.bit_or("mask").alias("bits"))
-        .agg(
-            F.array_sort(F.collect_list(F.struct("chunk", "bits"))).alias("cb")
+        .withColumn("grp", F.shiftright("chunk", group_bits))
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_list(F.struct("chunk", "bits"))).alias("cb"))
+        .select("grp", F.transform("cb", lambda s: s["bits"]).alias("arr"))
+    )
+    dense = (
+        per_group.agg(
+            F.array_sort(F.collect_list(F.struct("grp", "arr"))).alias("ga")
         )
-        .select(F.transform("cb", lambda s: s["bits"]).alias("_bloom_bits"))
+        .select(F.flatten(F.transform("ga", lambda s: s["arr"])).alias("_bloom_bits"))
     )
     return dense
 

@@ -330,6 +330,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     iterations: int = 5,
+    verify_convergence: bool = True,
 ) -> DataFrame:
     """Near-duplicate pair list -> (doc_id, cluster_id, is_canonical):
     connected components by min-label propagation, the last mile of the
@@ -343,7 +344,16 @@ def dup_clusters(
     the pairs, reproducible in the SQL oracle. Per round: one equi-join +
     one map-side-combined groupBy; lineage truncated every 4 rounds like
     graph.pagerank. cluster_id is the component's minimum doc id;
-    is_canonical marks that doc (the survivor)."""
+    is_canonical marks that doc (the survivor).
+
+    ``verify_convergence`` (default on) runs ONE extra propagation round
+    after the fixed count and raises ValueError if any label would still
+    drop — a component with diameter > iterations would otherwise be
+    silently split into several clusters (round-3 VERDICT #5). The guard
+    never alters converged output (extra rounds are no-ops), so the
+    unrolled-iteration SQL oracle stays exact; on failure, raise
+    ``iterations``. Cost: labels are localCheckpointed once (also
+    truncating lineage for the caller) plus one cheap aggregate on top."""
     e = pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d")).unionByName(
         pairs.select(F.col(id_b).alias("_s"), F.col(id_a).alias("_d"))
     )
@@ -370,6 +380,23 @@ def dup_clusters(
                 F.least("label", F.coalesce("_nl", "label")).alias("label"),
             )
         )
+    if verify_convergence:
+        labels = labels.localCheckpoint(eager=True)
+        still_dropping = (
+            e.join(labels, e["_s"] == labels["node"])
+            .select(F.col("_d").alias("node"), F.col("label").alias("_nl"))
+            .groupBy("node")
+            .agg(F.min("_nl").alias("_nl"))
+            .join(labels, "node")
+            .filter(F.col("_nl") < F.col("label"))
+            .count()
+        )
+        if still_dropping:
+            raise ValueError(
+                f"dup_clusters did not converge in {iterations} iterations: "
+                f"{still_dropping} labels would still drop — a component has "
+                f"diameter > {iterations}; raise `iterations`"
+            )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -2,10 +2,12 @@
 
 Media travel as opaque ``binary`` columns + typed metadata structs — the
 Spark-side schema, partitioning, UDF signatures and Arrow batch shapes are
-real and tested. PNG payloads are decoded/thumbnailed FOR REAL by the
-in-repo stdlib codec (operators/raster.py); only JPEG/video codec calls
-remain stubbed (PIL/ffmpeg are not in this container) behind ``DECODERS``
-with a deterministic fake, exactly as the reference's thumbnail/crop
+real and tested. Metadata decode is REAL for PNG (operators/raster.py IHDR
+parse) and every JPEG variant (operators/jpeg.py SOFn parse); pixel
+decode/thumbnail is real for PNG + baseline JPEG via the in-repo codecs.
+Only formats the container cannot parse at all (video needs ffmpeg) fall
+outside, reported honestly as ``ok=False`` — the ``DECODERS`` dict is the
+production swap-in point, exactly where the reference's thumbnail/crop
 pipeline would slot in (/root/reference/landlensdb/handlers/image.py:95-138
 LANCZOS thumbnails, cloud.py:593-604 top-half crop).
 
@@ -34,11 +36,11 @@ from pyspark.sql import functions as F
 META_SCHEMA = "width int, height int, n_frames int, codec string, ok boolean"
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
-    """Metadata decode: REAL for PNG (IHDR parse) and JPEG (SOFn parse —
-    any color/progressive variant) via the in-repo codecs; deterministic
-    content-hash fake only for formats this container cannot parse
-    (video needs ffmpeg)."""
+def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
+    """Metadata decode, REAL for every in-scope format: PNG (IHDR parse)
+    and JPEG (SOFn parse — any color/progressive variant) via the in-repo
+    codecs. Formats this container cannot parse (video needs ffmpeg)
+    report ``ok=False`` honestly instead of synthetic dimensions."""
     if payload is None or len(payload) == 0:
         return (0, 0, 0, "none", False)
     from landlensdb_spark.operators.jpeg import jpeg_dims
@@ -51,6 +53,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     dims = jpeg_dims(b)
     if dims is not None:
         return (dims[0], dims[1], 1, "jpeg", True)
+    return (0, 0, 0, "unknown", False)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
+    """TEST FIXTURE ONLY (swap in via ``DECODERS['decode']``): deterministic
+    content-hash dimensions for arbitrary payloads, for exercising the
+    Arrow-batch plumbing without codec-valid bytes."""
+    if payload is None or len(payload) == 0:
+        return (0, 0, 0, "none", False)
     h = hashlib.md5(payload).digest()
     return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 30, "fake", True)
 
@@ -97,7 +108,7 @@ def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
         return None
 
 
-DECODERS = {"decode": _fake_decode, "thumbnail": _default_thumbnail}
+DECODERS = {"decode": default_decode, "thumbnail": _default_thumbnail}
 
 
 def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
@@ -108,8 +119,11 @@ def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
     names = [f.name for f in df.schema.fields]
 
+    # capture at plan-build time: python workers re-import this module, so
+    # a DECODERS swap made on the driver must travel inside the closure
+    dec = DECODERS["decode"]
+
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dec = DECODERS["decode"]
         for pdf in batches:
             metas = [dec(b) for b in pdf[media_col]]
             out = pdf[names].copy()
@@ -135,11 +149,12 @@ def media_thumbnail(
         + ["thumb binary", "thumb_w int", "thumb_h int"]
     )
 
+    thumbnail = DECODERS["thumbnail"]  # captured at plan-build time (see _dec)
+
     def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from landlensdb_spark.operators.jpeg import jpeg_dims
         from landlensdb_spark.operators.raster import png_dims
 
-        thumbnail = DECODERS["thumbnail"]
         for pdf in batches:
             out = pdf[keep].copy()
             thumbs, ws, hs = [], [], []

@@ -134,6 +134,11 @@ def gate_urls(
     (RFC: unavailable robots.txt means no restrictions). The robots
     frame's own column names (``robots_host``/``robots_text``) are
     independent of the urls join column ``url_host``."""
+    clash = {"rules", "allowed", "crawl_delay"} & set(urls.columns)
+    if clash:  # mirrors warc_records' collision check: a pre-existing
+        # 'rules'/'allowed'/'crawl_delay' column would be silently
+        # shadowed by the join output
+        raise ValueError(f"url columns collide with gate output fields: {sorted(clash)}")
     rules = robots_rules_df(robots, host=robots_host, text=robots_text, agent=agent)
     if robots_host != url_host:
         rules = rules.withColumnRenamed(robots_host, url_host)

@@ -45,8 +45,11 @@ def pack_token_shards(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Adds ``shard_id`` = floor(exclusive-prefix-sum(tokens) / shard_tokens)
-    over the ``key`` order (``key`` must be numeric). Deterministic,
-    engine-independent, contiguous.
+    over the ``key`` order. ``key`` must be numeric AND UNIQUE (a doc id):
+    the running sum is ordered by ``key`` alone, so rows sharing a key
+    value would take order-ambiguous prefix sums — shard_id for the tied
+    rows could then differ across engines/runs. With unique keys the
+    result is deterministic, engine-independent, contiguous.
     """
     n_buckets = int(
         num_partitions

@@ -454,3 +454,20 @@ def test_dup_clusters_transitive_components(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         10: (10, True), 11: (10, False),
     }
+
+
+def test_dup_clusters_convergence_guard(spark):
+    """A diameter-7 chain under 5 iterations used to silently split the
+    component; the guard must raise instead, and the same input converges
+    with iterations=7 (round-3 VERDICT #5)."""
+    import pytest
+
+    from landlensdb_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge in 5"):
+        dup_clusters(chain, iterations=5)
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain, iterations=7).collect()}
+    assert got == {i: 1 for i in range(1, 9)}

@@ -57,8 +57,20 @@ def test_fingerprint_deterministic(spark):
 def test_multimodal_decode_and_features(spark):
     rows = [(f"u{i}", bytes([i]) * (10 + i)) for i in range(20)] + [("empty", b"")]
     df = spark.createDataFrame(rows, "url string, media binary")
+    # arbitrary bytes are not decodable media: the DEFAULT decoder must say
+    # so honestly (ok=False, no synthetic dims) ...
     meta = multimodal.decode_media(df).toPandas()
     assert len(meta) == 21
+    assert not meta["ok"].any()
+    assert (meta[meta["url"] == "empty"]["codec"] == "none").all()
+    assert (meta[meta["url"] != "empty"]["codec"] == "unknown").all()
+    # ... while the plumbing is exercised end-to-end with the explicit
+    # test-fixture decoder swapped in via the DECODERS hook
+    multimodal.DECODERS["decode"] = multimodal._fake_decode
+    try:
+        meta = multimodal.decode_media(df).toPandas()
+    finally:
+        multimodal.DECODERS["decode"] = multimodal.default_decode
     assert (meta[meta["url"] != "empty"]["ok"]).all()
     assert not meta[meta["url"] == "empty"]["ok"].iloc[0]
     assert ((meta["width"] >= 0) & (meta["width"] < 256)).all()
