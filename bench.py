@@ -15,6 +15,8 @@ field — 60% of geotagged pages in 3 urban cells:
   zero shuffle)
 - knn: k=10 neighbors for 2,000 probes among the urban points
 - tile_export: per-tile record lists at z12
+- corpus_prep: the LLM-pipeline composition on the documents table
+  (quality gate -> PII redaction -> exact dedup -> token-shard packing)
 
 Setup (pages materialization to parquet) is NOT timed; each timed query ends
 in a count/write action. ``--scaling`` mode is handled by
@@ -169,13 +171,26 @@ def main() -> None:
 
     n_exp = timed("tile_export", q_tiles)
 
+    # ---- q5: LLM corpus prep (quality gate -> PII -> dedup -> shards) ------
+    def q_corpus():
+        # the registered driver query: makes dedup/PII/shard-path
+        # regressions visible round over round (round-3 VERDICT #7)
+        from landlensdb_spark.entry_queries import QUERIES
+
+        return QUERIES["corpus_prep"](spark, sf_dir).count()
+
+    n_prep = timed("corpus_prep", q_corpus)
+
     total = round(sum(queries.values()), 3)
     # headline throughput: pipeline rows/sec (extraction+join+tile rollup)
     rows_per_sec = round(n_pages / queries["extract_pip_tile"], 1)
     print(
         json.dumps(
             {
-                "metric": "spatial-join+tiling total wall time",
+                # round 4 adds the corpus_prep line, so "value" covers 5
+                # queries (r03 and earlier: 4) — compare per-query times
+                # across rounds, or value minus corpus_prep
+                "metric": "spatial-join+tiling+corpus-prep total wall time",
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
@@ -188,6 +203,7 @@ def main() -> None:
                     "snapped": n_snapped,
                     "knn_rows": n_knn,
                     "export_tiles": n_exp,
+                    "corpus_docs": n_prep,
                 },
             }
         )

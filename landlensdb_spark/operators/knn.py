@@ -277,6 +277,14 @@ def knn_join(
         topk = cand.filter((F.col("_nclose") >= k) & (F.col("rank") <= k)).select(
             "_pid", "_nid", "dist2", "rank"
         )
+        # topk feeds BOTH the result union and the unresolved anti-join's
+        # broadcast build; without a materialization point the candidate
+        # join + window pipeline executes twice inside the one action
+        # (measured ~2x the whole operator's wall at bench scale). Lazy
+        # local checkpoint: the broadcast-build job computes it first, the
+        # union branch reuses the checkpointed blocks (released by the
+        # ContextCleaner when the result is GC'd).
+        topk = topk.localCheckpoint(eager=False)
         unresolved = prb.join(maybe_bc(topk.select("_pid")), "_pid", "left_anti")
         fallback = (
             unresolved.select("_pid", "_px", "_py")
