@@ -2280,6 +2280,85 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.mapInPandas(_rt, "key long, width int, height int, intensity int")
 
 
+#: flat-color palette with EXACT q85 4:2:0/4:4:4 round-trips (verified in
+#: tests/test_jpeg.py::test_color_palette_roundtrips_exactly — flat images
+#: are DC-only in all 3 planes, so exactness depends on the color alone,
+#: not the image size)
+_JPEG_PALETTE = [
+    (200, 30, 60), (10, 200, 100), (255, 255, 0), (3, 94, 253),
+    (0, 0, 0), (255, 255, 255), (128, 0, 255), (40, 120, 220),
+]
+_JPEG_PALETTE_SQL = " ".join(
+    f"WHEN {i} THEN {c[0]}*65536 + {c[1]}*256 + {c[2]}"
+    for i, c in enumerate(_JPEG_PALETTE)
+)
+
+
+@query(
+    "jpeg_color_roundtrip",
+    f"""
+    SELECT o_orderkey AS key,
+           CAST(10 + o_orderkey % 23 AS INTEGER) AS width,
+           CAST(10 + (o_orderkey * 7) % 19 AS INTEGER) AS height,
+           CAST((CASE o_orderkey % 8 {_JPEG_PALETTE_SQL} END) // 65536 AS INTEGER) AS r,
+           CAST((CASE o_orderkey % 8 {_JPEG_PALETTE_SQL} END) // 256 % 256 AS INTEGER) AS g,
+           CAST((CASE o_orderkey % 8 {_JPEG_PALETTE_SQL} END) % 256 AS INTEGER) AS b
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline-JPEG codec through the REAL wire bytes: per key,
+    encode a flat RGB image (palette color key%8, odd WxH from key
+    arithmetic — exercises MCU pad+crop) with 4:2:0 chroma subsampling for
+    even keys and 4:4:4 for odd, decode it back, and report dims + the
+    recovered RGB. The palette round-trips bit-exactly (flat DC-only
+    planes; verified exhaustively in pytest), so any YCbCr-matrix /
+    chroma-table / interleaved-MCU / upsample bug breaks the hash."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").alias("key")
+    )
+    palette = list(_JPEG_PALETTE)
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+        for pdf in batches:
+            ks, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for k in pdf["key"]:
+                k = int(k)
+                w, h = 10 + k % 23, 10 + (k * 7) % 19
+                color = palette[k % 8]
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                img[...] = color
+                sub = "420" if k % 2 == 0 else "444"
+                out = decode_jpeg(encode_jpeg_color(img, quality=85, subsample=sub))
+                if out.shape != (h, w, 3) or not np.array_equal(out, img):
+                    # not assert: python -O removes asserts, and exactness
+                    # IS the oracle's premise
+                    raise ValueError(
+                        f"color round-trip not exact for key={k} color={color}"
+                    )
+                ks.append(k)
+                ws.append(w)
+                hs.append(h)
+                rs.append(color[0])
+                gs.append(color[1])
+                bs.append(color[2])
+            yield pd.DataFrame(
+                {"key": ks, "width": ws, "height": hs, "r": rs, "g": gs, "b": bs}
+            )
+
+    return keys.mapInPandas(
+        _rt, "key long, width int, height int, r int, g int, b int"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus bigram-LM scoring (CCNet-style perplexity gate)
 # ---------------------------------------------------------------------------
@@ -2762,6 +2841,8 @@ _DRIVER_WINDOW_FIRST = [
     "fetch_plan",
     "mvt_build",
     "raster_density",
+    # round-4 additions (never checked before, by definition)
+    "jpeg_color_roundtrip",
 ]
 
 

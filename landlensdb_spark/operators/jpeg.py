@@ -1,19 +1,22 @@
-"""Baseline JPEG codec (grayscale) — pure numpy/stdlib, public ITU T.81.
+"""Baseline JPEG codec (grayscale + YCbCr color) — pure numpy/stdlib, ITU T.81.
 
-Closes the last image-codec gap (round-2 VERDICT F25): PNG is handled by
-operators/raster.py; this module adds BASELINE sequential-DCT JPEG for
-single-component (grayscale) images — decode for corpus payloads, plus an
-encoder twin for fixtures/round-trips, exactly like the EXIF/MVT/PNG/WARC
-wire codecs in this repo. Everything is from the public spec: the zigzag
-order, the Annex K.1 luminance quantization table, and the Annex K.3
-typical luminance Huffman tables.
+Closes the image-codec gap (round-2 VERDICT F25, color extension round-3
+VERDICT #6): PNG is handled by operators/raster.py; this module implements
+BASELINE sequential-DCT JPEG — decode for corpus payloads (grayscale and
+interleaved 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 sampling), plus
+encoder twins (grayscale and color 4:2:0/4:4:4) for fixtures/round-trips,
+exactly like the EXIF/MVT/PNG/WARC wire codecs in this repo. Everything is
+from the public spec: the zigzag order, the Annex K.1/K.2 quantization
+tables, the Annex K.3 typical Huffman tables, and the JFIF YCbCr <-> RGB
+matrices.
 
-Scope (documented, checked loudly): baseline DCT (SOF0), one component,
-no restart markers, no progressive/arithmetic coding. Color and
-progressive payloads raise ValueError — callers treat them as
-undecodable, the same contract as the PNG path. The DCT is the exact
-orthonormal matrix form (float64 matmul), so encode->decode error is
-bounded by quantization alone.
+Scope (documented, checked loudly): baseline DCT (SOF0), 1 or 3
+components in one interleaved scan, sampling factors 1-2, no restart
+markers, no progressive/arithmetic coding. Out-of-scope payloads raise
+ValueError — callers treat them as undecodable, the same contract as the
+PNG path. The DCT is the exact orthonormal matrix form (float64 matmul),
+so encode->decode error is bounded by quantization alone (chroma planes
+additionally by the 2x2 box subsample where 4:2:0 is chosen).
 """
 
 from __future__ import annotations
@@ -75,6 +78,46 @@ AC_VALS = [
 ]
 
 
+#: Annex K.2 chrominance quantization table, NATURAL (raster) order
+_QTABLE_CHROMA_NAT = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+#: same table in zigzag order (the storage convention of QTABLE_LUMA)
+QTABLE_CHROMA = _QTABLE_CHROMA_NAT[ZIGZAG]
+
+#: Annex K.3.3: typical chrominance DC table
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+#: Annex K.3.4: typical chrominance AC table
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
 def _dct_matrix() -> np.ndarray:
     """Orthonormal 8x8 DCT-II matrix C: dct2(B) = C @ B @ C.T."""
     k = np.arange(8).reshape(-1, 1)
@@ -103,6 +146,8 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 
 _DC_CODES = _build_codes(DC_BITS, DC_VALS)
 _AC_CODES = _build_codes(AC_BITS, AC_VALS)
+_DC_CHROMA_CODES = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+_AC_CHROMA_CODES = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -152,12 +197,80 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _scaled_qtable(quality: int) -> np.ndarray:
-    """libjpeg-style quality scaling of the Annex K table (zigzag order)."""
+def _scale_qtable(table_zz: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K table (zigzag order)."""
     quality = min(max(int(quality), 1), 100)
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (QTABLE_LUMA * s + 50) // 100
+    q = (table_zz * s + 50) // 100
     return np.clip(q, 1, 255)
+
+
+def _scaled_qtable(quality: int) -> np.ndarray:
+    return _scale_qtable(QTABLE_LUMA, quality)
+
+
+def _natural(q_zz: np.ndarray) -> np.ndarray:
+    """Zigzag-order table -> natural-order 8x8 matrix for the DCT divide."""
+    q_raster = np.empty(64, dtype=np.int64)
+    q_raster[ZIGZAG] = q_zz
+    return q_raster.reshape(8, 8)
+
+
+def _encode_block(
+    writer: "_BitWriter",
+    block: np.ndarray,
+    qmat: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """DCT + quantize + huffman one level-shifted 8x8 block; returns the
+    new DC predictor."""
+    coef = _C @ block @ _C.T
+    quant = np.round(coef / qmat).astype(np.int64)
+    zz = quant.flatten()[ZIGZAG]
+    dc = int(zz[0])
+    size, code = _magnitude(dc - prev_dc)
+    hc, hl = dc_codes[size]
+    writer.write(hc, hl)
+    if size:
+        writer.write(code, size)
+    run = 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_codes[0xF0]  # ZRL
+            writer.write(hc, hl)
+            run -= 16
+        size, code = _magnitude(v)
+        hc, hl = ac_codes[(run << 4) | size]
+        writer.write(hc, hl)
+        writer.write(code, size)
+        run = 0
+    if run:
+        hc, hl = ac_codes[0x00]  # EOB
+        writer.write(hc, hl)
+    return dc
+
+
+def _edge_pad(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad a 2-D float plane to (ph, pw)."""
+    h, w = plane.shape
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+_APP0_JFIF = _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
 
 
 def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
@@ -166,65 +279,114 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
         raise ValueError("need a 2-D uint8 array")
     h, w = img.shape
     q = _scaled_qtable(quality)
-    q_raster = np.empty(64, dtype=np.int64)
-    q_raster[ZIGZAG] = q  # natural-order table for the DCT divide
-
+    qmat = _natural(q)
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    padded[:h, :w] = img
-    padded[h:, :w] = img[h - 1 : h, :]  # edge-replicate pad
-    padded[:, w:] = padded[:, w - 1 : w]
+    padded = _edge_pad(img.astype(np.float64), bh * 8, bw * 8)
 
     writer = _BitWriter()
     prev_dc = 0
-    qmat = q_raster.reshape(8, 8)
     for by in range(bh):
         for bx in range(bw):
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = _C @ block @ _C.T
-            quant = np.round(coef / qmat).astype(np.int64)
-            zz = quant.flatten()[ZIGZAG]
-            # DC difference
-            size, code = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            hc, hl = _DC_CODES[size]
-            writer.write(hc, hl)
-            if size:
-                writer.write(code, size)
-            # AC run-lengths
-            run = 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    hc, hl = _AC_CODES[0xF0]  # ZRL
-                    writer.write(hc, hl)
-                    run -= 16
-                size, code = _magnitude(v)
-                hc, hl = _AC_CODES[(run << 4) | size]
-                writer.write(hc, hl)
-                writer.write(code, size)
-                run = 0
-            if run:
-                hc, hl = _AC_CODES[0x00]  # EOB
-                writer.write(hc, hl)
+            prev_dc = _encode_block(writer, block, qmat, _DC_CODES, _AC_CODES, prev_dc)
     scan = writer.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    dht = seg(
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = _seg(
         0xFFC4,
         b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
         + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS),
     )
-    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    sos = _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + _APP0_JFIF + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF (ITU-R BT.601 full-range) RGB -> Y/Cb/Cr float64 planes."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF Y/Cb/Cr planes -> HxWx3 uint8 RGB (clipped + rounded)."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_color(
+    img: np.ndarray, quality: int = 85, subsample: str = "420"
+) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes (SOF0, YCbCr, interleaved).
+
+    ``subsample``: '420' (2x2 box-averaged chroma, the web default) or
+    '444' (full-resolution chroma). Luma uses the Annex K.1 table +
+    K.3.1/K.3.2 Huffman tables; chroma K.2 + K.3.3/K.3.4, both scaled by
+    ``quality`` libjpeg-style.
+    """
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("need an HxWx3 uint8 array")
+    if subsample not in ("420", "444"):
+        raise ValueError("subsample must be '420' or '444'")
+    hs = vs = 2 if subsample == "420" else 1
+    h, w = img.shape[:2]
+    qy = _scaled_qtable(quality)
+    qc = _scale_qtable(QTABLE_CHROMA, quality)
+    qy_mat, qc_mat = _natural(qy), _natural(qc)
+
+    y, cb, cr = _rgb_to_ycbcr(img)
+    mh, mw = 8 * vs, 8 * hs  # MCU pixel dims
+    mcuy, mcux = (h + mh - 1) // mh, (w + mw - 1) // mw
+    yp = _edge_pad(y, mcuy * mh, mcux * mw)
+    cbp = _edge_pad(cb, mcuy * mh, mcux * mw)
+    crp = _edge_pad(cr, mcuy * mh, mcux * mw)
+    if hs == 2:  # 2x2 box mean at full-pad resolution -> one 8x8 block/MCU
+        cbp = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+        crp = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(vs):  # Y blocks of the MCU in raster order
+                for hh in range(hs):
+                    by, bx = my * vs + v, mx * hs + hh
+                    block = yp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    prev[0] = _encode_block(
+                        writer, block, qy_mat, _DC_CODES, _AC_CODES, prev[0]
+                    )
+            for ci, plane in ((1, cbp), (2, crp)):
+                block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+                prev[ci] = _encode_block(
+                    writer, block, qc_mat, _DC_CHROMA_CODES, _AC_CHROMA_CODES, prev[ci]
+                )
+    scan = writer.flush()
+
+    samp = (hs << 4) | vs
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qy)) + _seg(
+        0xFFDB, b"\x01" + bytes(int(x) for x in qc)
+    )
+    sof = _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = _seg(
+        0xFFC4,
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
+        + b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        + b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS),
+    )
+    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))
+    return b"\xff\xd8" + _APP0_JFIF + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
 class _BitReader:
@@ -268,12 +430,46 @@ class _BitReader:
         raise ValueError("invalid Huffman code in scan")
 
 
-def decode_jpeg_gray(blob: bytes) -> np.ndarray:
-    """Baseline grayscale JFIF bytes -> 2-D uint8 array.
+def _decode_block(
+    reader: "_BitReader", dc_tbl: dict, ac_tbl: dict, qmat: np.ndarray, prev_dc: int
+) -> tuple[np.ndarray, int]:
+    """Huffman + dequantize + IDCT one 8x8 block; returns (pixels, new DC)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = reader.read_code(dc_tbl)
+    dc = prev_dc + _extend(reader.read(size), size)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = reader.read_code(ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("invalid AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient overrun")
+        zz[k] = _extend(reader.read(size), size)
+        k += 1
+    quant = np.zeros(64, dtype=np.int64)
+    quant[ZIGZAG] = zz
+    coef = quant.reshape(8, 8) * qmat
+    return _C.T @ coef @ _C + 128.0, dc
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> pixels: 2-D uint8 (grayscale file) or
+    HxWx3 uint8 RGB (3-component YCbCr file, any sampling factors 1-2 in
+    one interleaved scan — covers 4:4:4, 4:2:2, 4:2:0; chroma upsampled
+    by replication).
 
     Raises ValueError for anything outside the documented scope
-    (multi-component color, progressive SOF2, restart intervals,
-    arithmetic coding) — loud, never garbage pixels."""
+    (progressive SOF2, >3 or 2 components, non-interleaved scans,
+    sampling factors > 2, restart intervals, arithmetic coding) — loud,
+    never garbage pixels."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -281,8 +477,9 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     h = w = None
-    qsel = 0
-    dc_sel = ac_sel = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    sel: dict[int, tuple[int, int]] = {}  # cid -> (Td, Ta)
+    scan_order: list[int] = []
     scan_start = None
     while i < len(blob) - 1:
         if blob[i] != 0xFF:
@@ -305,22 +502,31 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
         elif marker == 0xC0:  # SOF0
-            if len(payload) < 9:
+            if len(payload) < 6:
                 raise ValueError("truncated SOF0 segment")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if precision != 8 or ncomp != 1:
-                raise ValueError("grayscale 8-bit baseline only")
+            if precision != 8:
+                raise ValueError("8-bit baseline only")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component frames unsupported")
             if h * w > MAX_PIXELS or h == 0 or w == 0:
                 # a forged SOF claiming 65535x65535 would otherwise drive a
                 # multi-GB allocation before any scan-data validation
                 raise ValueError(f"image dimensions {w}x{h} outside sane bounds")
-            # per-component bytes after the frame header: id, sampling, qtable
-            if payload[6 + 1] != 0x11:
-                raise ValueError("subsampling on a single component unsupported")
-            qsel = payload[6 + 2]
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
+            for c in range(ncomp):
+                cid = payload[6 + 3 * c]
+                hv = payload[6 + 3 * c + 1]
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"sampling factors {hi}x{vi} unsupported")
+                if ncomp == 1 and hv != 0x11:
+                    raise ValueError("subsampling on a single component unsupported")
+                comps.append((cid, hi, vi, payload[6 + 3 * c + 2]))
         elif marker == 0xC4:  # DHT (possibly several tables, keyed by
-            # destination id Th — a file may also carry unused chroma
-            # tables, so the SOS Td/Ta selectors below pick the right ones)
+            # destination id Th — the SOS Td/Ta selectors pick the right
+            # ones even when a file carries extra unused tables)
             p = 0
             while p < len(payload):
                 if p + 17 > len(payload):
@@ -337,58 +543,81 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS: ncomp, then (component id, Td<<4|Ta)
-            if len(payload) < 3:
+            if len(payload) < 1 + 2 * max(len(comps), 1):
                 raise ValueError("truncated SOS segment")
-            if payload[0] != 1:
-                raise ValueError("grayscale single-component scan only")
-            dc_sel, ac_sel = payload[2] >> 4, payload[2] & 0x0F
+            if payload[0] != len(comps):
+                # baseline files in the wild are one interleaved scan;
+                # component-per-scan (still legal baseline) is out of scope
+                raise ValueError("non-interleaved scans unsupported")
+            for c in range(payload[0]):
+                cid = payload[1 + 2 * c]
+                sel[cid] = (payload[2 + 2 * c] >> 4, payload[2 + 2 * c] & 0x0F)
+                scan_order.append(cid)
             scan_start = i + 2 + ln
             break
         i += 2 + ln
     if scan_start is None or h is None or not dc_tables or not ac_tables:
         raise ValueError("missing SOF/DHT/SOS")
-    if dc_sel not in dc_tables or ac_sel not in ac_tables:
-        raise ValueError("SOS selects an undefined Huffman table")
-    dc_tbl, ac_tbl = dc_tables[dc_sel], ac_tables[ac_sel]
-    if qsel not in qtables:
-        raise ValueError("missing quantization table")
-    q_raster = np.empty(64, dtype=np.int64)
-    q_raster[ZIGZAG] = qtables[qsel]
-    qmat = q_raster.reshape(8, 8)
+    by_id = {cid: (cid, hi, vi, tq) for cid, hi, vi, tq in comps}
+    if set(scan_order) != set(by_id):
+        raise ValueError("SOS component ids do not match SOF")
+    qmats: dict[int, np.ndarray] = {}
+    for cid, _, _, tq in comps:
+        if tq not in qtables:
+            raise ValueError("missing quantization table")
+        qmats[cid] = _natural(qtables[tq])
+        td, ta = sel[cid]
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError("SOS selects an undefined Huffman table")
 
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.empty((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _ in comps
+    }
+    prev = {cid: 0 for cid, _, _, _ in comps}
     reader = _BitReader(blob[scan_start:])
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    prev_dc = 0
-    zz = np.zeros(64, dtype=np.int64)
-    for by in range(bh):
-        for bx in range(bw):
-            zz[:] = 0
-            size = reader.read_code(dc_tbl)
-            prev_dc += _extend(reader.read(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = reader.read_code(ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient overrun")
-                zz[k] = _extend(reader.read(size), size)
-                k += 1
-            quant = np.zeros(64, dtype=np.int64)
-            quant[ZIGZAG] = zz
-            coef = quant.reshape(8, 8) * qmat
-            block = _C.T @ coef @ _C + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid in scan_order:
+                _, hi, vi, _ = by_id[cid]
+                td, ta = sel[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        block, prev[cid] = _decode_block(
+                            reader, dc_tables[td], ac_tables[ta], qmats[cid], prev[cid]
+                        )
+                        by, bx = my * vi + v, mx * hi + hh
+                        planes[cid][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = block
+
+    if len(comps) == 1:
+        out = planes[comps[0][0]]
+        return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+    full = []
+    for cid, hi, vi, _ in comps:
+        # crop to the component's own sample grid, then replicate up
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        p = planes[cid][:ch, :cw]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def decode_jpeg_gray(blob: bytes) -> np.ndarray:
+    """Baseline grayscale JFIF bytes -> 2-D uint8 array; raises ValueError
+    for color files (use :func:`decode_jpeg` for those) and anything
+    outside baseline scope."""
+    out = decode_jpeg(blob)
+    if out.ndim != 2:
+        raise ValueError("grayscale 8-bit baseline only (color file)")
+    return out
 
 
 def jpeg_dims(blob: bytes) -> tuple[int, int] | None:

@@ -4,7 +4,8 @@ Media travel as opaque ``binary`` columns + typed metadata structs — the
 Spark-side schema, partitioning, UDF signatures and Arrow batch shapes are
 real and tested. Metadata decode is REAL for PNG (operators/raster.py IHDR
 parse) and every JPEG variant (operators/jpeg.py SOFn parse); pixel
-decode/thumbnail is real for PNG + baseline JPEG via the in-repo codecs.
+decode/thumbnail is real for PNG + baseline JPEG (grayscale and YCbCr
+color, any 1-2 sampling) via the in-repo codecs.
 Only formats the container cannot parse at all (video needs ffmpeg) fall
 outside, reported honestly as ``ok=False`` — the ``DECODERS`` dict is the
 production swap-in point, exactly where the reference's thumbnail/crop
@@ -68,25 +69,31 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
 
 def real_decode(payload: bytes):
     """The production decoder hook for media beyond the in-repo codecs
-    (color/progressive JPEG pixel decode, video frames). PNG and baseline
-    grayscale JPEG need no swap — operators/raster.py and
-    operators/jpeg.py cover them natively."""
+    (progressive JPEG pixel decode, video frames). PNG and baseline JPEG —
+    grayscale and interleaved YCbCr color — need no swap:
+    operators/raster.py and operators/jpeg.py cover them natively."""
     raise NotImplementedError(
-        "full-color JPEG / video codecs (PIL/ffmpeg) are not installed in "
+        "progressive-JPEG / video codecs (PIL/ffmpeg) are not installed in "
         "this environment; swap DECODERS['decode'] for a real implementation."
     )
 
 
 def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
     """REAL thumbnails via the in-repo codecs: gray-8 PNG (decode ->
-    box/nearest resize -> PNG) and baseline grayscale JPEG (decode ->
-    resize -> JPEG, format-preserving). None (null column) for payloads
-    outside codec scope — the seam is now color/progressive JPEG + video
-    only."""
+    box/nearest resize -> PNG) and baseline JPEG — grayscale AND
+    interleaved YCbCr color (decode -> per-plane resize -> JPEG,
+    format+colorspace-preserving). None (null column) for payloads outside
+    codec scope — the seam is now progressive JPEG + video only."""
     import struct
     import zlib
 
-    from landlensdb_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    import numpy as np
+
+    from landlensdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
     from landlensdb_spark.operators.raster import (
         encode_png_gray,
         png_thumbnail,
@@ -99,11 +106,16 @@ def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
     except (ValueError, zlib.error, struct.error):
         pass
     try:
-        img = decode_jpeg_gray(b)
-        h, w = img.shape
+        img = decode_jpeg(b)
+        h, w = img.shape[:2]
         scale = min(max_w / w, max_h / h, 1.0)
         ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
-        return encode_jpeg_gray(resize_gray(img, ow, oh), quality=85)
+        if img.ndim == 2:
+            return encode_jpeg_gray(resize_gray(img, ow, oh), quality=85)
+        small = np.stack(
+            [resize_gray(img[..., c], ow, oh) for c in range(3)], axis=-1
+        )
+        return encode_jpeg_color(small, quality=85)
     except (ValueError, struct.error):
         return None
 
@@ -282,8 +294,22 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
         import struct as _struct
         import zlib as _zlib
 
-        from landlensdb_spark.operators.jpeg import decode_jpeg_gray
+        from landlensdb_spark.operators.jpeg import decode_jpeg
         from landlensdb_spark.operators.raster import decode_png_gray
+
+        def _jpeg_luma(b: bytes):
+            img = decode_jpeg(b)
+            if img.ndim == 3:  # BT.601 luma — pHash is defined on grayscale
+                img = np.clip(
+                    np.round(
+                        0.299 * img[..., 0]
+                        + 0.587 * img[..., 1]
+                        + 0.114 * img[..., 2]
+                    ),
+                    0,
+                    255,
+                ).astype(np.uint8)
+            return img
 
         for pdf in batches:
             out = pdf[keep].copy()
@@ -291,7 +317,7 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
             for b in pdf[media_col]:
                 img = None
                 if b is not None and len(b):
-                    for dec in (decode_png_gray, decode_jpeg_gray):
+                    for dec in (decode_png_gray, _jpeg_luma):
                         try:
                             img = dec(bytes(b))
                             break

@@ -1,4 +1,4 @@
-"""Baseline grayscale JPEG codec: round-trips, spec scope, operator wiring."""
+"""Baseline JPEG codec (gray + YCbCr color): round-trips, scope, wiring."""
 
 from __future__ import annotations
 
@@ -6,10 +6,87 @@ import numpy as np
 import pytest
 
 from landlensdb_spark.operators.jpeg import (
+    decode_jpeg,
     decode_jpeg_gray,
+    encode_jpeg_color,
     encode_jpeg_gray,
     jpeg_dims,
 )
+
+
+def _gradient_rgb(h=48, w=64):
+    # smooth ramps (no mod-256 wrap seams: a sawtooth discontinuity is
+    # legitimately mangled by 4:2:0 chroma averaging)
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack(
+        [
+            np.clip(x * 3, 0, 255),
+            np.clip(y * 4, 0, 255),
+            np.clip(255 - (x + y) * 2, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_color_flat_roundtrips_exactly():
+    """Flat color blocks are DC-only in all three planes: quantization
+    error stays under half an intensity step, so 4:2:0 AND 4:4:4
+    round-trip bit-exactly (odd dims exercise MCU pad + crop)."""
+    img = np.zeros((33, 17, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 30, 60
+    for ss in ("420", "444"):
+        out = decode_jpeg(encode_jpeg_color(img, quality=85, subsample=ss))
+        assert out.shape == (33, 17, 3)
+        assert np.array_equal(out, img), ss
+
+
+def test_color_gradient_psnr():
+    img = _gradient_rgb()
+    for ss, floor in (("420", 30.0), ("444", 35.0)):
+        out = decode_jpeg(encode_jpeg_color(img, quality=90, subsample=ss))
+        mse = float(((out.astype(float) - img.astype(float)) ** 2).mean())
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+        assert psnr > floor, (ss, psnr)
+
+
+def test_color_dims_scope_and_gray_interop():
+    img = _gradient_rgb(20, 40)
+    blob = encode_jpeg_color(img)
+    assert jpeg_dims(blob) == (40, 20)
+    # the gray decoder refuses color files loudly
+    with pytest.raises(ValueError, match="color"):
+        decode_jpeg_gray(blob)
+    # decode_jpeg on a GRAY file returns the same 2-D pixels
+    g = np.tile(np.arange(40, dtype=np.uint8) * 6, (20, 1))
+    gb = encode_jpeg_gray(g, quality=90)
+    assert decode_jpeg(gb).ndim == 2
+    assert np.array_equal(decode_jpeg(gb), decode_jpeg_gray(gb))
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg_color(img.astype(np.int32))
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg_color(img, subsample="422enc")
+
+
+def test_color_palette_roundtrips_exactly():
+    """The driver-oracle palette (entry_queries._JPEG_PALETTE) must
+    round-trip bit-exactly at q85 under BOTH subsample modes — flat images
+    are DC-only so exactness depends on the color alone, which this proves
+    for every palette entry."""
+    from landlensdb_spark.entry_queries import _JPEG_PALETTE
+
+    for color in _JPEG_PALETTE:
+        img = np.zeros((11, 13, 3), np.uint8)
+        img[...] = color
+        for ss in ("420", "444"):
+            out = decode_jpeg(encode_jpeg_color(img, quality=85, subsample=ss))
+            assert np.array_equal(out, img), (color, ss)
+
+
+def test_color_420_beats_444_on_size():
+    img = _gradient_rgb()
+    assert len(encode_jpeg_color(img, subsample="420")) < len(
+        encode_jpeg_color(img, subsample="444")
+    )
 
 
 def test_flat_image_roundtrips_exactly():
@@ -74,6 +151,55 @@ def test_media_thumbnail_handles_jpeg(spark):
     assert thumb.shape == (5, 10)
     meta = decode_media(df).collect()[0]
     assert (meta["width"], meta["height"], meta["codec"], meta["ok"]) == (40, 20, "jpeg", True)
+
+
+def test_media_thumbnail_color_jpeg(spark):
+    """media_thumbnail must emit COLOR JPEG thumbnails for color payloads
+    (round-3 VERDICT #6), aspect-preserved and decodable by the same
+    codec."""
+    from landlensdb_spark.operators.multimodal import media_thumbnail
+
+    img = _gradient_rgb(40, 80)
+    df = spark.createDataFrame(
+        [("c", bytearray(encode_jpeg_color(img, quality=90)))],
+        "name string, media binary",
+    )
+    r = media_thumbnail(df, max_w=20, max_h=20).collect()[0]
+    assert (r["thumb_w"], r["thumb_h"]) == (20, 10)
+    thumb = decode_jpeg(bytes(r["thumb"]))
+    assert thumb.shape == (10, 20, 3)  # still color
+
+
+def test_media_phash_color_matches_gray(spark):
+    """pHash of a color JPEG ~ pHash of the grayscale encoding of its luma
+    (cross-codec perceptual invariance extended to the color path)."""
+    from landlensdb_spark.operators.multimodal import media_phash
+
+    # textured sinusoid mix, not a bare ramp: a pure linear gradient parks
+    # most low-frequency DCT coefficients AT the pHash median, where 1-LSB
+    # codec noise flips bits arbitrarily (pHash is specified for textured
+    # natural images)
+    y, x = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    base = 128 + 60 * np.sin(x / 5.0) * np.cos(y / 7.0) + 40 * np.sin((x + y) / 11.0)
+    img = np.stack(
+        [np.clip(base + 30, 0, 255), np.clip(base, 0, 255), np.clip(255 - base, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    luma = np.clip(
+        np.round(0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]),
+        0, 255,
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("color", bytearray(encode_jpeg_color(img, quality=90))),
+            ("gray", bytearray(encode_jpeg_gray(luma, quality=90))),
+        ],
+        "name string, media binary",
+    )
+    got = {r["name"]: r["phash"] for r in media_phash(df).collect()}
+    assert got["color"] is not None and got["gray"] is not None
+    ham = bin((got["color"] ^ got["gray"]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 10, ham
 
 
 def test_decode_media_real_png_metadata(spark):
