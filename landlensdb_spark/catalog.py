@@ -248,6 +248,51 @@ def snapshot_read(
     return spark.read.parquet(os.path.join(path, f"v={v:05d}"))
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption between two snapshot versions: (key,
+    change) rows with change in {'added', 'removed', 'changed'} —
+    unchanged keys are omitted, so a downstream sync processes only the
+    delta (the Iceberg incremental-read idea over the ``v=N`` layout; the
+    reference re-downloads the full remote set every sync,
+    /root/reference/landlensdb/handlers/cloud.py:430-447).
+
+    Scale shape: each side is projected to (key, 8-byte row fingerprint)
+    BEFORE the full-outer equi-join, so the shuffle carries 16 bytes/row
+    instead of full rows no matter how wide the table. The fingerprint is
+    xxhash64 over every non-key column INTERLEAVED with its isNull flag
+    (xxhash64 skips null inputs, so without the flags a NULL column would
+    be indistinguishable from an absent one)."""
+    new = snapshot_read(spark, path, to_version)
+    old = snapshot_read(spark, path, from_version)
+    cols = [c for c in new.columns if c != key]
+    if [c for c in old.columns if c != key] != cols:
+        raise ValueError("snapshot schemas differ — diff is key-compatible only")
+
+    def _fp(df: DataFrame, out: str) -> DataFrame:
+        parts: list = []
+        for c in cols:
+            parts += [F.col(c), F.col(c).isNull()]
+        return df.select(F.col(key), F.xxhash64(*parts).alias(out))
+
+    j = _fp(old, "_ofp").join(_fp(new, "_nfp"), key, "full_outer")
+    return (
+        j.select(
+            key,
+            F.when(F.col("_ofp").isNull(), F.lit("added"))
+            .when(F.col("_nfp").isNull(), F.lit("removed"))
+            .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
 def snapshot_upsert(
     spark: SparkSession,
     path: str,

@@ -2280,6 +2280,57 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.mapInPandas(_rt, "key long, width int, height int, intensity int")
 
 
+@query(
+    "snapshot_diff",
+    """
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderkey < 1000 THEN 'removed'
+                WHEN o_orderkey >= 2000 THEN 'added'
+                ELSE 'changed' END AS change
+    FROM orders
+    WHERE o_orderkey < 3000
+      AND NOT (o_orderkey >= 1000 AND o_orderkey < 2000
+               AND o_orderkey % 7 = o_orderkey % 5)
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot consumption through the REAL versioned store:
+    write v1 (keys < 2000, val = k%7) and v2 (keys 1000..2999, val = k%5)
+    via the manifest-committed snapshot layout, then diff v1 -> v2 —
+    removed (< 1000), added (>= 2000), changed (middle band where the val
+    arithmetic differs), unchanged omitted (k%7 == k%5 <=> k%35 < 5). The
+    oracle states the arithmetic directly; the engine must reproduce it
+    through parquet round-trip + fingerprint full-outer join."""
+    import json
+    import os
+
+    from landlensdb_spark.catalog import snapshot_diff, snapshot_write
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/llb_snapdiff_r4_{tag}"
+    man = os.path.join(path, "manifest.json")
+    have = 0
+    if os.path.exists(man):
+        with open(man) as f:
+            have = len(json.load(f)["versions"])
+    if have < 2:  # content is deterministic per sf_dir -> safe to reuse
+        snapshot_write(
+            o.filter(k < 2000).select(k.alias("key"), (k % 7).alias("val")),
+            path,
+            "v1",
+        )
+        snapshot_write(
+            o.filter((k >= 1000) & (k < 3000)).select(
+                k.alias("key"), (k % 5).alias("val")
+            ),
+            path,
+            "v2",
+        )
+    return snapshot_diff(spark, path, "key", from_version=1, to_version=2)
+
+
 #: flat-color palette with EXACT q85 4:2:0/4:4:4 round-trips (verified in
 #: tests/test_jpeg.py::test_color_palette_roundtrips_exactly — flat images
 #: are DC-only in all 3 planes, so exactness depends on the color alone,
@@ -2843,6 +2894,7 @@ _DRIVER_WINDOW_FIRST = [
     "raster_density",
     # round-4 additions (never checked before, by definition)
     "jpeg_color_roundtrip",
+    "snapshot_diff",
 ]
 
 

@@ -230,6 +230,45 @@ def test_snapshot_versions_and_time_travel(spark, tmp_path):
         snapshot_read(spark, path, version=9)
 
 
+def test_snapshot_diff_classes_and_null_handling(spark, tmp_path):
+    """added/removed/changed classification, unchanged rows omitted, and
+    the null-vs-value fingerprint distinction (xxhash64 alone would treat
+    a NULL column as absent)."""
+    import pytest as _pytest
+
+    from landlensdb_spark.catalog import snapshot_diff, snapshot_write
+
+    path = str(tmp_path / "snap")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+            "k long, v string, n long",
+        ),
+        path,
+        "v1",
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            # 1 unchanged; 2 value change; 3 null -> value; 4 removed; 5 added
+            [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+            "k long, v string, n long",
+        ),
+        path,
+        "v2",
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(spark, path, "k", 1, 2).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    # schema drift fails loudly
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path, "v3"
+    )
+    with _pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(spark, path, "k", 1, 3)
+
+
 def test_compact_dir_recovers_from_crash_leftovers(spark, tmp_path):
     """Stale .tmp/.old dirs (crash windows) must not wedge compaction, and
     a missing live dir with an .old present rolls back."""
