@@ -1623,6 +1623,43 @@ def q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_tiles",
+    f"""
+    SELECT cast(floor(epoch(ts) / 3600) AS bigint) AS bucket,
+           {synth.tile_x_sql('lon', 12)} AS tile_x,
+           {synth.tile_y_sql('lat', 12)} AS tile_y,
+           count(*) AS n
+    FROM (
+      SELECT ts, {synth.lon_sql('event_id')} AS lon,
+             {synth.lat_sql('event_id')} AS lat
+      FROM events
+    ) GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal tile rollup (streaming/events.tile_rollup, batch
+    parity — the same code path runs under Structured Streaming with a
+    watermark, pytest-verified with availableNow + checkpoint): events get
+    synthetic coords from event_id, then tile x/y per tumbling hour. The
+    window start is emitted as an epoch-hour bucket for cross-engine
+    timestamp-free comparison (same convention as window_events)."""
+    from landlensdb_spark.streaming.events import tile_rollup
+
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    pts = ev.select(
+        "ts", synth.lon_col(k).alias("lon"), synth.lat_col(k).alias("lat")
+    )
+    out = tile_rollup(pts, zoom=12, window="1 hour")
+    return out.select(
+        F.floor(F.col("win_start").cast("double") / 3600).cast("long").alias("bucket"),
+        "tile_x",
+        "tile_y",
+        "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-3 pipeline operators: PII scrub, deterministic sampling, shard
 # packing, benchmark decontamination
@@ -2895,6 +2932,7 @@ _DRIVER_WINDOW_FIRST = [
     # round-4 additions (never checked before, by definition)
     "jpeg_color_roundtrip",
     "snapshot_diff",
+    "stream_tiles",
 ]
 
 

@@ -51,6 +51,43 @@ def windowed_event_counts(
     )
 
 
+def tile_rollup(
+    points: DataFrame,
+    zoom: int = 12,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spatio-temporal tile rollup: XYZ tile assignment (pure column math,
+    geo/tiles.py) + tumbling event-time window counts — the streaming
+    twin of operators/tiles.tile_stats for a continuously-crawled geotag
+    feed. Works on batch AND streaming frames; on a stream the watermark
+    bounds state (a window's tiles are finalized and dropped once event
+    time passes win_end + watermark), so state size is O(active tiles per
+    window), never O(stream). Output: (win_start, win_end, tile_x,
+    tile_y, n)."""
+    from landlensdb_spark.geo.tiles import tile_x, tile_y
+
+    df = points.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.withColumn("tile_x", tile_x(lon, zoom))
+        .withColumn("tile_y", tile_y(lat, zoom))
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "tile_x",
+            "tile_y",
+            "n",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str
 ):

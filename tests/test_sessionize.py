@@ -115,3 +115,30 @@ def test_streaming_geo_tiles_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got2.select(*key).collect())) == sorted(
         map(tuple, want2.select(*key).collect())
     )
+
+
+def test_tile_rollup_stream_matches_batch(spark, tmp_path):
+    """The spatio-temporal tile rollup must produce identical (window,
+    tile, n) rows under Structured Streaming (availableNow + checkpoint,
+    watermarked state) and in batch on the same input."""
+    from landlensdb_spark import synth
+    from landlensdb_spark.streaming.events import run_available_now, tile_rollup
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    k = F.col("event_id")
+    pts = events.select(
+        "ts", synth.lon_col(k).alias("lon"), synth.lat_col(k).alias("lat")
+    )
+    src = str(tmp_path / "src")
+    pts.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    rolled = tile_rollup(stream, zoom=10, window="1 hour", watermark="2 hours")
+    run_available_now(rolled, str(tmp_path / "ck"), "tiles_stream")
+    key = ["win_start", "win_end", "tile_x", "tile_y", "n"]
+    got = sorted(map(tuple, spark.table("tiles_stream").select(*key).collect()))
+
+    want = sorted(
+        map(tuple, tile_rollup(pts, zoom=10, window="1 hour").select(*key).collect())
+    )
+    assert got == want and len(got) > 0
