@@ -271,7 +271,12 @@ def snapshot_diff(
     new = snapshot_read(spark, path, to_version)
     old = snapshot_read(spark, path, from_version)
     cols = [c for c in new.columns if c != key]
-    if [c for c in old.columns if c != key] != cols:
+    # compare (name, type) pairs: a type change alone (int -> bigint)
+    # hashes every value differently and would silently mark the whole
+    # table 'changed' if only names were checked
+    if [(c, t) for c, t in old.dtypes if c != key] != [
+        (c, t) for c, t in new.dtypes if c != key
+    ]:
         raise ValueError("snapshot schemas differ — diff is key-compatible only")
 
     def _fp(df: DataFrame, out: str) -> DataFrame:

@@ -1846,9 +1846,11 @@ _CONTAM_SHINGLE = " || ' ' || ".join(f"w[i+{d + 1}]" for d in range(_CONTAM_N))
     "contamination_docs",
     rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(
-               regexp_replace(coalesce(text, ''), '^{_WS}+|{_WS}+$', '', 'g'),
-               '{_WS}+') AS w
+      -- exact twin of dedup._shingles: trim() strips SPACES only (like
+      -- F.trim) and the split keeps edge empty tokens for \t/\n edges
+      -- (like Java split with limit -1); the _WS class matches Java \s
+      -- where RE2's \s would exclude \x0b
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '{_WS}+') AS w
       FROM documents
     ),
     sh AS (
@@ -2353,6 +2355,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(man) as f:
             have = len(json.load(f)["versions"])
     if have < 2:  # content is deterministic per sf_dir -> safe to reuse
+        # a partial prior run (crash after v1's commit) must NOT be
+        # appended to: snapshot_write appends, so versions 1 and 2 would
+        # both hold v1's content and the diff would be silently empty —
+        # rebuild from scratch instead
+        if have:
+            import shutil
+
+            shutil.rmtree(path)
         snapshot_write(
             o.filter(k < 2000).select(k.alias("key"), (k % 7).alias("val")),
             path,

@@ -277,6 +277,8 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
     """2-D uint8 array -> baseline JFIF bytes (grayscale, SOF0)."""
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("need a 2-D uint8 array")
+    if img.shape[0] == 0 or img.shape[1] == 0:
+        raise ValueError("empty image")  # SOF h=0 is invalid on the wire
     h, w = img.shape
     q = _scaled_qtable(quality)
     qmat = _natural(q)
@@ -313,6 +315,13 @@ def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return y, cb, cr
 
 
+def rgb_luma(img: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 -> BT.601 luma as uint8 — the codec's own Y plane
+    (single source of the 0.299/0.587/0.114 coefficients for consumers
+    like pHash)."""
+    return np.clip(np.round(_rgb_to_ycbcr(img)[0]), 0, 255).astype(np.uint8)
+
+
 def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     """JFIF Y/Cb/Cr planes -> HxWx3 uint8 RGB (clipped + rounded)."""
     r = y + 1.402 * (cr - 128.0)
@@ -333,6 +342,8 @@ def encode_jpeg_color(
     """
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("need an HxWx3 uint8 array")
+    if img.shape[0] == 0 or img.shape[1] == 0:
+        raise ValueError("empty image")  # SOF h=0 is invalid on the wire
     if subsample not in ("420", "444"):
         raise ValueError("subsample must be '420' or '444'")
     hs = vs = 2 if subsample == "420" else 1
@@ -558,8 +569,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         i += 2 + ln
     if scan_start is None or h is None or not dc_tables or not ac_tables:
         raise ValueError("missing SOF/DHT/SOS")
+    if len({cid for cid, _, _, _ in comps}) != len(comps):
+        # a forged SOF with duplicate ids would dict-dedup below and decode
+        # garbage; the contract is loud failure, never garbage pixels
+        raise ValueError("duplicate component ids in SOF")
     by_id = {cid: (cid, hi, vi, tq) for cid, hi, vi, tq in comps}
-    if set(scan_order) != set(by_id):
+    if sorted(scan_order) != sorted(by_id):
         raise ValueError("SOS component ids do not match SOF")
     qmats: dict[int, np.ndarray] = {}
     for cid, _, _, tq in comps:

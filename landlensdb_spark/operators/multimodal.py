@@ -294,21 +294,13 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
         import struct as _struct
         import zlib as _zlib
 
-        from landlensdb_spark.operators.jpeg import decode_jpeg
+        from landlensdb_spark.operators.jpeg import decode_jpeg, rgb_luma
         from landlensdb_spark.operators.raster import decode_png_gray
 
         def _jpeg_luma(b: bytes):
             img = decode_jpeg(b)
             if img.ndim == 3:  # BT.601 luma — pHash is defined on grayscale
-                img = np.clip(
-                    np.round(
-                        0.299 * img[..., 0]
-                        + 0.587 * img[..., 1]
-                        + 0.114 * img[..., 2]
-                    ),
-                    0,
-                    255,
-                ).astype(np.uint8)
+                img = rgb_luma(img)
             return img
 
         for pdf in batches:

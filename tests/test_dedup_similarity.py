@@ -252,3 +252,46 @@ def test_line_dedup_c4_style(spark):
     assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 1
     assert got[4]["clean_text"] == "solo document body" and got[4]["n_removed"] == 0
     assert got[5]["clean_text"] == "dup within doc\ndup within doc"
+
+
+def test_shingle_tokenizer_duckdb_parity_on_edge_whitespace(spark):
+    """The dedup/contamination oracle twin (trim() + _WS-class split) must
+    tokenize EXACTLY like the engine's F.trim + Java-\\s split, including
+    the two hazards the testdata never exercises: edge \\t/\\n (kept as
+    empty edge tokens by both) and \\x0b (whitespace in Java, not in
+    RE2's \\s)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    texts = [
+        "\thello world foo bar baz\n",
+        "  spaces only trimmed  ",
+        "a\x0bb c d e f g",
+        "plain tokens here",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["w"]
+        for r in df.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    want = dict(
+        con.execute(
+            "SELECT doc_id, string_split_regex(trim(coalesce(text, '')),"
+            " '[ \t\n\r\f\x0b]+') FROM t"
+        ).fetchall()
+    )
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None  # engine: null text -> null array (filtered by size)
+            assert want[i] == [""]  # oracle: coalesce('') -> [''] (len 1, filtered)
+        else:
+            assert got[i] == want[i], (i, t, got[i], want[i])
