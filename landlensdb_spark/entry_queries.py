@@ -2319,6 +2319,173 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.mapInPandas(_rt, "key long, width int, height int, intensity int")
 
 
+_SPATIAL_EPS = 250.0  # meters; probe-field pair distances sit at ~193/~229
+_SPATIAL_CC_ITERS = 12  # max component hop-diameter is 9 on this field
+
+
+def _spatial_clusters_oracle() -> str:
+    # MATERIALIZED: the unrolled iteration references `e` 12 times; without
+    # the hint DuckDB inlines the whole chain down to the parquet scan per
+    # reference and runs out of file descriptors
+    ctes = [
+        f"""p AS MATERIALIZED (
+      SELECT o_orderkey AS id,
+             {synth.merc_x_sql(synth.probe_lon_sql('o_orderkey'))} AS x,
+             {synth.merc_y_sql(synth.probe_lat_sql('o_orderkey'))} AS y
+      FROM orders WHERE o_orderkey < 1500)""",
+        f"""prs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b FROM p a JOIN p b
+      ON a.id < b.id
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {_SPATIAL_EPS ** 2!r})""",
+        "e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM prs"
+        " UNION ALL SELECT id_b AS s, id_a AS d FROM prs)",
+        "l0 AS (SELECT node, node AS label FROM (SELECT DISTINCT s AS node FROM e))",
+    ]
+    for t in range(_SPATIAL_CC_ITERS):
+        ctes.append(
+            f"m{t} AS (SELECT e.d AS node, min(l.label) AS nl"
+            f" FROM e JOIN l{t} l ON e.s = l.node GROUP BY e.d)"
+        )
+        ctes.append(
+            f"l{t + 1} AS (SELECT l.node,"
+            f" least(l.label, coalesce(m.nl, l.label)) AS label"
+            f" FROM l{t} l LEFT JOIN m{t} m USING (node))"
+        )
+    ctes.append(
+        f"fin AS (SELECT p.id AS point_id, coalesce(l.label, p.id) AS cluster_id"
+        f" FROM p LEFT JOIN l{_SPATIAL_CC_ITERS} l ON l.node = p.id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT point_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM fin
+    """
+    )
+
+
+@query("spatial_clusters", None)
+def q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-threshold spatial clustering (operators/cluster.py): cell
+    candidate join + exact planar refine + min-label CC, singletons kept.
+    The oracle brute-forces every pair and unrolls the propagation."""
+    from landlensdb_spark.operators.cluster import spatial_clusters
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pts = o.filter(k < 1500).select(
+        k.alias("point_id"),
+        synth.probe_lon_col(k).alias("lon"),
+        synth.probe_lat_col(k).alias("lat"),
+    )
+    return spatial_clusters(pts, eps_m=_SPATIAL_EPS, iterations=_SPATIAL_CC_ITERS)
+
+
+ORACLES["spatial_clusters"] = _spatial_clusters_oracle()
+
+
+@query(
+    "shape_stats",
+    """
+    WITH k AS (
+      SELECT o_orderkey AS key,
+             CAST(3 + o_orderkey % 5 AS DOUBLE) AS w,
+             CAST(3 + o_orderkey % 7 AS DOUBLE) AS h,
+             CAST(1 + o_orderkey % 2 AS DOUBLE) AS nw,
+             CAST(1 + (o_orderkey % 4) // 2 AS DOUBLE) AS nh
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT key,
+           w * h - nw * nh AS area,
+           (w * w * h / 2 - nw * nh * (w - nw / 2)) / (w * h - nw * nh) AS cx,
+           (w * h * h / 2 - nw * nh * (h - nh / 2)) / (w * h - nw * nh) AS cy
+    FROM k
+    """,
+)
+def q_shape_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic polygon area + centroid (geo/polygon.py shoelace as
+    Catalyst higher-order functions) over key-synthesized L-shaped rings
+    (rect w x h minus a top-right nw x nh notch). The oracle states the
+    closed rectangle arithmetic; the engine must reproduce it through the
+    generic vertex fold. Integer coordinates make every cross term an
+    exact double, and both sides divide the same exact numerator/
+    denominator pair, so the quotients are bit-identical — no rounding."""
+    from landlensdb_spark.geo.polygon import with_shape_stats
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = lambda c: c.cast("double")  # noqa: E731
+    w, h = d(3 + k % 5), d(3 + k % 7)
+    nw, nh = d(1 + k % 2), d(1 + F.floor((k % 4) / 2))
+
+    def pt(x, y):
+        return F.array(x, y)
+
+    ring = F.array(
+        pt(F.lit(0.0), F.lit(0.0)),
+        pt(w, F.lit(0.0)),
+        pt(w, h - nh),
+        pt(w - nw, h - nh),
+        pt(w - nw, h),
+        pt(F.lit(0.0), h),
+        pt(F.lit(0.0), F.lit(0.0)),
+    )
+    shapes = o.filter(k < 2000).select(k.alias("key"), ring.alias("ring"))
+    return with_shape_stats(shapes).select("key", "area", "cx", "cy")
+
+
+@query(
+    "haversine_pairs",
+    f"""
+    SELECT o_orderkey AS key,
+           round({{hav}}, 1) AS dist_m
+    FROM (
+      SELECT o_orderkey,
+             {synth.lon_sql('o_orderkey')} AS lon1,
+             {synth.lat_sql('o_orderkey')} AS lat1,
+             {synth.probe_lon_sql('o_orderkey')} AS lon2,
+             {synth.probe_lat_sql('o_orderkey')} AS lat2
+      FROM orders WHERE o_orderkey < 5000
+    )
+    """,
+)
+def q_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance (geo/sphere.py haversine, pure column math)
+    between each key's synthetic point and its probe twin. Output rounded
+    to 0.1 m: a last-ulp libm difference between engines moves the
+    distance by ~1e-9 m, far inside the rounding grid."""
+    from landlensdb_spark.geo.sphere import haversine_m
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pts = o.filter(k < 5000).select(
+        k.alias("key"),
+        synth.lon_col(k).alias("lon1"),
+        synth.lat_col(k).alias("lat1"),
+        synth.probe_lon_col(k).alias("lon2"),
+        synth.probe_lat_col(k).alias("lat2"),
+    )
+    return pts.select(
+        "key",
+        F.round(
+            haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")), 1
+        ).alias("dist_m"),
+    )
+
+
+def _finish_haversine_oracle() -> None:
+    from landlensdb_spark.geo.sphere import haversine_sql
+
+    ORACLES["haversine_pairs"] = ORACLES["haversine_pairs"].replace(
+        "{hav}", haversine_sql("lon1", "lat1", "lon2", "lat2")
+    )
+
+
+_finish_haversine_oracle()
+
+
 @query(
     "snapshot_diff",
     """
@@ -2943,6 +3110,9 @@ _DRIVER_WINDOW_FIRST = [
     "jpeg_color_roundtrip",
     "snapshot_diff",
     "stream_tiles",
+    "shape_stats",
+    "haversine_pairs",
+    "spatial_clusters",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Great-circle (spherical) distance — pure column math.
+
+The planar EPSG:3857 metric the snap/kNN operators use is exact for their
+small-tolerance refinements but distorts with latitude; corpus-level
+distance reporting (how far is this photo from that admin centroid?) wants
+the spherical haversine instead (the standard public formula; the
+reference delegates to geopandas/GEOS for its distance needs).
+
+All transcendentals run JVM-side in whole-stage codegen. Cross-engine
+float caveat: sin/cos may differ from another engine's libm in the last
+ulp, so comparisons round the OUTPUT (a 1-ulp input wiggle moves the
+result by ~1e-9 m — far below any sane rounding grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: mean Earth radius (IUGG), meters — the conventional haversine radius
+R_MEAN = 6_371_008.8
+
+
+def haversine_m(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle distance in meters between two lon/lat degree pairs."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp, dl = F.radians(lat2 - lat1), F.radians(lon2 - lon1)
+    a = (
+        F.sin(dp / 2) * F.sin(dp / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2)
+    )
+    # clamp guards fp drift at antipodes (a slightly > 1 -> asin NaN)
+    return F.lit(2.0 * R_MEAN) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """The same formula as ANSI SQL (the DuckDB oracle twin)."""
+    return (
+        f"2.0 * {R_MEAN!r} * asin(sqrt(least("
+        f"sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2)"
+        f", 1.0)))"
+    )
+
+
+def np_haversine_m(lon1, lat1, lon2, lat2):
+    """numpy twin for tests."""
+    import numpy as np
+
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = np.radians(np.asarray(lat2) - np.asarray(lat1))
+    dl = np.radians(np.asarray(lon2) - np.asarray(lon1))
+    a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    return 2.0 * R_MEAN * np.arcsin(np.sqrt(np.minimum(a, 1.0)))

@@ -123,3 +123,88 @@ def test_mercator_roundtrip(spark):
     # numpy twins agree with column math
     mx = df.select(mercator.merc_x("lon").alias("x")).toPandas()["x"].to_numpy()
     assert np.allclose(mx, mercator.np_merc_x(lon), atol=1e-6)
+
+
+def test_ring_area_centroid_known_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.geo.polygon import ring_area, ring_centroid
+
+    rows = [
+        # unit square CCW; 3-4-5 right triangle CCW; unit square CW (negative)
+        (1, [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]),
+        (2, [[0.0, 0.0], [3.0, 0.0], [0.0, 4.0], [0.0, 0.0]]),
+        (3, [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0], [0.0, 0.0]]),
+    ]
+    df = spark.createDataFrame(rows, "id long, ring array<array<double>>")
+    out = {
+        r["id"]: (r["a"], r["c"]["cx"], r["c"]["cy"])
+        for r in df.select(
+            "id",
+            ring_area(F.col("ring")).alias("a"),
+            ring_centroid(F.col("ring")).alias("c"),
+        ).collect()
+    }
+    assert out[1] == (1.0, 0.5, 0.5)
+    assert out[2] == (6.0, 1.0, 4.0 / 3.0)
+    assert out[3][0] == -1.0  # CW ring: signed area negative, centroid same
+    assert (out[3][1], out[3][2]) == (0.5, 0.5)
+
+
+def test_haversine_known_values(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.geo.sphere import R_MEAN, haversine_m, np_haversine_m
+
+    rows = [
+        (1, 0.0, 0.0, 1.0, 0.0),    # 1 deg along the equator
+        (2, 10.0, 20.0, 10.0, 20.0),  # coincident
+        (3, 0.0, 0.0, 180.0, 0.0),  # antipodal on the equator
+        (4, 2.35, 48.86, -0.13, 51.5),  # Paris -> London, ~343.9 km
+    ]
+    df = spark.createDataFrame(rows, "id long, lon1 double, lat1 double, lon2 double, lat2 double")
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id",
+            haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d"),
+        ).collect()
+    }
+    import math
+    assert abs(got[1] - math.pi * R_MEAN / 180.0) < 1e-6
+    assert got[2] == 0.0
+    assert abs(got[3] - math.pi * R_MEAN) < 1e-6
+    assert abs(got[4] - 343_000) < 2_000  # Paris->London ballpark ~343 km
+    # numpy twin agrees to fp precision
+    want = np_haversine_m(
+        np.array([r[1] for r in rows]), np.array([r[2] for r in rows]),
+        np.array([r[3] for r in rows]), np.array([r[4] for r in rows]),
+    )
+    assert all(abs(got[r[0]] - w) < 1e-9 for r, w in zip(rows, want))
+
+
+def test_spatial_clusters_semantics(spark):
+    """Transitive chains merge (A~B~C with A!~C), singletons survive with
+    size 1, and the convergence guard raises when iterations are too few
+    for the component diameter."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.operators.cluster import spatial_clusters
+
+    # ~111.32 m per 0.001 deg lon at the equator: chain at 100 m spacing,
+    # plus one far-away singleton
+    rows = [(1, 0.0000), (2, 0.0009), (3, 0.0018), (9, 1.0)]
+    df = spark.createDataFrame(rows, "point_id long, lon double").withColumn(
+        "lat", F.lit(0.0)
+    )
+    got = {
+        r["point_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in spatial_clusters(df, eps_m=120.0, iterations=3).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 9: (9, 1)}
+    # 1~2~3 only via hops (1 to 3 is ~200 m > eps): diameter 2 needs >= 2
+    # rounds; 1 round must raise, not silently split
+    with pytest.raises(ValueError, match="did not converge"):
+        spatial_clusters(df, eps_m=120.0, iterations=1)
