@@ -2319,6 +2319,93 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.mapInPandas(_rt, "key long, width int, height int, intensity int")
 
 
+_BPE_MERGES = 24
+
+
+def _bpe_py_merges(sf_dir: str, num_merges: int) -> list[tuple[int, str, str, int]]:
+    """INDEPENDENT python/duckdb twin of operators/bpe.learn_bpe (classic
+    dict-and-Counter formulation, no Spark): the lazy oracle's source of
+    expected merge rows. Tokenization replicates words_of + lower exactly
+    (Java-\\s trim/split)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+    edge = re.compile(r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$")
+    freq: Counter = Counter()
+    for (t,) in duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall():
+        t = edge.sub("", (t or "").lower())
+        if t:
+            freq.update(ws.split(t))
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in freq.items():
+        vocab[tuple(w) + ("</w>",)] = vocab.get(tuple(w) + ("</w>",), 0) + n
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (lhs, rhs), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, int(n)))
+        new: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return merges
+
+
+def _bpe_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({r}, {q(l)}, {q(rr)}, {n})"
+        for r, l, rr, n in _bpe_py_merges(_ORACLE_SF, _BPE_MERGES)
+    )
+    return (
+        "SELECT CAST(c0 AS INTEGER) AS merge_rank, c1 AS lhs, c2 AS rhs,"
+        " CAST(c3 AS BIGINT) AS pair_count"
+        f" FROM (VALUES {rows}) AS t(c0, c1, c2, c3)"
+    )
+
+
+@query("bpe_merges", None)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (operators/bpe.py): the merge
+    table learned from the documents corpus. The oracle is an INDEPENDENT
+    dict-based python implementation of the same public algorithm run over
+    the same parquet at gate time (same precedent as the IVF centroid
+    literals) — any divergence in tokenization, pair counting, tie-breaks
+    or the greedy merge order breaks the row hash."""
+    from landlensdb_spark.operators.bpe import learn_bpe
+
+    docs = tables.load(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, _BPE_MERGES)
+    return spark.createDataFrame(
+        [(r, l, rr, n) for r, l, rr, n in merges],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+
+
+LAZY_ORACLES["bpe_merges"] = _bpe_oracle
+
+
 _SPATIAL_EPS = 250.0  # meters; probe-field pair distances sit at ~193/~229
 _SPATIAL_CC_ITERS = 12  # max component hop-diameter is 9 on this field
 
@@ -3113,6 +3200,7 @@ _DRIVER_WINDOW_FIRST = [
     "shape_stats",
     "haversine_pairs",
     "spatial_clusters",
+    "bpe_merges",
 ]
 
 
