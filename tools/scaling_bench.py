@@ -232,7 +232,7 @@ big level clear of the cap).
 | metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency |
 |---|---|---|---|
 | headline pipeline rows/sec (extract -> PIP join -> tile rollup) | {res_lo['rows_per_sec']} | {res_hi['rows_per_sec']} | **{eff_pipeline:.3f}** |
-| total bench wall time (sec, 4 queries) | {res_lo['value']} | {res_hi['value']} | {eff_total:.3f} |
+| total bench wall time (sec, {len(res_lo['queries'])} queries) | {res_lo['value']} | {res_hi['value']} | {eff_total:.3f} |
 {f'''| headline efficiency normalized to SUSTAINED host capacity ({sus_ratio:.2f}x measured {lo}w->{hi}w over {args.sustained:.0f}s pinned burns) | | | **{eff_norm:.3f}** |''' if eff_norm else ''}
 
 {f'''**Raw vs normalized.** The raw ratio divides by the ideal {factor:.0f}x, but a
