@@ -2319,6 +2319,68 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.mapInPandas(_rt, "key long, width int, height int, intensity int")
 
 
+@query(
+    "media_meta",
+    """
+    SELECT o_orderkey AS key,
+           CAST(CASE WHEN o_orderkey % 3 < 2
+                THEN 10 + o_orderkey % 23 ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN o_orderkey % 3 < 2
+                THEN 10 + (o_orderkey * 3) % 17 ELSE 0 END AS INTEGER) AS height,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'png'
+                WHEN o_orderkey % 3 = 1 THEN 'jpeg'
+                ELSE 'unknown' END AS codec,
+           o_orderkey % 3 < 2 AS ok
+    FROM orders WHERE o_orderkey < 1500
+    """,
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal metadata path through REAL wire bytes under the hard
+    signal: per key, synthesize a PNG (k%3=0, in-repo encoder), a COLOR
+    JPEG (k%3=1), or undecodable junk bytes (k%3=2), run the production
+    ``decode_media`` Arrow stage, and report (width, height, codec, ok).
+    Junk must come back ok=false with zero dims — the honest-decode
+    contract (round-3 VERDICT #4). The oracle states the arithmetic."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from landlensdb_spark.operators.multimodal import decode_media
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 1500).select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.jpeg import encode_jpeg_color
+        from landlensdb_spark.operators.raster import encode_png_gray
+
+        for pdf in batches:
+            ks, blobs = [], []
+            for k in pdf["key"]:
+                k = int(k)
+                w, h = 10 + k % 23, 10 + (k * 3) % 17
+                if k % 3 == 0:
+                    img = np.full((h, w), k % 256, dtype=np.uint8)
+                    b = encode_png_gray(img)
+                elif k % 3 == 1:
+                    img = np.full((h, w, 3), (k % 200, 30, 60), dtype=np.uint8)
+                    b = encode_jpeg_color(img, quality=85)
+                else:
+                    b = bytes([k % 251]) * 16  # undecodable junk
+                ks.append(k)
+                blobs.append(b)
+            yield pd.DataFrame({"key": ks, "media": blobs})
+
+    media = keys.mapInPandas(_mk, "key long, media binary")
+    meta = decode_media(media)
+    # zero dims for the junk class per the oracle's arithmetic (decode
+    # reports 0s there already — select the contract columns)
+    return meta.select("key", "width", "height", "codec", "ok")
+
+
 _BPE_MERGES = 24
 
 
@@ -2404,6 +2466,73 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LAZY_ORACLES["bpe_merges"] = _bpe_oracle
+
+
+def _bpe_tokens_py(sf_dir: str) -> list[tuple[int, int]]:
+    """(doc_id, n_bpe_tokens) via the independent python twin: learn the
+    merge table, then encode each document word-by-word with the classic
+    while-loop replay."""
+    import re
+
+    import duckdb
+
+    merges = _bpe_py_merges(sf_dir, _BPE_MERGES)
+    pairs = [(l, r) for _, l, r, _ in merges]
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+    edge = re.compile(r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$")
+    cache: dict[str, int] = {}
+
+    def n_word_tokens(w: str) -> int:
+        if w in cache:
+            return cache[w]
+        syms = list(w) + ["</w>"]
+        for lhs, rhs in pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[w] = len(syms)
+        return cache[w]
+
+    rows = []
+    for doc_id, t in duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall():
+        t = edge.sub("", (t or "").lower())
+        n = sum(n_word_tokens(w) for w in ws.split(t)) if t else 0
+        rows.append((int(doc_id), n))
+    return rows
+
+
+def _bpe_tokens_oracle() -> str:
+    rows = ", ".join(f"({d}, {n})" for d, n in _bpe_tokens_py(_ORACLE_SF))
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS BIGINT) AS n_bpe_tokens"
+        f" FROM (VALUES {rows}) AS t(c0, c1)"
+    )
+
+
+@query("corpus_tokenize", None)
+def q_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE ENCODE path under the hard signal: learn the corpus merge
+    table (distributed), replay it over every document with the pure
+    column-fold ``apply_bpe``, and report per-doc BPE token counts. The
+    oracle is the independent python twin end-to-end (learn + encode)."""
+    from landlensdb_spark.operators.bpe import apply_bpe, learn_bpe
+
+    docs = tables.load(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, _BPE_MERGES)
+    return apply_bpe(docs, merges).select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
+LAZY_ORACLES["corpus_tokenize"] = _bpe_tokens_oracle
 
 
 _SPATIAL_EPS = 250.0  # meters; probe-field pair distances sit at ~193/~229
@@ -3201,6 +3330,8 @@ _DRIVER_WINDOW_FIRST = [
     "haversine_pairs",
     "spatial_clusters",
     "bpe_merges",
+    "media_meta",
+    "corpus_tokenize",
 ]
 
 
