@@ -270,6 +270,65 @@ def test_repeated_spans_shuffles_hash_not_window_string(spark):
     )
 
 
+def test_snapshot_diff_shuffles_fingerprints_not_rows(spark, tmp_path):
+    """Both sides must be projected to (key, 8-byte fingerprint) BEFORE
+    the full-outer join — the shuffle carries 16 bytes/row regardless of
+    table width."""
+    import re
+
+    from landlensdb_spark.catalog import snapshot_diff, snapshot_write
+
+    path = str(tmp_path / "snap")
+    wide = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.repeat(F.lit("x"), 1000).alias("big"),
+        (F.col("id") * 2).alias("n"),
+    )
+    snapshot_write(wide, path, "v1")
+    snapshot_write(wide.withColumn("n", F.col("n") + 1), path, "v2")
+    out = snapshot_diff(spark, path, "k", 1, 2)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("xxhash64") == 2, opt
+    # each join input is a 2-column (key, fingerprint) projection — the
+    # wide 'big' column must not survive past the per-side Project
+    assert re.search(r"Project \[k#\d+L, xxhash64\(.*\) AS _ofp#\d+L\]", opt), opt
+    assert re.search(r"Project \[k#\d+L, xxhash64\(.*\) AS _nfp#\d+L\]", opt), opt
+    assert "FullOuter" in opt
+
+
+def test_spatial_cluster_candidates_are_equi_join(spark):
+    """The neighbor-pair generation must plan as a cell equi-join — a
+    cartesian/nested-loop fallback here is the quadratic 100TB killer."""
+    from landlensdb_spark.operators.cluster import neighbor_pairs
+
+    pts = spark.range(500).select(
+        F.col("id").alias("point_id"),
+        synth.probe_lon_col(F.col("id")).alias("lon"),
+        synth.probe_lat_col(F.col("id")).alias("lat"),
+    )
+    plan = _plan(neighbor_pairs(pts, eps_m=250.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "BroadcastHashJoin") == 1
+
+
+def test_bpe_pair_counts_map_side_combined(spark):
+    """Each BPE round's pair count must partial-aggregate before its
+    exchange (the per-round shuffle carries combined (pair, n) rows, not
+    one row per adjacent-pair occurrence)."""
+    from landlensdb_spark.operators.bpe import _initial_symbols, _pair_counts
+
+    words = spark.createDataFrame(
+        [("low", 5), ("newest", 6)], "word string, freq long"
+    ).select("freq", _initial_symbols(F.col("word")).alias("syms"))
+    import re
+
+    plan = _plan(_pair_counts(words))
+    assert "partial_sum" in plan, plan
+    # tree shape: the Exchange's CHILD is the partial HashAggregate
+    assert re.search(r"Exchange \(\d+\)\n\s*\+- HashAggregate", plan), plan
+
+
 def test_pack_token_shards_single_data_shuffle(spark):
     """The distributed prefix sum must shuffle the corpus exactly ONCE
     (hash on the literal-quantile bucket id); the offsets side joins as a
