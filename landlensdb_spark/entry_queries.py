@@ -2382,6 +2382,20 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_MERGES = 24
+#: both BPE queries (learn + tokenize) and both lazy oracles need the same
+#: merge table; memoized per sf_dir so a gate pass learns it once on Spark
+#: and once in the python twin, not twice each (testdata is immutable)
+_BPE_SPARK_MEMO: dict[str, list] = {}
+_BPE_PY_MEMO: dict[tuple[str, int], list] = {}
+
+
+def _spark_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _BPE_SPARK_MEMO:
+        from landlensdb_spark.operators.bpe import learn_bpe
+
+        docs = tables.load(spark, sf_dir, "documents")
+        _BPE_SPARK_MEMO[sf_dir] = learn_bpe(docs, _BPE_MERGES)
+    return _BPE_SPARK_MEMO[sf_dir]
 
 
 def _bpe_py_merges(sf_dir: str, num_merges: int) -> list[tuple[int, str, str, int]]:
@@ -2394,6 +2408,8 @@ def _bpe_py_merges(sf_dir: str, num_merges: int) -> list[tuple[int, str, str, in
 
     import duckdb
 
+    if (sf_dir, num_merges) in _BPE_PY_MEMO:
+        return _BPE_PY_MEMO[(sf_dir, num_merges)]
     ws = re.compile(r"[ \t\n\r\f\x0b]+")
     edge = re.compile(r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$")
     freq: Counter = Counter()
@@ -2429,6 +2445,7 @@ def _bpe_py_merges(sf_dir: str, num_merges: int) -> list[tuple[int, str, str, in
             key = tuple(out)
             new[key] = new.get(key, 0) + c
         vocab = new
+    _BPE_PY_MEMO[(sf_dir, num_merges)] = merges
     return merges
 
 
@@ -2455,10 +2472,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same parquet at gate time (same precedent as the IVF centroid
     literals) — any divergence in tokenization, pair counting, tie-breaks
     or the greedy merge order breaks the row hash."""
-    from landlensdb_spark.operators.bpe import learn_bpe
-
-    docs = tables.load(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, _BPE_MERGES)
+    merges = _spark_bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(r, l, rr, n) for r, l, rr, n in merges],
         "merge_rank int, lhs string, rhs string, pair_count bigint",
@@ -2523,10 +2537,10 @@ def q_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (distributed), replay it over every document with the pure
     column-fold ``apply_bpe``, and report per-doc BPE token counts. The
     oracle is the independent python twin end-to-end (learn + encode)."""
-    from landlensdb_spark.operators.bpe import apply_bpe, learn_bpe
+    from landlensdb_spark.operators.bpe import apply_bpe
 
     docs = tables.load(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, _BPE_MERGES)
+    merges = _spark_bpe_merges(spark, sf_dir)
     return apply_bpe(docs, merges).select(
         "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
     )

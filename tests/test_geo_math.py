@@ -151,6 +151,31 @@ def test_ring_area_centroid_known_shapes(spark):
     assert (out[3][1], out[3][2]) == (0.5, 0.5)
 
 
+def test_ring_stats_degenerate_rings_yield_null(spark):
+    """Empty / 1-point / unclosed-2-point rings must yield NULL stats for
+    that ROW, never abort the stage with an array index error (dirty
+    geometry is routine in corpus-scale polygon tables)."""
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.geo.polygon import with_shape_stats
+
+    rows = [
+        (1, []),
+        (2, [[1.0, 2.0]]),
+        (3, [[0.0, 0.0], [1.0, 1.0]]),
+        (4, [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]),
+    ]
+    df = spark.createDataFrame(rows, "id long, ring array<array<double>>")
+    got = {
+        r["id"]: (r["area"], r["cx"], r["cy"])
+        for r in with_shape_stats(df).collect()
+    }
+    assert got[1] == (None, None, None)
+    assert got[2] == (None, None, None)
+    assert got[3] == (None, None, None)
+    assert got[4] == (1.0, 0.5, 0.5)  # valid rows unaffected
+
+
 def test_haversine_known_values(spark):
     import numpy as np
     from pyspark.sql import functions as F
