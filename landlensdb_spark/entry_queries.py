@@ -2381,6 +2381,45 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("key", "width", "height", "codec", "ok")
 
 
+_CHUNK_T, _CHUNK_S = 64, 48
+
+
+@query(
+    "doc_chunks",
+    rf"""
+    WITH tr AS (
+      SELECT doc_id, regexp_replace(coalesce(text, ''),
+                                    '^{{_WS}}+|{{_WS}}+$', '', 'g') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(t, '{{_WS}}+') AS w
+      FROM tr WHERE len(t) > 0
+    ),
+    st AS (
+      SELECT doc_id, w, len(w) AS n,
+             unnest(range(0, CAST(floor((len(w) - 1) / {_CHUNK_S}) AS BIGINT) + 1)) AS cid
+      FROM toks
+    )
+    SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           CAST(cid * {_CHUNK_S} AS BIGINT) AS chunk_start,
+           CAST(least({_CHUNK_T}, n - cid * {_CHUNK_S}) AS BIGINT) AS n_tokens,
+           array_to_string(w[cid * {_CHUNK_S} + 1 : cid * {_CHUNK_S} + {_CHUNK_T}], ' ')
+             AS chunk_text
+    FROM st
+    """.replace("{_WS}", _WS),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (textstats.chunk_documents): 64-token
+    windows at stride 48 — the embedding/training prep op. Pure column
+    math (one posexplode); the oracle restates the window arithmetic and
+    list slicing in SQL."""
+    from landlensdb_spark.operators.textstats import chunk_documents
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CHUNK_T, stride=_CHUNK_S)
+
+
 _BPE_MERGES = 24
 #: both BPE queries (learn + tokenize) and both lazy oracles need the same
 #: merge table; memoized per sf_dir so a gate pass learns it once on Spark
@@ -3346,6 +3385,7 @@ _DRIVER_WINDOW_FIRST = [
     "bpe_merges",
     "media_meta",
     "corpus_tokenize",
+    "doc_chunks",
 ]
 
 

@@ -215,3 +215,51 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("frac_alpha_words", frac_alpha)
         .withColumn("gopher_keep", keep)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Context-window chunking: split each document into token windows of
+    ``chunk_tokens`` advancing by ``stride`` (overlap = chunk - stride),
+    the standard prep for embedding / long-document training pipelines.
+
+    Output: (id, chunk_id, chunk_start, n_tokens, chunk_text) with
+    chunk_start in token coordinates; the FINAL window is the last one
+    that starts inside the document (short tail windows are kept, so every
+    token belongs to >= 1 chunk). Pure column math: one tokenizer pass,
+    one posexplode — no shuffle, no Python. Documents shorter than one
+    stride produce exactly one chunk; empty documents produce none.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = words_of(F.col(text))
+    n = F.size(toks)
+    # starts: 0, stride, 2*stride, ... up to the last start < n
+    n_chunks = F.when(n > 0, F.floor((n - 1) / stride) + 1).otherwise(F.lit(0))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice(toks, s + 1, chunk_tokens).alias("w"),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col).alias(id_col),
+            F.posexplode(chunks).alias("chunk_id", "c"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.start").cast("long").alias("chunk_start"),
+            F.size("c.w").cast("long").alias("n_tokens"),
+            F.array_join("c.w", " ").alias("chunk_text"),
+        )
+    )

@@ -118,3 +118,30 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     assert len(batch) == len(streamed)
     assert (batch["n_events"].to_numpy() == streamed["n_events"].to_numpy()).all()
     assert np.allclose(batch["sum_value"], streamed["sum_value"])
+
+
+def test_chunk_documents_windows(spark):
+    """Window arithmetic: stride overlap, short-doc single chunk, tail
+    windows kept, empty docs dropped."""
+    import pytest
+
+    from landlensdb_spark.operators import textstats
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(10)),  # 10 toks: starts 0,4,8
+        2: "a b c",                                # 3 toks < stride: one chunk
+        3: "",                                     # empty: no chunks
+        4: " ".join(f"x{i}" for i in range(8)),    # exactly 2*stride: 0,4
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = textstats.chunk_documents(df, chunk_tokens=6, stride=4)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert sorted(k for k in rows) == [(1, 0), (1, 1), (1, 2), (2, 0), (4, 0), (4, 1)]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3 t4 t5"
+    assert rows[(1, 1)]["chunk_text"] == "t4 t5 t6 t7 t8 t9"  # overlap of 2
+    assert rows[(1, 2)]["chunk_text"] == "t8 t9"  # tail kept
+    assert rows[(1, 2)]["n_tokens"] == 2 and rows[(1, 2)]["chunk_start"] == 8
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert rows[(4, 1)]["chunk_start"] == 4 and rows[(4, 1)]["n_tokens"] == 4
+    with pytest.raises(ValueError, match="positive"):
+        textstats.chunk_documents(df, chunk_tokens=0, stride=4)
