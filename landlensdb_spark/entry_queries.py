@@ -2381,6 +2381,43 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("key", "width", "height", "codec", "ok")
 
 
+@query(
+    "salted_tile_counts",
+    f"""
+    SELECT {synth.tile_x_sql('lon', 14)} AS tile_x,
+           {synth.tile_y_sql('lat', 14)} AS tile_y,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT {synth.lon_sql('o_orderkey')} AS lon,
+             {synth.lat_sql('o_orderkey')} AS lat
+      FROM orders
+    ) GROUP BY 1, 2
+    """,
+)
+def q_salted_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level aggregation (skew.salted_count): per-tile
+    counts where the first shuffle keys on (tile, deterministic salt) so a
+    hot urban tile fans out over 16 reducers. The salt is derived from a
+    stable row key (idempotent retries) and provably cancels out — the
+    oracle is the PLAIN single-level groupBy."""
+    from landlensdb_spark.geo.tiles import tile_x, tile_y
+    from landlensdb_spark.skew import salted_count
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        k.alias("key"),
+        tile_x(synth.lon_col(k), 14).alias("tile_x"),
+        tile_y(synth.lat_col(k), 14).alias("tile_y"),
+    ).withColumn("tile", F.struct("tile_x", "tile_y"))
+    out = salted_count(pts, "tile", "key", n_salts=16)
+    return out.select(
+        F.col("tile.tile_x").alias("tile_x"),
+        F.col("tile.tile_y").alias("tile_y"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 _CHUNK_T, _CHUNK_S = 64, 48
 
 
@@ -3386,6 +3423,7 @@ _DRIVER_WINDOW_FIRST = [
     "media_meta",
     "corpus_tokenize",
     "doc_chunks",
+    "salted_tile_counts",
 ]
 
 
