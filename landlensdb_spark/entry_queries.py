@@ -2382,6 +2382,61 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fetch_local",
+    """
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderkey % 4 = 3 THEN 'failed_permanent'
+                ELSE 'success' END AS status,
+           CAST(1 AS INTEGER) AS attempts,
+           CAST(CASE WHEN o_orderkey % 4 = 3 THEN NULL
+                ELSE 10 + o_orderkey % 50 END AS BIGINT) AS content_len
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_fetch_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resumable downloader end-to-end over REAL bytes: a local-mirror
+    directory is materialized from key arithmetic (file absent for
+    k%4==3), then ``fetch_batched`` runs with the real ``file_fetcher``
+    transport — 200 -> success + content, missing -> 404 ->
+    failed_permanent on the FIRST attempt (never retried). The oracle
+    states the arithmetic; content length proves the bytes actually moved
+    through the fetch path."""
+    import os
+
+    from landlensdb_spark.operators.fetch import fetch_batched, file_fetcher
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/llb_fetchdir_{tag}"
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):  # deterministic content -> safe to reuse
+        os.makedirs(root, exist_ok=True)
+        for k in range(2000):
+            if k % 4 != 3:
+                with open(os.path.join(root, f"f_{k}.bin"), "wb") as f:
+                    f.write(bytes([k % 251]) * (10 + k % 50))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    work = o.filter(k < 2000).select(
+        k.alias("key"),
+        F.concat(
+            F.lit(f"file://{root}/f_"), k.cast("string"), F.lit(".bin")
+        ).alias("url"),
+    )
+    out = fetch_batched(
+        work, fetcher=file_fetcher, id_col="key", url_col="url", max_retries=3
+    )
+    return out.select(
+        "key",
+        "status",
+        "attempts",
+        F.length("content").cast("bigint").alias("content_len"),
+    )
+
+
+@query(
     "salted_tile_counts",
     f"""
     SELECT {synth.tile_x_sql('lon', 14)} AS tile_x,
@@ -3424,6 +3479,7 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_tokenize",
     "doc_chunks",
     "salted_tile_counts",
+    "fetch_local",
 ]
 
 

@@ -52,6 +52,22 @@ def default_fetcher(url: str):  # pragma: no cover - stub by design
     )
 
 
+def file_fetcher(url: str) -> tuple[int, bytes | None]:
+    """REAL transport for ``file://`` URLs (or bare paths): local / shared
+    filesystem mirrors — the no-network production case (every executor
+    must see the same mount, exactly like any distributed file source).
+    Missing file -> 404 (permanent, never retried); other IO errors raise
+    and take the retry/backoff path."""
+    from urllib.parse import unquote, urlparse
+
+    path = unquote(urlparse(url).path) if "://" in url else url
+    try:
+        with open(path, "rb") as f:
+            return 200, f.read()
+    except FileNotFoundError:
+        return 404, None
+
+
 def fetch_batched(
     df: DataFrame,
     fetcher: Callable[[str], tuple[int, bytes | None]] | None = None,

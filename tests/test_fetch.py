@@ -96,3 +96,37 @@ def test_resume_filter_semantics(spark):
     ids = sorted(int(r.mly_id) for r in pending.collect())
     # success (0-2) and permanent (3) excluded; temporary (4-7) retried
     assert ids == [4, 5, 6, 7]
+
+
+def test_file_fetcher_real_transport(tmp_path):
+    from landlensdb_spark.operators.fetch import file_fetcher
+
+    p = tmp_path / "a.bin"
+    p.write_bytes(b"hello")
+    assert file_fetcher(f"file://{p}") == (200, b"hello")
+    assert file_fetcher(str(p)) == (200, b"hello")  # bare path
+    assert file_fetcher(f"file://{tmp_path}/missing.bin") == (404, None)
+
+
+def test_fetch_batched_with_file_transport(spark, tmp_path):
+    """The full downloader over the real filesystem transport: success
+    carries bytes, missing files are permanent on attempt 1."""
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.operators.fetch import fetch_batched, file_fetcher
+
+    (tmp_path / "f_0.bin").write_bytes(b"xx")
+    (tmp_path / "f_2.bin").write_bytes(b"yyyy")
+    work = spark.createDataFrame(
+        [(i, f"file://{tmp_path}/f_{i}.bin") for i in range(3)],
+        "key long, url string",
+    )
+    got = {
+        r["key"]: (r["status"], r["attempts"], bytes(r["content"]) if r["content"] else None)
+        for r in fetch_batched(
+            work, fetcher=file_fetcher, id_col="key", url_col="url"
+        ).collect()
+    }
+    assert got[0] == ("success", 1, b"xx")
+    assert got[1] == ("failed_permanent", 1, None)
+    assert got[2] == ("success", 1, b"yyyy")
