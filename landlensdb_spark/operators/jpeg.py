@@ -10,13 +10,17 @@ from the public spec: the zigzag order, the Annex K.1/K.2 quantization
 tables, the Annex K.3 typical Huffman tables, and the JFIF YCbCr <-> RGB
 matrices.
 
-Scope (documented, checked loudly): baseline DCT (SOF0), 1 or 3
-components in one interleaved scan, sampling factors 1-2, no restart
-markers, no progressive/arithmetic coding. Out-of-scope payloads raise
+Scope (documented, checked loudly): baseline DCT (SOF0, interleaved or
+per-component scans) AND progressive DCT (SOF2, spectral selection +
+successive approximation per Annex G — DC first/refine, AC first/refine,
+EOB runs), 1 or 3 components, sampling factors 1-2, no restart markers,
+no hierarchical/lossless/arithmetic coding. Out-of-scope payloads raise
 ValueError — callers treat them as undecodable, the same contract as the
 PNG path. The DCT is the exact orthonormal matrix form (float64 matmul),
 so encode->decode error is bounded by quantization alone (chroma planes
-additionally by the 2x2 box subsample where 4:2:0 is chosen).
+additionally by the 2x2 box subsample where 4:2:0 is chosen); the
+progressive encoder stages the same quantized coefficients, so its decode
+is bit-identical to the baseline encoder's at equal settings.
 """
 
 from __future__ import annotations
@@ -400,6 +404,258 @@ def encode_jpeg_color(
     return b"\xff\xd8" + _APP0_JFIF + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+# ---------------------------------------------------------------------------
+# Progressive encoder (SOF2) — the decoder's round-trip twin. Scan script:
+# DC first (Al=1, interleaved) -> per-component AC first (1..63, Al=1) ->
+# DC refine (Ah=1, raw bits) -> per-component AC refine (Ah=1, Al=0), so
+# every progressive scan type the decoder implements is exercised. EOB
+# runs are never batched across blocks (EOB0 only): the Annex K tables
+# carry no EOBn symbols, and per-block EOB is fully conformant.
+# ---------------------------------------------------------------------------
+
+
+def _plane_zz(padded: np.ndarray, qmat: np.ndarray) -> np.ndarray:
+    """Quantized zigzag coefficients [bh, bw, 64] of a padded plane."""
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            q = np.round((_C @ block @ _C.T) / qmat).astype(np.int64)
+            out[by, bx] = q.flatten()[ZIGZAG]
+    return out
+
+
+def _emit_dc_first(writer: "_BitWriter", dc: int, pred: int, dc_codes: dict, al: int) -> int:
+    v = int(dc) >> al  # arithmetic shift per T.81 G.1.2.1
+    size, code = _magnitude(v - pred)
+    hc, hl = dc_codes[size]
+    writer.write(hc, hl)
+    if size:
+        writer.write(code, size)
+    return v
+
+
+def _emit_ac_first(writer: "_BitWriter", band: np.ndarray, ac_codes: dict, al: int) -> None:
+    """AC first scan for one block's band (T.81 G.1.2.2: magnitudes are
+    divided by 2^Al with truncation toward zero)."""
+    run = 0
+    for v in band:
+        v = int(v)
+        t = abs(v) >> al
+        v2 = t if v >= 0 else -t
+        if v2 == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_codes[0xF0]
+            writer.write(hc, hl)
+            run -= 16
+        size, code = _magnitude(v2)
+        hc, hl = ac_codes[(run << 4) | size]
+        writer.write(hc, hl)
+        writer.write(code, size)
+        run = 0
+    if run:
+        hc, hl = ac_codes[0x00]  # EOB0
+        writer.write(hc, hl)
+
+
+def _emit_ac_refine(writer: "_BitWriter", band: np.ndarray, ac_codes: dict, al: int) -> None:
+    """AC refinement scan for one block's band (Ah = Al+1): newly-nonzero
+    coefficients code as (run<<4)|1 + sign; already-nonzero ones append
+    their correction bit after the next emitted symbol (G.1.2.3)."""
+    r = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        for b in pending:
+            writer.write(b, 1)
+        pending.clear()
+
+    for v in band:
+        v = int(v)
+        cur = abs(v) >> al
+        if cur > 1:  # nonzero before this scan: correction bit
+            pending.append(cur & 1)
+        elif cur == 0:
+            r += 1
+        else:  # cur == 1: newly nonzero in this scan
+            while r > 15:
+                hc, hl = ac_codes[0xF0]
+                writer.write(hc, hl)
+                r -= 16
+                flush()
+            hc, hl = ac_codes[(r << 4) | 1]
+            writer.write(hc, hl)
+            writer.write(1 if v > 0 else 0, 1)
+            flush()
+            r = 0
+    if r or pending:
+        hc, hl = ac_codes[0x00]  # EOB0
+        writer.write(hc, hl)
+        flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: str = "420"
+) -> bytes:
+    """uint8 image (2-D grayscale or HxWx3 RGB) -> PROGRESSIVE JFIF bytes
+    (SOF2). Transmits exactly the same quantized coefficients as the
+    baseline encoders, staged over spectral-selection + one level of
+    successive approximation — so decode(progressive(img)) is bit-equal
+    to decode(baseline(img)) at the same quality/subsample."""
+    gray = img.ndim == 2
+    if img.dtype != np.uint8 or (not gray and (img.ndim != 3 or img.shape[2] != 3)):
+        raise ValueError("need a 2-D or HxWx3 uint8 array")
+    if img.shape[0] == 0 or img.shape[1] == 0:
+        raise ValueError("empty image")
+    h, w = img.shape[:2]
+    qy = _scaled_qtable(quality)
+    qy_mat = _natural(qy)
+
+    if gray:
+        padded = _edge_pad(img.astype(np.float64), ((h + 7) // 8) * 8, ((w + 7) // 8) * 8)
+        comps = [
+            {"id": 1, "h": 1, "v": 1, "tq": 0,
+             "dc": _DC_CODES, "ac": _AC_CODES,
+             "zz": _plane_zz(padded, qy_mat)}
+        ]
+        hs = vs = 1
+        qc = None
+    else:
+        if subsample not in ("420", "444"):
+            raise ValueError("subsample must be '420' or '444'")
+        hs = vs = 2 if subsample == "420" else 1
+        qc = _scale_qtable(QTABLE_CHROMA, quality)
+        qc_mat = _natural(qc)
+        y, cb, cr = _rgb_to_ycbcr(img)
+        mh, mw = 8 * vs, 8 * hs
+        mcuy, mcux = (h + mh - 1) // mh, (w + mw - 1) // mw
+        yp = _edge_pad(y, mcuy * mh, mcux * mw)
+        cbp = _edge_pad(cb, mcuy * mh, mcux * mw)
+        crp = _edge_pad(cr, mcuy * mh, mcux * mw)
+        if hs == 2:
+            cbp = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            crp = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+        comps = [
+            {"id": 1, "h": hs, "v": vs, "tq": 0,
+             "dc": _DC_CODES, "ac": _AC_CODES, "zz": _plane_zz(yp, qy_mat)},
+            {"id": 2, "h": 1, "v": 1, "tq": 1,
+             "dc": _DC_CHROMA_CODES, "ac": _AC_CHROMA_CODES,
+             "zz": _plane_zz(cbp, qc_mat)},
+            {"id": 3, "h": 1, "v": 1, "tq": 1,
+             "dc": _DC_CHROMA_CODES, "ac": _AC_CHROMA_CODES,
+             "zz": _plane_zz(crp, qc_mat)},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def comp_grid(c: dict) -> tuple[int, int]:
+        ch = (h * c["v"] + vmax - 1) // vmax
+        cw = (w * c["h"] + hmax - 1) // hmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def sos(scan_comps: list[dict], ss: int, se: int, ah: int, al: int,
+            body: bytes) -> bytes:
+        hdr = bytes([len(scan_comps)])
+        for c in scan_comps:
+            # Td/Ta = component index's own table pair (0 luma, 1 chroma)
+            t = 0 if c["id"] == 1 else 1
+            hdr += bytes([c["id"], (t << 4) | t])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xFFDA, hdr) + body
+
+    scans: list[bytes] = []
+
+    # -- scan 1: DC first, Al=1, all components -----------------------------
+    writer = _BitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    if len(comps) == 1:
+        c = comps[0]
+        bh, bw = comp_grid(c)
+        for by in range(bh):
+            for bx in range(bw):
+                preds[c["id"]] = _emit_dc_first(
+                    writer, c["zz"][by, bx, 0], preds[c["id"]], c["dc"], 1
+                )
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            preds[c["id"]] = _emit_dc_first(
+                                writer,
+                                c["zz"][my * c["v"] + v, mx * c["h"] + hh, 0],
+                                preds[c["id"]],
+                                c["dc"],
+                                1,
+                            )
+    scans.append(sos(comps, 0, 0, 0, 1, writer.flush()))
+
+    # -- per component: AC first 1..63, Al=1 --------------------------------
+    for c in comps:
+        writer = _BitWriter()
+        bh, bw = comp_grid(c)
+        for by in range(bh):
+            for bx in range(bw):
+                _emit_ac_first(writer, c["zz"][by, bx, 1:], c["ac"], 1)
+        scans.append(sos([c], 1, 63, 0, 1, writer.flush()))
+
+    # -- DC refine, Ah=1 Al=0 (raw bits, no huffman) ------------------------
+    writer = _BitWriter()
+    if len(comps) == 1:
+        c = comps[0]
+        bh, bw = comp_grid(c)
+        for by in range(bh):
+            for bx in range(bw):
+                writer.write(int(c["zz"][by, bx, 0]) & 1, 1)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            writer.write(
+                                int(c["zz"][my * c["v"] + v, mx * c["h"] + hh, 0]) & 1,
+                                1,
+                            )
+    scans.append(sos(comps, 0, 0, 1, 0, writer.flush()))
+
+    # -- per component: AC refine 1..63, Ah=1 Al=0 --------------------------
+    for c in comps:
+        writer = _BitWriter()
+        bh, bw = comp_grid(c)
+        for by in range(bh):
+            for bx in range(bw):
+                _emit_ac_refine(writer, c["zz"][by, bx, 1:], c["ac"], 0)
+        scans.append(sos([c], 1, 63, 1, 0, writer.flush()))
+
+    # -- headers ------------------------------------------------------------
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qy))
+    dht = (
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    if not gray:
+        dqt += _seg(0xFFDB, b"\x01" + bytes(int(x) for x in qc))
+        dht += (
+            b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+            + b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+        )
+    sof_payload = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof_payload += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    sof = _seg(0xFFC2, sof_payload)
+    return (
+        b"\xff\xd8" + _APP0_JFIF + dqt + sof + _seg(0xFFC4, dht)
+        + b"".join(scans) + b"\xff\xd9"
+    )
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -441,14 +697,14 @@ class _BitReader:
         raise ValueError("invalid Huffman code in scan")
 
 
-def _decode_block(
-    reader: "_BitReader", dc_tbl: dict, ac_tbl: dict, qmat: np.ndarray, prev_dc: int
-) -> tuple[np.ndarray, int]:
-    """Huffman + dequantize + IDCT one 8x8 block; returns (pixels, new DC)."""
-    zz = np.zeros(64, dtype=np.int64)
+def _coef_block_baseline(
+    reader: "_BitReader", dc_tbl: dict, ac_tbl: dict, coef: np.ndarray, prev_dc: int
+) -> int:
+    """Baseline full-band huffman decode into a natural-order coefficient
+    vector; returns the new DC predictor."""
     size = reader.read_code(dc_tbl)
     dc = prev_dc + _extend(reader.read(size), size)
-    zz[0] = dc
+    coef[0] = dc
     k = 1
     while k < 64:
         sym = reader.read_code(ac_tbl)
@@ -463,24 +719,129 @@ def _decode_block(
         k += run
         if k > 63:
             raise ValueError("AC coefficient overrun")
-        zz[k] = _extend(reader.read(size), size)
+        coef[ZIGZAG[k]] = _extend(reader.read(size), size)
         k += 1
-    quant = np.zeros(64, dtype=np.int64)
-    quant[ZIGZAG] = zz
-    coef = quant.reshape(8, 8) * qmat
-    return _C.T @ coef @ _C + 128.0, dc
+    return dc
+
+
+def _coef_block_ac_first(
+    reader: "_BitReader",
+    ac_tbl: dict,
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC first scan (Ah=0) for one block (T.81 G.2.2);
+    returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.read_code(ac_tbl)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient overrun")
+        coef[ZIGZAG[k]] = _extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _coef_block_ac_refine(
+    reader: "_BitReader",
+    ac_tbl: dict,
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement scan (Ah>0) for one block — the
+    correction-bit algorithm of T.81 G.2.3 (the jdphuff shape); returns
+    the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_code(ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    # EOB run INCLUDING the current block: its remaining
+                    # nonzero-history positions still carry correction
+                    # bits, consumed by the tail loop below (jdphuff's
+                    # EOBRUN = 1<<r convention)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                val = 0  # ZRL: 16 zero-history positions, no new coef
+            elif s == 1:
+                val = p1 if reader.read(1) else m1
+            else:
+                raise ValueError("invalid AC refinement symbol")
+            # advance past r zero-HISTORY coefficients, applying correction
+            # bits to nonzero-history ones encountered on the way
+            while k <= se:
+                z = int(ZIGZAG[k])
+                if coef[z] != 0:
+                    if reader.read(1) and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[int(ZIGZAG[k])] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = int(ZIGZAG[k])
+            if coef[z] != 0:
+                if reader.read(1) and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_end(blob: bytes, start: int) -> int:
+    """Offset of the marker terminating the entropy-coded segment."""
+    i = start
+    n = len(blob)
+    while i < n - 1:
+        if blob[i] == 0xFF and blob[i + 1] != 0x00:
+            if 0xD0 <= blob[i + 1] <= 0xD7:
+                raise ValueError("restart markers unsupported")
+            return i
+        i += 1
+    return n
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> pixels: 2-D uint8 (grayscale file) or
-    HxWx3 uint8 RGB (3-component YCbCr file, any sampling factors 1-2 in
-    one interleaved scan — covers 4:4:4, 4:2:2, 4:2:0; chroma upsampled
-    by replication).
+    """JFIF bytes -> pixels: 2-D uint8 (grayscale file) or HxWx3 uint8
+    RGB (3-component YCbCr, sampling factors 1-2 — 4:4:4 / 4:2:2 / 4:2:0,
+    chroma upsampled by replication). Handles BASELINE (SOF0, interleaved
+    or per-component scans) and PROGRESSIVE (SOF2, spectral selection +
+    successive approximation: DC first/refine, AC first/refine with EOB
+    runs — T.81 Annex G).
 
-    Raises ValueError for anything outside the documented scope
-    (progressive SOF2, >3 or 2 components, non-interleaved scans,
-    sampling factors > 2, restart intervals, arithmetic coding) — loud,
-    never garbage pixels."""
+    Raises ValueError for anything outside the documented scope (>3 or 2
+    components, sampling factors > 2, restart intervals, hierarchical /
+    lossless / arithmetic frames, 12-bit precision) — loud, never garbage
+    pixels."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -488,10 +849,67 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     h = w = None
+    progressive = False
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
-    sel: dict[int, tuple[int, int]] = {}  # cid -> (Td, Ta)
-    scan_order: list[int] = []
-    scan_start = None
+    coefs: dict[int, np.ndarray] = {}
+    preds: dict[int, int] = {}
+    hmax = vmax = mcux = mcuy = 0
+    n_scans = 0
+
+    def _comp_grid(hi: int, vi: int) -> tuple[int, int]:
+        """(block rows, block cols) of a component's OWN sample grid (the
+        non-interleaved scan extent, T.81 A.2.2)."""
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def _run_scan(scan_comps: list[tuple[int, tuple[int, int]]],
+                  ss: int, se: int, ah: int, al: int,
+                  reader: "_BitReader") -> None:
+        by_id = {cid: (cid, hi, vi, tq) for cid, hi, vi, tq in comps}
+        for cid, _ in scan_comps:
+            preds[cid] = 0  # DC predictor resets per scan
+        eobrun = 0
+
+        def one_block(cid: int, td: int, ta: int, by: int, bx: int) -> None:
+            nonlocal eobrun
+            coef = coefs[cid][by, bx]
+            if not progressive:
+                preds[cid] = _coef_block_baseline(
+                    reader, dc_tables[td], ac_tables[ta], coef, preds[cid]
+                )
+            elif ss == 0 and ah == 0:  # DC first
+                size = reader.read_code(dc_tables[td])
+                preds[cid] += _extend(reader.read(size), size)
+                coef[0] = preds[cid] << al
+            elif ss == 0:  # DC refine: one raw bit per block
+                if reader.read(1):
+                    coef[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _coef_block_ac_first(
+                    reader, ac_tables[ta], coef, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _coef_block_ac_refine(
+                    reader, ac_tables[ta], coef, ss, se, al, eobrun
+                )
+
+        if len(scan_comps) == 1:  # non-interleaved: component's own raster
+            cid, (td, ta) = scan_comps[0]
+            _, hi, vi, _ = by_id[cid]
+            bh, bw = _comp_grid(hi, vi)
+            for by in range(bh):
+                for bx in range(bw):
+                    one_block(cid, td, ta, by, bx)
+        else:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, (td, ta) in scan_comps:
+                        _, hi, vi, _ = by_id[cid]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                one_block(cid, td, ta, my * vi + v, mx * hi + hh)
+
     while i < len(blob) - 1:
         if blob[i] != 0xFF:
             raise ValueError("marker desync")
@@ -510,14 +928,19 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     payload[p + 1 : p + 65], dtype=np.uint8
                 ).astype(np.int64)
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"unsupported SOF marker 0xFF{marker:02X} (baseline/progressive only)"
+            )
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if comps:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             if len(payload) < 6:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8:
-                raise ValueError("8-bit baseline only")
+                raise ValueError("8-bit only")
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component frames unsupported")
             if h * w > MAX_PIXELS or h == 0 or w == 0:
@@ -525,7 +948,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 # multi-GB allocation before any scan-data validation
                 raise ValueError(f"image dimensions {w}x{h} outside sane bounds")
             if len(payload) < 6 + 3 * ncomp:
-                raise ValueError("truncated SOF0 component list")
+                raise ValueError("truncated SOF component list")
             for c in range(ncomp):
                 cid = payload[6 + 3 * c]
                 hv = payload[6 + 3 * c + 1]
@@ -535,6 +958,17 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 if ncomp == 1 and hv != 0x11:
                     raise ValueError("subsampling on a single component unsupported")
                 comps.append((cid, hi, vi, payload[6 + 3 * c + 2]))
+            if len({cid for cid, _, _, _ in comps}) != len(comps):
+                # a forged SOF with duplicate ids would dict-dedup and
+                # decode garbage; the contract is loud failure
+                raise ValueError("duplicate component ids in SOF")
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hi, vi, _ in comps:
+                coefs[cid] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+                preds[cid] = 0
         elif marker == 0xC4:  # DHT (possibly several tables, keyed by
             # destination id Th — the SOS Td/Ta selectors pick the right
             # ones even when a file carries extra unused tables)
@@ -553,62 +987,67 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
-        elif marker == 0xDA:  # SOS: ncomp, then (component id, Td<<4|Ta)
-            if len(payload) < 1 + 2 * max(len(comps), 1):
+        elif marker == 0xDA:  # SOS header then entropy-coded data
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            if len(payload) < 1 + 2 * ns + 3:
                 raise ValueError("truncated SOS segment")
-            if payload[0] != len(comps):
-                # baseline files in the wild are one interleaved scan;
-                # component-per-scan (still legal baseline) is out of scope
-                raise ValueError("non-interleaved scans unsupported")
-            for c in range(payload[0]):
+            by_id = {cid for cid, _, _, _ in comps}
+            scan_comps: list[tuple[int, tuple[int, int]]] = []
+            for c in range(ns):
                 cid = payload[1 + 2 * c]
-                sel[cid] = (payload[2 + 2 * c] >> 4, payload[2 + 2 * c] & 0x0F)
-                scan_order.append(cid)
-            scan_start = i + 2 + ln
-            break
+                if cid not in by_id:
+                    raise ValueError("SOS component ids do not match SOF")
+                scan_comps.append(
+                    (cid, (payload[2 + 2 * c] >> 4, payload[2 + 2 * c] & 0x0F))
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahl = payload[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("spectral selection in a baseline frame")
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scans must be single-component")
+                if ss > 63 or se > 63 or ss > se:
+                    raise ValueError("bad spectral selection range")
+            # validate table selectors for the bands this scan needs
+            for cid, (td, ta) in scan_comps:
+                needs_dc = ss == 0 and not (progressive and ah > 0)
+                needs_ac = se > 0 or not progressive
+                if needs_dc and td not in dc_tables:
+                    raise ValueError("SOS selects an undefined Huffman table")
+                if needs_ac and ta not in ac_tables:
+                    raise ValueError("SOS selects an undefined Huffman table")
+            data_start = i + 2 + ln
+            data_end = _scan_end(blob, data_start)
+            _run_scan(scan_comps, ss, se, ah, al, _BitReader(blob[data_start:data_end]))
+            n_scans += 1
+            i = data_end
+            continue
         i += 2 + ln
-    if scan_start is None or h is None or not dc_tables or not ac_tables:
+    if h is None or n_scans == 0:
         raise ValueError("missing SOF/DHT/SOS")
-    if len({cid for cid, _, _, _ in comps}) != len(comps):
-        # a forged SOF with duplicate ids would dict-dedup below and decode
-        # garbage; the contract is loud failure, never garbage pixels
-        raise ValueError("duplicate component ids in SOF")
-    by_id = {cid: (cid, hi, vi, tq) for cid, hi, vi, tq in comps}
-    if sorted(scan_order) != sorted(by_id):
-        raise ValueError("SOS component ids do not match SOF")
-    qmats: dict[int, np.ndarray] = {}
-    for cid, _, _, tq in comps:
+
+    # ---- shared finish: dequantize + IDCT + crop + upsample ---------------
+    planes = {}
+    for cid, hi, vi, tq in comps:
         if tq not in qtables:
             raise ValueError("missing quantization table")
-        qmats[cid] = _natural(qtables[tq])
-        td, ta = sel[cid]
-        if td not in dc_tables or ta not in ac_tables:
-            raise ValueError("SOS selects an undefined Huffman table")
-
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = {
-        cid: np.empty((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-        for cid, hi, vi, _ in comps
-    }
-    prev = {cid: 0 for cid, _, _, _ in comps}
-    reader = _BitReader(blob[scan_start:])
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for cid in scan_order:
-                _, hi, vi, _ = by_id[cid]
-                td, ta = sel[cid]
-                for v in range(vi):
-                    for hh in range(hi):
-                        block, prev[cid] = _decode_block(
-                            reader, dc_tables[td], ac_tables[ta], qmats[cid], prev[cid]
-                        )
-                        by, bx = my * vi + v, mx * hi + hh
-                        planes[cid][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = block
+        qmat = _natural(qtables[tq])
+        arr = coefs[cid]
+        bh, bw = arr.shape[:2]
+        plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = arr[by, bx].astype(np.int64).reshape(8, 8) * qmat
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ coef @ _C + 128.0
+                )
+        planes[cid] = plane
 
     if len(comps) == 1:
         out = planes[comps[0][0]]

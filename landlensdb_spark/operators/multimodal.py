@@ -4,8 +4,8 @@ Media travel as opaque ``binary`` columns + typed metadata structs — the
 Spark-side schema, partitioning, UDF signatures and Arrow batch shapes are
 real and tested. Metadata decode is REAL for PNG (operators/raster.py IHDR
 parse) and every JPEG variant (operators/jpeg.py SOFn parse); pixel
-decode/thumbnail is real for PNG + baseline JPEG (grayscale and YCbCr
-color, any 1-2 sampling) via the in-repo codecs.
+decode/thumbnail is real for PNG + JPEG — baseline AND progressive,
+grayscale and YCbCr color, any 1-2 sampling — via the in-repo codecs.
 Only formats the container cannot parse at all (video needs ffmpeg) fall
 outside, reported honestly as ``ok=False`` — the ``DECODERS`` dict is the
 production swap-in point, exactly where the reference's thumbnail/crop
@@ -69,21 +69,21 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
 
 def real_decode(payload: bytes):
     """The production decoder hook for media beyond the in-repo codecs
-    (progressive JPEG pixel decode, video frames). PNG and baseline JPEG —
-    grayscale and interleaved YCbCr color — need no swap:
-    operators/raster.py and operators/jpeg.py cover them natively."""
+    (video frames). PNG and JPEG — baseline AND progressive, grayscale and
+    interleaved YCbCr color — need no swap: operators/raster.py and
+    operators/jpeg.py cover them natively."""
     raise NotImplementedError(
-        "progressive-JPEG / video codecs (PIL/ffmpeg) are not installed in "
-        "this environment; swap DECODERS['decode'] for a real implementation."
+        "video codecs (ffmpeg) are not installed in this environment; "
+        "swap DECODERS['decode'] for a real implementation."
     )
 
 
 def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
     """REAL thumbnails via the in-repo codecs: gray-8 PNG (decode ->
-    box/nearest resize -> PNG) and baseline JPEG — grayscale AND
-    interleaved YCbCr color (decode -> per-plane resize -> JPEG,
-    format+colorspace-preserving). None (null column) for payloads outside
-    codec scope — the seam is now progressive JPEG + video only."""
+    box/nearest resize -> PNG) and JPEG — baseline AND progressive,
+    grayscale AND interleaved YCbCr color (decode -> per-plane resize ->
+    JPEG, format+colorspace-preserving). None (null column) for payloads
+    outside codec scope — the seam is now video only."""
     import struct
     import zlib
 

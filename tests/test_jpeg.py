@@ -131,11 +131,17 @@ def test_jpeg_dims_and_scope_errors():
     assert jpeg_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"not a jpeg at all")
-    # progressive SOF2 must refuse loudly, not decode garbage
-    prog = bytearray(blob)
+    # lossless SOF3 must refuse loudly, not decode garbage
+    lossless = bytearray(blob)
     sof = bytes(blob).find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2
+    lossless[sof + 1] = 0xC3
     with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg_gray(bytes(lossless))
+    # a baseline stream RELABELED progressive is malformed (its full-band
+    # scan header is illegal for a progressive DC scan) — still loud
+    prog = bytearray(blob)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg_gray(bytes(prog))
 
 
@@ -300,3 +306,86 @@ def test_media_phash_operator(spark):
     assert got["png"] is not None and got["jpeg"] is not None
     ham = bin((got["png"] ^ got["jpeg"]) & ((1 << 64) - 1)).count("1")
     assert ham <= 10  # same image through two codecs -> near-identical hash
+
+
+def test_progressive_decode_equals_baseline():
+    """The progressive encoder stages EXACTLY the baseline's quantized
+    coefficients (DC first/refine + per-component AC first/refine), so
+    progressive decode must be bit-identical to baseline decode — on
+    noise images every successive-approximation path is exercised."""
+    from landlensdb_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(g, quality=90)),
+        decode_jpeg(encode_jpeg_gray(g, quality=90)),
+    )
+    img = rng.integers(0, 256, (45, 34, 3), dtype=np.uint8)
+    for ss in ("420", "444"):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, 85, ss)),
+            decode_jpeg(encode_jpeg_color(img, 85, ss)),
+        ), ss
+    assert jpeg_dims(encode_jpeg_progressive(g)) == (53, 37)
+
+
+def test_progressive_eob_run_decoding():
+    """Hand-crafted progressive stream with an EOBn (run > 1) symbol —
+    the batched-EOB path the in-repo encoder (EOB0-only) never emits."""
+    import struct
+
+    from landlensdb_spark.operators.jpeg import DC_BITS, DC_VALS, _seg
+
+    # 8x16 grayscale: two 8x8 blocks, quant table all ones
+    dqt = _seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    sof = _seg(0xFFC2, struct.pack(">BHHB", 8, 8, 16, 1) + b"\x01\x11\x00")
+    # custom AC table: two 1-bit codes — 0 -> 0x10 (EOB1), 1 -> 0x00 (EOB0)
+    dht = _seg(
+        0xFFC4,
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"\x10" + bytes([2] + [0] * 15) + bytes([0x10, 0x00]),
+    )
+    # scan 1: DC first Al=0 — diffs +5 then 0 (sizes via K.3.1: size 3
+    # code '100', bits 101; size 0 code '00')
+    sos1 = _seg(0xFFDA, b"\x01\x01\x00\x00\x00\x00")
+    dc_bits = "100" + "101" + "00"
+    dc_data = int(dc_bits + "1" * (8 - len(dc_bits) % 8), 2).to_bytes(2, "big")
+    # scan 2: AC first 1..63 Al=0 — block 1 emits EOB1: code '0' + 1
+    # appended run bit '0' -> eobrun = 2 (covers blocks 1 and 2)
+    sos2 = _seg(0xFFDA, b"\x01\x01\x00\x01\x3f\x00")
+    ac_data = int("00" + "1" * 6, 2).to_bytes(1, "big")
+    blob = (
+        b"\xff\xd8" + dqt + sof + dht + sos1 + dc_data + sos2 + ac_data
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(blob)
+    assert out.shape == (8, 16)
+    # DC-only blocks: block 1 flat at 128 + 5/8 -> 129, block 2 same DC
+    assert (out[:, :8] == out[0, 0]).all() and (out[:, 8:] == out[0, 8]).all()
+    assert out[0, 0] == out[0, 8] == 129
+
+
+def test_progressive_media_pipeline(spark):
+    """decode_media + media_thumbnail + media_phash handle progressive
+    payloads through the same production path — the F25 seam is video
+    only now."""
+    from landlensdb_spark.operators.jpeg import encode_jpeg_progressive
+    from landlensdb_spark.operators.multimodal import (
+        decode_media,
+        media_phash,
+        media_thumbnail,
+    )
+
+    img = _gradient_rgb(40, 80)
+    df = spark.createDataFrame(
+        [("p", bytearray(encode_jpeg_progressive(img, quality=90)))],
+        "name string, media binary",
+    )
+    meta = decode_media(df).collect()[0]
+    assert (meta["width"], meta["height"], meta["codec"], meta["ok"]) == (
+        80, 40, "jpeg", True,
+    )
+    t = media_thumbnail(df, max_w=20, max_h=20).collect()[0]
+    assert (t["thumb_w"], t["thumb_h"]) == (20, 10)
+    assert media_phash(df).collect()[0]["phash"] is not None
