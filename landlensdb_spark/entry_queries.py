@@ -2985,6 +2985,73 @@ def q_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jpeg_progressive_roundtrip",
+    f"""
+    SELECT o_orderkey AS key,
+           CAST(9 + o_orderkey % 21 AS INTEGER) AS width,
+           CAST(9 + (o_orderkey * 11) % 23 AS INTEGER) AS height,
+           CAST((CASE o_orderkey % 8 {_JPEG_PALETTE_SQL} END) // 65536 AS INTEGER) AS r,
+           CAST((CASE o_orderkey % 8 {_JPEG_PALETTE_SQL} END) // 256 % 256 AS INTEGER) AS g,
+           CAST((CASE o_orderkey % 8 {_JPEG_PALETTE_SQL} END) % 256 AS INTEGER) AS b
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) codec through real wire bytes: flat palette
+    colors encoded with the multi-scan successive-approximation encoder
+    (4:2:0 even keys, 4:4:4 odd), decoded by the Annex-G scan machinery —
+    the progressive path stages exactly the baseline coefficients, so the
+    palette's bit-exact round-trip carries over; any DC/AC refine or
+    EOB-run bug breaks the hash."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").alias("key")
+    )
+    palette = list(_JPEG_PALETTE)
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            ks, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for k in pdf["key"]:
+                k = int(k)
+                w, h = 9 + k % 21, 9 + (k * 11) % 23
+                color = palette[k % 8]
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                img[...] = color
+                sub = "420" if k % 2 == 0 else "444"
+                out = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=85, subsample=sub)
+                )
+                if out.shape != (h, w, 3) or not np.array_equal(out, img):
+                    raise ValueError(
+                        f"progressive round-trip not exact for key={k} color={color}"
+                    )
+                ks.append(k)
+                ws.append(w)
+                hs.append(h)
+                rs.append(color[0])
+                gs.append(color[1])
+                bs.append(color[2])
+            yield pd.DataFrame(
+                {"key": ks, "width": ws, "height": hs, "r": rs, "g": gs, "b": bs}
+            )
+
+    return keys.mapInPandas(
+        _rt, "key long, width int, height int, r int, g int, b int"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus bigram-LM scoring (CCNet-style perplexity gate)
 # ---------------------------------------------------------------------------
@@ -3480,6 +3547,7 @@ _DRIVER_WINDOW_FIRST = [
     "doc_chunks",
     "salted_tile_counts",
     "fetch_local",
+    "jpeg_progressive_roundtrip",
 ]
 
 
