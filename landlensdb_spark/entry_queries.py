@@ -2323,23 +2323,27 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_meta",
     """
     SELECT o_orderkey AS key,
-           CAST(CASE WHEN o_orderkey % 3 < 2
+           CAST(CASE WHEN o_orderkey % 4 < 3
                 THEN 10 + o_orderkey % 23 ELSE 0 END AS INTEGER) AS width,
-           CAST(CASE WHEN o_orderkey % 3 < 2
+           CAST(CASE WHEN o_orderkey % 4 < 3
                 THEN 10 + (o_orderkey * 3) % 17 ELSE 0 END AS INTEGER) AS height,
-           CASE WHEN o_orderkey % 3 = 0 THEN 'png'
-                WHEN o_orderkey % 3 = 1 THEN 'jpeg'
+           CAST(CASE WHEN o_orderkey % 4 = 2 THEN 2 + (o_orderkey * 7) % 4
+                WHEN o_orderkey % 4 < 2 THEN 1 ELSE 0 END AS INTEGER) AS n_frames,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'png'
+                WHEN o_orderkey % 4 = 1 THEN 'jpeg'
+                WHEN o_orderkey % 4 = 2 THEN 'mjpeg-avi'
                 ELSE 'unknown' END AS codec,
-           o_orderkey % 3 < 2 AS ok
+           o_orderkey % 4 < 3 AS ok
     FROM orders WHERE o_orderkey < 1500
     """,
 )
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal metadata path through REAL wire bytes under the hard
-    signal: per key, synthesize a PNG (k%3=0, in-repo encoder), a COLOR
-    JPEG (k%3=1), or undecodable junk bytes (k%3=2), run the production
-    ``decode_media`` Arrow stage, and report (width, height, codec, ok).
-    Junk must come back ok=false with zero dims — the honest-decode
+    signal: per key, synthesize a PNG (k%4=0, in-repo encoder), a COLOR
+    JPEG (k%4=1), an MJPEG-AVI video with 2-5 frames (k%4=2), or
+    undecodable junk bytes (k%4=3), run the production ``decode_media``
+    Arrow stage, and report (width, height, n_frames, codec, ok). Junk
+    must come back ok=false with zero dims/frames — the honest-decode
     contract (round-3 VERDICT #4). The oracle states the arithmetic."""
     from collections.abc import Iterator
 
@@ -2356,18 +2360,26 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from landlensdb_spark.operators.jpeg import encode_jpeg_color
         from landlensdb_spark.operators.raster import encode_png_gray
+        from landlensdb_spark.operators.video import encode_mjpeg_avi
 
         for pdf in batches:
             ks, blobs = [], []
             for k in pdf["key"]:
                 k = int(k)
                 w, h = 10 + k % 23, 10 + (k * 3) % 17
-                if k % 3 == 0:
+                cls = k % 4
+                if cls == 0:
                     img = np.full((h, w), k % 256, dtype=np.uint8)
                     b = encode_png_gray(img)
-                elif k % 3 == 1:
+                elif cls == 1:
                     img = np.full((h, w, 3), (k % 200, 30, 60), dtype=np.uint8)
                     b = encode_jpeg_color(img, quality=85)
+                elif cls == 2:
+                    nf = 2 + (k * 7) % 4
+                    b = encode_mjpeg_avi(
+                        [np.full((h, w), (k + i) % 256, dtype=np.uint8) for i in range(nf)],
+                        fps=10,
+                    )
                 else:
                     b = bytes([k % 251]) * 16  # undecodable junk
                 ks.append(k)
@@ -2376,9 +2388,8 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = keys.mapInPandas(_mk, "key long, media binary")
     meta = decode_media(media)
-    # zero dims for the junk class per the oracle's arithmetic (decode
-    # reports 0s there already — select the contract columns)
-    return meta.select("key", "width", "height", "codec", "ok")
+    # zero dims/frames for the junk class per the oracle's arithmetic
+    return meta.select("key", "width", "height", "n_frames", "codec", "ok")
 
 
 @query(

@@ -5,12 +5,14 @@ Spark-side schema, partitioning, UDF signatures and Arrow batch shapes are
 real and tested. Metadata decode is REAL for PNG (operators/raster.py IHDR
 parse) and every JPEG variant (operators/jpeg.py SOFn parse); pixel
 decode/thumbnail is real for PNG + JPEG — baseline AND progressive,
-grayscale and YCbCr color, any 1-2 sampling — via the in-repo codecs.
-Only formats the container cannot parse at all (video needs ffmpeg) fall
-outside, reported honestly as ``ok=False`` — the ``DECODERS`` dict is the
-production swap-in point, exactly where the reference's thumbnail/crop
-pipeline would slot in (/root/reference/landlensdb/handlers/image.py:95-138
-LANCZOS thumbnails, cloud.py:593-604 top-half crop).
+grayscale and YCbCr color, any 1-2 sampling — via the in-repo codecs, and
+video frame-sampling/metadata/pHash are real for MJPEG-AVI containers
+(operators/video.py). Only formats the container cannot parse at all
+(non-MJPEG video needs ffmpeg) fall outside, reported honestly as
+``ok=False`` — the ``DECODERS`` dict is the production swap-in point,
+exactly where the reference's thumbnail/crop pipeline would slot in
+(/root/reference/landlensdb/handlers/image.py:95-138 LANCZOS thumbnails,
+cloud.py:593-604 top-half crop).
 
 Contract per modality:
 - ``decode``: binary -> (width, height, n_frames, ok) metadata struct
@@ -38,14 +40,16 @@ META_SCHEMA = "width int, height int, n_frames int, codec string, ok boolean"
 
 
 def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
-    """Metadata decode, REAL for every in-scope format: PNG (IHDR parse)
-    and JPEG (SOFn parse — any color/progressive variant) via the in-repo
-    codecs. Formats this container cannot parse (video needs ffmpeg)
-    report ``ok=False`` honestly instead of synthetic dimensions."""
+    """Metadata decode, REAL for every in-scope format: PNG (IHDR parse),
+    JPEG (SOFn parse — any color/progressive variant) and MJPEG-AVI video
+    ('avih' header) via the in-repo codecs. Formats this container cannot
+    parse (non-MJPEG video needs ffmpeg) report ``ok=False`` honestly
+    instead of synthetic dimensions."""
     if payload is None or len(payload) == 0:
         return (0, 0, 0, "none", False)
     from landlensdb_spark.operators.jpeg import jpeg_dims
     from landlensdb_spark.operators.raster import png_dims
+    from landlensdb_spark.operators.video import avi_meta
 
     b = bytes(payload)
     dims = png_dims(b)
@@ -54,6 +58,9 @@ def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     dims = jpeg_dims(b)
     if dims is not None:
         return (dims[0], dims[1], 1, "jpeg", True)
+    vmeta = avi_meta(b)
+    if vmeta is not None:
+        return (vmeta[0], vmeta[1], vmeta[2], "mjpeg-avi", True)
     return (0, 0, 0, "unknown", False)
 
 
@@ -210,8 +217,11 @@ def media_features(
 def frame_sample(
     df: DataFrame, media_col: str = "media", every_n: int = 10
 ) -> DataFrame:
-    """Video frame-sampling plumbing: binary -> array<binary> of sampled
-    frames (stub slices the payload deterministically)."""
+    """Video frame sampling: binary -> array<binary> of every
+    ``every_n``-th compressed frame. REAL for MJPEG-AVI payloads (RIFF
+    walk via operators/video.py; each returned element is a standalone
+    JPEG the in-repo codec decodes); non-video payloads yield an empty
+    array honestly — no synthetic slicing in the production path."""
     keep = [f.name for f in df.schema.fields]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -219,15 +229,16 @@ def frame_sample(
     )
 
     def _fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.video import avi_meta, mjpeg_frames
+
         for pdf in batches:
             out = pdf[keep].copy()
             frames = []
             for b in pdf[media_col]:
-                if b is None or len(b) == 0:
+                if b is None or len(b) == 0 or avi_meta(bytes(b)) is None:
                     frames.append([])
                 else:
-                    step = max(len(b) // every_n, 1)
-                    frames.append([bytes(b[i : i + step]) for i in range(0, len(b), step)][:every_n])
+                    frames.append(mjpeg_frames(bytes(b))[::every_n])
             out["frames"] = frames
             yield out
 
@@ -303,13 +314,22 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
                 img = rgb_luma(img)
             return img
 
+        def _video_luma(b: bytes):
+            # video identity key = pHash of the FIRST frame
+            from landlensdb_spark.operators.video import mjpeg_frames
+
+            frames = mjpeg_frames(b)
+            if not frames:
+                raise ValueError("empty video")
+            return _jpeg_luma(frames[0])
+
         for pdf in batches:
             out = pdf[keep].copy()
             hashes = []
             for b in pdf[media_col]:
                 img = None
                 if b is not None and len(b):
-                    for dec in (decode_png_gray, _jpeg_luma):
+                    for dec in (decode_png_gray, _jpeg_luma, _video_luma):
                         try:
                             img = dec(bytes(b))
                             break
