@@ -2421,12 +2421,20 @@ def q_fetch_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(root, ".complete")
     if not os.path.exists(marker):  # deterministic content -> safe to reuse
         os.makedirs(root, exist_ok=True)
+        # temp + atomic rename per file: a concurrent session re-building
+        # the mirror must never expose a truncated file to the other
+        # session's in-flight fetch tasks
         for k in range(2000):
             if k % 4 != 3:
-                with open(os.path.join(root, f"f_{k}.bin"), "wb") as f:
+                path = os.path.join(root, f"f_{k}.bin")
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
                     f.write(bytes([k % 251]) * (10 + k % 50))
-        with open(marker, "w") as f:
+                os.replace(tmp, path)
+        tmp = f"{marker}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             f.write("ok")
+        os.replace(tmp, marker)
 
     o = tables.load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")

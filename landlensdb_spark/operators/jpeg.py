@@ -334,16 +334,11 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg_color(
-    img: np.ndarray, quality: int = 85, subsample: str = "420"
-) -> bytes:
-    """HxWx3 uint8 RGB -> baseline JFIF bytes (SOF0, YCbCr, interleaved).
-
-    ``subsample``: '420' (2x2 box-averaged chroma, the web default) or
-    '444' (full-resolution chroma). Luma uses the Annex K.1 table +
-    K.3.1/K.3.2 Huffman tables; chroma K.2 + K.3.3/K.3.4, both scaled by
-    ``quality`` libjpeg-style.
-    """
+def _color_setup(img: np.ndarray, quality: int, subsample: str):
+    """Shared front half of BOTH color encoders (baseline + progressive):
+    validation, quality-scaled tables, YCbCr planes padded to the MCU
+    grid, chroma box-subsample. Returns
+    (yp, cbp, crp, qy, qc, hs, vs, mcuy, mcux)."""
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("need an HxWx3 uint8 array")
     if img.shape[0] == 0 or img.shape[1] == 0:
@@ -354,8 +349,6 @@ def encode_jpeg_color(
     h, w = img.shape[:2]
     qy = _scaled_qtable(quality)
     qc = _scale_qtable(QTABLE_CHROMA, quality)
-    qy_mat, qc_mat = _natural(qy), _natural(qc)
-
     y, cb, cr = _rgb_to_ycbcr(img)
     mh, mw = 8 * vs, 8 * hs  # MCU pixel dims
     mcuy, mcux = (h + mh - 1) // mh, (w + mw - 1) // mw
@@ -365,6 +358,36 @@ def encode_jpeg_color(
     if hs == 2:  # 2x2 box mean at full-pad resolution -> one 8x8 block/MCU
         cbp = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
         crp = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+    return yp, cbp, crp, qy, qc, hs, vs, mcuy, mcux
+
+
+def _color_table_segs(qy: np.ndarray, qc: np.ndarray) -> tuple[bytes, bytes]:
+    """(DQT segments, DHT payload) shared by both color encoders."""
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qy)) + _seg(
+        0xFFDB, b"\x01" + bytes(int(x) for x in qc)
+    )
+    dht = (
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
+        + b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        + b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    )
+    return dqt, dht
+
+
+def encode_jpeg_color(
+    img: np.ndarray, quality: int = 85, subsample: str = "420"
+) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes (SOF0, YCbCr, interleaved).
+
+    ``subsample``: '420' (2x2 box-averaged chroma, the web default) or
+    '444' (full-resolution chroma). Luma uses the Annex K.1 table +
+    K.3.1/K.3.2 Huffman tables; chroma K.2 + K.3.3/K.3.4, both scaled by
+    ``quality`` libjpeg-style.
+    """
+    h, w = img.shape[:2]
+    yp, cbp, crp, qy, qc, hs, vs, mcuy, mcux = _color_setup(img, quality, subsample)
+    qy_mat, qc_mat = _natural(qy), _natural(qc)
 
     writer = _BitWriter()
     prev = [0, 0, 0]
@@ -385,23 +408,17 @@ def encode_jpeg_color(
     scan = writer.flush()
 
     samp = (hs << 4) | vs
-    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qy)) + _seg(
-        0xFFDB, b"\x01" + bytes(int(x) for x in qc)
-    )
+    dqt, dht = _color_table_segs(qy, qc)
     sof = _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    dht = _seg(
-        0xFFC4,
-        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
-        + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
-        + b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
-        + b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS),
-    )
     sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))
-    return b"\xff\xd8" + _APP0_JFIF + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + _APP0_JFIF + dqt + sof + _seg(0xFFC4, dht) + sos
+        + scan + b"\xff\xd9"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -521,23 +538,10 @@ def encode_jpeg_progressive(
              "dc": _DC_CODES, "ac": _AC_CODES,
              "zz": _plane_zz(padded, qy_mat)}
         ]
-        hs = vs = 1
         qc = None
     else:
-        if subsample not in ("420", "444"):
-            raise ValueError("subsample must be '420' or '444'")
-        hs = vs = 2 if subsample == "420" else 1
-        qc = _scale_qtable(QTABLE_CHROMA, quality)
+        yp, cbp, crp, qy, qc, hs, vs, _, _ = _color_setup(img, quality, subsample)
         qc_mat = _natural(qc)
-        y, cb, cr = _rgb_to_ycbcr(img)
-        mh, mw = 8 * vs, 8 * hs
-        mcuy, mcux = (h + mh - 1) // mh, (w + mw - 1) // mw
-        yp = _edge_pad(y, mcuy * mh, mcux * mw)
-        cbp = _edge_pad(cb, mcuy * mh, mcux * mw)
-        crp = _edge_pad(cr, mcuy * mh, mcux * mw)
-        if hs == 2:
-            cbp = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
-            crp = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
         comps = [
             {"id": 1, "h": hs, "v": vs, "tq": 0,
              "dc": _DC_CODES, "ac": _AC_CODES, "zz": _plane_zz(yp, qy_mat)},
@@ -635,17 +639,14 @@ def encode_jpeg_progressive(
         scans.append(sos([c], 1, 63, 1, 0, writer.flush()))
 
     # -- headers ------------------------------------------------------------
-    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qy))
-    dht = (
-        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
-        + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
-    )
-    if not gray:
-        dqt += _seg(0xFFDB, b"\x01" + bytes(int(x) for x in qc))
-        dht += (
-            b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
-            + b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    if gray:
+        dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qy))
+        dht = (
+            b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+            + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
         )
+    else:
+        dqt, dht = _color_table_segs(qy, qc)
     sof_payload = struct.pack(">BHHB", 8, h, w, len(comps))
     for c in comps:
         sof_payload += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
@@ -855,6 +856,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     preds: dict[int, int] = {}
     hmax = vmax = mcux = mcuy = 0
     n_scans = 0
+    seen_dc: set[int] = set()  # components whose DC has been scanned
 
     def _comp_grid(hi: int, vi: int) -> tuple[int, int]:
         """(block rows, block cols) of a component's OWN sample grid (the
@@ -1022,6 +1024,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     raise ValueError("SOS selects an undefined Huffman table")
                 if needs_ac and ta not in ac_tables:
                     raise ValueError("SOS selects an undefined Huffman table")
+            if progressive and ss > 0:
+                # T.81 G.1.1.1.1: a component's DC scan precedes its AC scans
+                if scan_comps[0][0] not in seen_dc:
+                    raise ValueError("AC scan before the component's DC scan")
+            if ss == 0:
+                seen_dc.update(cid for cid, _ in scan_comps)
             data_start = i + 2 + ln
             data_end = _scan_end(blob, data_start)
             _run_scan(scan_comps, ss, se, ah, al, _BitReader(blob[data_start:data_end]))
@@ -1031,6 +1039,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         i += 2 + ln
     if h is None or n_scans == 0:
         raise ValueError("missing SOF/DHT/SOS")
+    if seen_dc != {cid for cid, _, _, _ in comps}:
+        # a partial-coverage file would otherwise synthesize pixels from
+        # all-zero coefficients — the loud-never-garbage contract
+        raise ValueError("scans do not cover every SOF component")
 
     # ---- shared finish: dequantize + IDCT + crop + upsample ---------------
     planes = {}

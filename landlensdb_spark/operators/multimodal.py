@@ -229,16 +229,20 @@ def frame_sample(
     )
 
     def _fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from landlensdb_spark.operators.video import avi_meta, mjpeg_frames
+        from landlensdb_spark.operators.video import mjpeg_frames
 
         for pdf in batches:
             out = pdf[keep].copy()
             frames = []
             for b in pdf[media_col]:
-                if b is None or len(b) == 0 or avi_meta(bytes(b)) is None:
+                if b is None or len(b) == 0:
                     frames.append([])
-                else:
+                    continue
+                try:  # one parse: non-AVI AND corrupt/truncated AVI both
+                    # degrade to an empty list per row, never a failed task
                     frames.append(mjpeg_frames(bytes(b))[::every_n])
+                except ValueError:
+                    frames.append([])
             out["frames"] = frames
             yield out
 

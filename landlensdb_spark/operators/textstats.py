@@ -237,6 +237,10 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # windows would skip tokens, silently breaking the every-token-
+        # in-a-chunk invariant the docstring promises
+        raise ValueError("stride must be <= chunk_tokens")
     toks = words_of(F.col(text))
     n = F.size(toks)
     # starts: 0, stride, 2*stride, ... up to the last start < n

@@ -27,20 +27,27 @@ MAX_FRAMES = 100_000
 
 def avi_meta(blob: bytes) -> tuple[int, int, int, float] | None:
     """(width, height, n_frames, fps) from the 'avih' main header, or
-    None if the payload is not a RIFF-AVI."""
+    None for anything that is not a WELL-FORMED RIFF-AVI — forged or
+    truncated size fields must yield None, never an escaping struct
+    error (the honest-decode contract: one malformed row cannot fail a
+    whole Arrow batch)."""
     if blob is None or len(blob) < 24 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         return None
+    n = len(blob)
     i = 12
-    while i + 8 <= len(blob):
+    while i + 8 <= n:
         fourcc = blob[i : i + 4]
         (size,) = struct.unpack_from("<I", blob, i + 4)
         if fourcc == b"LIST":
+            if i + 12 > n:
+                return None
             if blob[i + 8 : i + 12] == b"hdrl":
                 j = i + 12
-                while j + 8 <= i + 8 + size:
+                end = min(i + 8 + size, n)
+                while j + 8 <= end:
                     sub = blob[j : j + 4]
                     (ssz,) = struct.unpack_from("<I", blob, j + 4)
-                    if sub == b"avih" and ssz >= 40:
+                    if sub == b"avih" and ssz >= 40 and j + 8 + 40 <= n:
                         us_pf, _, _, _, frames = struct.unpack_from(
                             "<IIIII", blob, j + 8
                         )
@@ -93,10 +100,11 @@ def mjpeg_frames(blob: bytes) -> list[bytes]:
 
 def decode_frames(blob: bytes, every_n: int = 1) -> list[np.ndarray]:
     """Decode every ``every_n``-th MJPEG frame to pixels via the in-repo
-    JPEG codec (baseline or progressive, gray or color)."""
+    JPEG codec (baseline or progressive, gray or color). A zero-length or
+    non-JPEG frame chunk raises loudly (never a silently-typed ``b''``)."""
     from landlensdb_spark.operators.jpeg import decode_jpeg
 
-    return [f and decode_jpeg(f) for f in mjpeg_frames(blob)[::every_n]]
+    return [decode_jpeg(f) for f in mjpeg_frames(blob)[::every_n]]
 
 
 def encode_mjpeg_avi(

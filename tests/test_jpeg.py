@@ -389,3 +389,18 @@ def test_progressive_media_pipeline(spark):
     t = media_thumbnail(df, max_w=20, max_h=20).collect()[0]
     assert (t["thumb_w"], t["thumb_h"]) == (20, 10)
     assert media_phash(df).collect()[0]["phash"] is not None
+
+
+def test_partial_scan_coverage_refuses():
+    """A 3-component file whose scans cover only one component must raise,
+    not synthesize chroma from all-zero coefficients."""
+    img = _gradient_rgb(16, 16)
+    blob = bytearray(encode_jpeg_color(img, quality=85, subsample="444"))
+    # truncate the interleaved SOS to a single-component scan: rewrite the
+    # scan header from 3 components to 1 (ns, [cid, tables]x1, Ss, Se, AhAl)
+    i = bytes(blob).find(b"\xff\xda")
+    # original payload: len=2+10: [3, 1,0x00, 2,0x11, 3,0x11, 0, 63, 0]
+    new_payload = bytes([1, 1, 0x00, 0, 63, 0])
+    patched = bytes(blob[:i]) + b"\xff\xda" + (len(new_payload) + 2).to_bytes(2, "big") + new_payload + bytes(blob[i + 14:])
+    with pytest.raises(ValueError, match="cover every SOF component"):
+        decode_jpeg(patched)

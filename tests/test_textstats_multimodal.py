@@ -177,3 +177,27 @@ def test_video_pipeline(spark):
 
     ph = {r["url"]: r["phash"] for r in multimodal.media_phash(df).collect()}
     assert ph["v"] is not None and ph["junk"] is None
+
+
+def test_corrupt_video_degrades_per_row(spark):
+    """Forged RIFF sizes and truncated AVIs must yield ok=false / empty
+    frames for THAT row — never a failed Arrow task (review finding)."""
+    import struct as _s
+
+    import numpy as np
+
+    from landlensdb_spark.operators.video import avi_meta, encode_mjpeg_avi
+
+    good = encode_mjpeg_avi([np.full((8, 8), 7, np.uint8)] * 3)
+    forged = b"RIFF" + _s.pack("<I", 16) + b"AVI LIST" + b"\xff\xff\xff\x00" + b"hdrl"
+    truncated = good[:-10]
+    assert avi_meta(forged) is None  # no escaping struct.error
+    df = spark.createDataFrame(
+        [("good", bytearray(good)), ("forged", bytearray(forged)),
+         ("trunc", bytearray(truncated))],
+        "url string, media binary",
+    )
+    meta = {r["url"]: r["ok"] for r in multimodal.decode_media(df).collect()}
+    assert meta == {"good": True, "forged": False, "trunc": True}  # trunc: header intact
+    fr = {r["url"]: len(r["frames"]) for r in multimodal.frame_sample(df, every_n=1).collect()}
+    assert fr["good"] == 3 and fr["forged"] == 0 and fr["trunc"] == 0
