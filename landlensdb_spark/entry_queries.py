@@ -2392,6 +2392,134 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("key", "width", "height", "n_frames", "codec", "ok")
 
 
+def _track_hav_sql() -> str:
+    from landlensdb_spark.geo.sphere import haversine_sql
+
+    return haversine_sql("plon", "plat", "lon", "lat")
+
+
+@query("track_lengths", None)
+def q_track_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-temporal track rollup: per user, the great-circle length of the
+    event trajectory (consecutive events by time, haversine segments).
+    Segment distances are summed as integer MILLIMETERS so the aggregate
+    is exact cross-engine (float segment sums would be order-sensitive in
+    the last ulp)."""
+    from pyspark.sql import Window as W
+
+    from landlensdb_spark.geo.sphere import haversine_m
+
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        k.alias("event_id"),
+        synth.lon_col(k).alias("lon"),
+        synth.lat_col(k).alias("lat"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = haversine_m(
+        F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")
+    )
+    return (
+        pts.withColumn("_mm", F.round(seg * 1000).cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.coalesce(F.sum("_mm"), F.lit(0)).cast("long").alias("track_mm"),
+        )
+    )
+
+
+ORACLES["track_lengths"] = f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             {synth.lon_sql('event_id')} AS lon,
+             {synth.lat_sql('event_id')} AS lat
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, lon, lat,
+             lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+             lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+      FROM e
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CASE WHEN plon IS NULL THEN NULL
+                ELSE CAST(round({_track_hav_sql()} * 1000) AS BIGINT) END), 0)
+             AS BIGINT) AS track_mm
+    FROM seq GROUP BY user_id
+"""
+
+
+_SEM_CC_ITERS = 5
+
+
+def _semantic_clusters_oracle() -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_EMB_SQL})",
+        """p AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+            >= 0.45)""",
+        "ed AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p"
+        " UNION ALL SELECT id_b AS s, id_a AS d FROM p)",
+        "l0 AS (SELECT node, node AS label FROM (SELECT DISTINCT s AS node FROM ed))",
+    ]
+    for t in range(_SEM_CC_ITERS):
+        ctes.append(
+            f"m{t} AS (SELECT ed.d AS node, min(l.label) AS nl"
+            f" FROM ed JOIN l{t} l ON ed.s = l.node GROUP BY ed.d)"
+        )
+        ctes.append(
+            f"l{t + 1} AS (SELECT l.node,"
+            f" least(l.label, coalesce(m.nl, l.label)) AS label"
+            f" FROM l{t} l LEFT JOIN m{t} m USING (node))"
+        )
+    ctes.append(
+        f"fin AS (SELECT e.vec_id, coalesce(l.label, e.vec_id) AS cluster_id"
+        f" FROM e LEFT JOIN l{_SEM_CC_ITERS} l ON l.node = e.vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
+    FROM fin
+    """
+    )
+
+
+@query("semantic_dup_clusters", None)
+def q_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication composed end-to-end: exact
+    embedding near-dup pairs (IVF-cell-pruned, no driver vector collect)
+    -> min-label connected components -> one canonical survivor per
+    semantic cluster, singletons kept. The oracle brute-forces the pair
+    graph and unrolls the propagation."""
+    from landlensdb_spark.operators.dedup import dup_clusters
+    from landlensdb_spark.operators.similarity import embedding_near_dup_exact
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_exact(emb, threshold=0.45, n_centroids=32)
+    labeled = dup_clusters(pairs, iterations=_SEM_CC_ITERS).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    ids = emb.select("vec_id")
+    return ids.join(labeled, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+        (F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
+ORACLES["semantic_dup_clusters"] = _semantic_clusters_oracle()
+
+
 @query(
     "fetch_local",
     """
@@ -3567,6 +3695,8 @@ _DRIVER_WINDOW_FIRST = [
     "salted_tile_counts",
     "fetch_local",
     "jpeg_progressive_roundtrip",
+    "track_lengths",
+    "semantic_dup_clusters",
 ]
 
 

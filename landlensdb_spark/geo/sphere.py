@@ -31,8 +31,12 @@ def haversine_m(
         F.sin(dp / 2) * F.sin(dp / 2)
         + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2)
     )
-    # clamp guards fp drift at antipodes (a slightly > 1 -> asin NaN)
-    return F.lit(2.0 * R_MEAN) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    # clamp guards fp drift at antipodes (a slightly > 1 -> asin NaN);
+    # NOT F.least: least/greatest SKIP nulls, so a null coordinate would
+    # silently clamp to 1.0 and yield a phantom half-circumference instead
+    # of propagating NULL
+    clamped = F.when(a > 1.0, F.lit(1.0)).otherwise(a)
+    return F.lit(2.0 * R_MEAN) * F.asin(F.sqrt(clamped))
 
 
 def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:

@@ -233,3 +233,20 @@ def test_spatial_clusters_semantics(spark):
     # rounds; 1 round must raise, not silently split
     with pytest.raises(ValueError, match="did not converge"):
         spatial_clusters(df, eps_m=120.0, iterations=1)
+
+
+def test_haversine_null_propagates(spark):
+    """A null coordinate must yield a NULL distance — Spark's least()
+    skips nulls, which silently clamped to asin(1) (half circumference)
+    before the fix."""
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.geo.sphere import haversine_m
+
+    df = spark.createDataFrame(
+        [(None, None, 10.0, 20.0)], "lon1 double, lat1 double, lon2 double, lat2 double"
+    )
+    got = df.select(
+        haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")
+    ).collect()[0]["d"]
+    assert got is None
