@@ -2453,6 +2453,57 @@ ORACLES["track_lengths"] = f"""
 """
 
 
+def _bearing_oracle() -> str:
+    from landlensdb_spark.geo.sphere import align_heading_sql, bearing_sql
+
+    b = bearing_sql("lon1", "lat1", "lon2", "lat2")
+    return f"""
+    WITH p AS (
+      SELECT o_orderkey AS key,
+             {synth.lon_sql('o_orderkey')} AS lon1,
+             {synth.lat_sql('o_orderkey')} AS lat1,
+             {synth.probe_lon_sql('o_orderkey')} AS lon2,
+             {synth.probe_lat_sql('o_orderkey')} AS lat2,
+             CAST((o_orderkey * 37) % 360 AS DOUBLE) AS compass
+      FROM orders WHERE o_orderkey < 5000
+    ),
+    bb AS (SELECT key, compass, {b} AS b FROM p)
+    SELECT key, round(b, 4) AS bearing,
+           round({align_heading_sql('b', 'compass')}, 4) AS heading
+    FROM bb
+    """
+
+
+@query("bearing_align", None)
+def q_bearing_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward azimuth + compass-aligned heading (the reference's
+    _get_heading semantics, snap.py:147-153) as pure column math
+    (geo/sphere.bearing_deg / align_heading_col) between each key's point
+    and its probe twin, compass from key arithmetic."""
+    from landlensdb_spark.geo.sphere import align_heading_col, bearing_deg
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    p = o.filter(k < 5000).select(
+        k.alias("key"),
+        synth.lon_col(k).alias("lon1"),
+        synth.lat_col(k).alias("lat1"),
+        synth.probe_lon_col(k).alias("lon2"),
+        synth.probe_lat_col(k).alias("lat2"),
+        ((k * 37) % 360).cast("double").alias("compass"),
+    )
+    b = bearing_deg(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"))
+    p = p.withColumn("_b", b)
+    return p.select(
+        "key",
+        F.round("_b", 4).alias("bearing"),
+        F.round(align_heading_col(F.col("_b"), F.col("compass")), 4).alias("heading"),
+    )
+
+
+ORACLES["bearing_align"] = _bearing_oracle()
+
+
 _SEM_CC_ITERS = 5
 
 
@@ -3697,6 +3748,7 @@ _DRIVER_WINDOW_FIRST = [
     "jpeg_progressive_roundtrip",
     "track_lengths",
     "semantic_dup_clusters",
+    "bearing_align",
 ]
 
 

@@ -50,6 +50,55 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     )
 
 
+def bearing_deg(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Forward azimuth in degrees [0, 360) — the column twin of
+    geo/geometry.bearing (same formula the reference's heading logic
+    uses, snap.py:147-153)."""
+    dlon = F.radians(lon2 - lon1)
+    x = F.sin(dlon) * F.cos(F.radians(lat2))
+    y = F.cos(F.radians(lat1)) * F.sin(F.radians(lat2)) - F.sin(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.cos(dlon)
+    return F.pmod(F.degrees(F.atan2(x, y)) + F.lit(360.0), F.lit(360.0))
+
+
+def bearing_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """The same azimuth as ANSI SQL (DuckDB oracle twin)."""
+    dlon = f"radians(({lon2}) - ({lon1}))"
+    x = f"sin({dlon}) * cos(radians({lat2}))"
+    y = (
+        f"cos(radians({lat1})) * sin(radians({lat2}))"
+        f" - sin(radians({lat1})) * cos(radians({lat2})) * cos({dlon})"
+    )
+    return f"(degrees(atan2({x}, {y})) + 360.0) % 360.0"
+
+
+def align_heading_col(seg_bearing: Column, compass: Column) -> Column:
+    """Segment bearing or its reverse, whichever is angularly closer to
+    the compass angle — column twin of geo/geometry.align_heading."""
+    rev = F.pmod(seg_bearing + F.lit(180.0), F.lit(360.0))
+    d_fwd = F.abs(
+        F.pmod(seg_bearing - compass + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+    )
+    d_rev = F.abs(F.pmod(rev - compass + F.lit(180.0), F.lit(360.0)) - F.lit(180.0))
+    return F.when(d_fwd <= d_rev, seg_bearing).otherwise(rev)
+
+
+def align_heading_sql(b: str, compass: str) -> str:
+    """SQL twin of align_heading_col; the double-%% makes the modulo
+    non-negative like Spark's pmod (plain %% keeps the dividend's sign)."""
+
+    def pmod(x: str) -> str:
+        return f"((({x}) % 360.0 + 360.0) % 360.0)"
+
+    rev = pmod(f"({b}) + 180.0")
+    d_fwd = f"abs({pmod(f'({b}) - ({compass}) + 180.0')} - 180.0)"
+    d_rev = f"abs({pmod(f'{rev} - ({compass}) + 180.0')} - 180.0)"
+    return f"CASE WHEN {d_fwd} <= {d_rev} THEN ({b}) ELSE {rev} END"
+
+
 def np_haversine_m(lon1, lat1, lon2, lat2):
     """numpy twin for tests."""
     import numpy as np

@@ -250,3 +250,30 @@ def test_haversine_null_propagates(spark):
         haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")
     ).collect()[0]["d"]
     assert got is None
+
+
+def test_bearing_column_matches_numpy_twin(spark):
+    """geo/sphere.bearing_deg / align_heading_col must agree with the
+    numpy geometry twins the snap operator uses."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.geo.geometry import align_heading, bearing
+    from landlensdb_spark.geo.sphere import align_heading_col, bearing_deg
+
+    rng = np.random.default_rng(11)
+    lon1, lat1 = rng.uniform(-179, 179, 200), rng.uniform(-80, 80, 200)
+    lon2, lat2 = rng.uniform(-179, 179, 200), rng.uniform(-80, 80, 200)
+    compass = rng.uniform(0, 360, 200)
+    rows = [tuple(map(float, t)) for t in zip(lon1, lat1, lon2, lat2, compass)]
+    df = spark.createDataFrame(
+        rows, "lon1 double, lat1 double, lon2 double, lat2 double, compass double"
+    )
+    b = bearing_deg(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"))
+    out = df.select(
+        b.alias("b"), align_heading_col(b, F.col("compass")).alias("h")
+    ).toPandas()
+    want_b = bearing(lon1, lat1, lon2, lat2)
+    want_h = align_heading(want_b, compass)
+    assert np.allclose(out["b"], want_b, atol=1e-9)
+    assert np.allclose(out["h"], want_h, atol=1e-9)
