@@ -2453,6 +2453,107 @@ ORACLES["track_lengths"] = f"""
 """
 
 
+@query(
+    "scalar_funcs",
+    """
+    WITH k AS (
+      SELECT o_orderkey AS key,
+             1 + o_orderkey % 12 AS mo, 1 + (o_orderkey * 3) % 28 AS dy,
+             (o_orderkey % 40) / 10.0 AS focal,
+             o_orderkey % 4 AS mc
+      FROM orders WHERE o_orderkey < 5000
+    ),
+    s AS (
+      SELECT key, focal, mc,
+             '2023-' || lpad(CAST(mo AS VARCHAR), 2, '0') || '-'
+                     || lpad(CAST(dy AS VARCHAR), 2, '0') AS ds,
+             '2023:' || lpad(CAST(mo AS VARCHAR), 2, '0') || ':'
+                     || lpad(CAST(dy AS VARCHAR), 2, '0') || ' 10:30:05' AS es,
+             CASE mc WHEN 0 THEN 'https://img.example.com/p/photo' || CAST(key AS VARCHAR) || '.jpg'
+                     WHEN 1 THEN 'https://cdn.example.com/x/clip' || CAST(key AS VARCHAR) || '.PNG'
+                     WHEN 2 THEN 'https://example.com/placeholder/img' || CAST(key AS VARCHAR) || '.gif'
+                     ELSE 'ftp://old.example.com/f' || CAST(key AS VARCHAR) || '.jpeg' END AS url,
+             CASE mc WHEN 0 THEN 'RICOH THETA SC' WHEN 1 THEN 'Canon EOS'
+                     WHEN 2 THEN '' ELSE NULL END AS model
+      FROM k
+    )
+    SELECT key,
+           CAST(epoch(strptime(ds, '%Y-%m-%d')) * 1000 AS BIGINT) AS d_ms,
+           CAST(epoch(strptime(ds, '%Y-%m-%d')) * 1000 + 86399999 AS BIGINT) AS d_eod_ms,
+           CAST(epoch(strptime(es, '%Y:%m:%d %H:%M:%S')) AS BIGINT) AS exif_s,
+           regexp_extract(url, '([^/]+?)(\\.[^/.]*)?$', 1) AS stem,
+           (url LIKE 'http%' AND url NOT LIKE '%placeholder%') AS downloadable,
+           regexp_matches(lower(url), '\\.(png|jpe?g)$') AS img_ext,
+           CASE WHEN (focal = 0.0) AND (model IS NULL OR model = '') THEN NULL
+                WHEN model = 'RICOH THETA SC' THEN '360-degree'
+                WHEN focal < 1.5 THEN 'fisheye'
+                ELSE 'perspective' END AS cam_type,
+           CASE WHEN model IS NULL THEN NULL
+                ELSE CAST(focal AS VARCHAR) || ',0.1,-0.05' END AS params
+    FROM s
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function family (F5/F6/F9/F10/P9 + url stem) through
+    real column expressions against one arithmetic oracle: date +
+    EXIF-timestamp parsing to epoch, end-of-day variant, URL stem /
+    downloadable / image-extension predicates, camera-type inference
+    (360-table, fisheye threshold, missing-input gate) and the
+    null-gated camera-params CSV."""
+    from landlensdb_spark import functions as FN
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mo, dy = 1 + k % 12, 1 + (k * 3) % 28
+    pad2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    base = o.filter(k < 5000).select(
+        k.alias("key"),
+        ((k % 40) / 10.0).alias("focal"),
+        (k % 4).alias("mc"),
+        F.concat(F.lit("2023-"), pad2(mo), F.lit("-"), pad2(dy)).alias("ds"),
+        F.concat(
+            F.lit("2023:"), pad2(mo), F.lit(":"), pad2(dy), F.lit(" 10:30:05")
+        ).alias("es"),
+    )
+    url = (
+        F.when(F.col("mc") == 0,
+               F.concat(F.lit("https://img.example.com/p/photo"),
+                        F.col("key").cast("string"), F.lit(".jpg")))
+        .when(F.col("mc") == 1,
+              F.concat(F.lit("https://cdn.example.com/x/clip"),
+                       F.col("key").cast("string"), F.lit(".PNG")))
+        .when(F.col("mc") == 2,
+              F.concat(F.lit("https://example.com/placeholder/img"),
+                       F.col("key").cast("string"), F.lit(".gif")))
+        .otherwise(F.concat(F.lit("ftp://old.example.com/f"),
+                            F.col("key").cast("string"), F.lit(".jpeg")))
+    )
+    model = (
+        F.when(F.col("mc") == 0, F.lit("RICOH THETA SC"))
+        .when(F.col("mc") == 1, F.lit("Canon EOS"))
+        .when(F.col("mc") == 2, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    s = base.withColumn("url", url).withColumn("model", model)
+    return s.select(
+        "key",
+        FN.date_to_epoch_ms(F.col("ds")).alias("d_ms"),
+        FN.date_to_epoch_ms(F.col("ds"), end_of_day=True).alias("d_eod_ms"),
+        F.unix_timestamp(FN.exif_datetime(F.col("es"))).alias("exif_s"),
+        FN.url_stem(F.col("url")).alias("stem"),
+        FN.is_downloadable(F.col("url")).alias("downloadable"),
+        FN.has_image_ext(F.col("url")).alias("img_ext"),
+        FN.camera_type(F.col("focal"), F.col("model")).alias("cam_type"),
+        # k1 is null exactly when the model is: exercises the any-null ->
+        # NULL gate (concat_ws alone would silently skip the null)
+        FN.camera_params_csv(
+            F.col("focal"),
+            F.when(F.col("model").isNotNull(), F.lit(0.1)),
+            F.lit(-0.05),
+        ).alias("params"),
+    )
+
+
 def _bearing_oracle() -> str:
     from landlensdb_spark.geo.sphere import align_heading_sql, bearing_sql
 
@@ -3749,6 +3850,7 @@ _DRIVER_WINDOW_FIRST = [
     "track_lengths",
     "semantic_dup_clusters",
     "bearing_align",
+    "scalar_funcs",
 ]
 
 
