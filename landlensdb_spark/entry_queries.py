@@ -2459,7 +2459,10 @@ ORACLES["track_lengths"] = f"""
     WITH k AS (
       SELECT o_orderkey AS key,
              1 + o_orderkey % 12 AS mo, 1 + (o_orderkey * 3) % 28 AS dy,
-             (o_orderkey % 40) / 10.0 AS focal,
+             -- focal zeroes on k%5=4, DECOUPLED from the model class
+             -- (k%4) so the both-missing -> NULL gate actually fires
+             CASE WHEN o_orderkey % 5 = 4 THEN 0.0
+                  ELSE (1 + o_orderkey % 30) / 10.0 END AS focal,
              o_orderkey % 4 AS mc
       FROM orders WHERE o_orderkey < 5000
     ),
@@ -2508,7 +2511,9 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pad2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
     base = o.filter(k < 5000).select(
         k.alias("key"),
-        ((k % 40) / 10.0).alias("focal"),
+        # focal zeroes on k%5=4, decoupled from the model class (k%4) so
+        # the both-missing -> NULL gate actually fires (review finding)
+        F.when(k % 5 == 4, F.lit(0.0)).otherwise((1 + k % 30) / 10.0).alias("focal"),
         (k % 4).alias("mc"),
         F.concat(F.lit("2023-"), pad2(mo), F.lit("-"), pad2(dy)).alias("ds"),
         F.concat(
@@ -3851,6 +3856,9 @@ _DRIVER_WINDOW_FIRST = [
     "semantic_dup_clusters",
     "bearing_align",
     "scalar_funcs",
+    # pinned: carries the north-star byte-identical-extracted-text
+    # invariant — must stay inside the driver's hard signal
+    "extract_text",
 ]
 
 

@@ -40,13 +40,17 @@ def haversine_m(
 
 
 def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
-    """The same formula as ANSI SQL (the DuckDB oracle twin)."""
-    return (
-        f"2.0 * {R_MEAN!r} * asin(sqrt(least("
-        f"sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
+    """The same formula as ANSI SQL (the DuckDB oracle twin). The clamp is
+    a CASE, not least(): DuckDB's least() also skips NULLs, which would
+    turn a null coordinate into a phantom half-circumference exactly like
+    the Spark bug this mirrors (null in -> null out on both engines)."""
+    a = (
+        f"(sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
         f" + cos(radians({lat1})) * cos(radians({lat2}))"
-        f" * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2)"
-        f", 1.0)))"
+        f" * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2))"
+    )
+    return (
+        f"2.0 * {R_MEAN!r} * asin(sqrt(CASE WHEN {a} > 1.0 THEN 1.0 ELSE {a} END))"
     )
 
 
@@ -77,13 +81,18 @@ def bearing_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
 
 def align_heading_col(seg_bearing: Column, compass: Column) -> Column:
     """Segment bearing or its reverse, whichever is angularly closer to
-    the compass angle — column twin of geo/geometry.align_heading."""
+    the compass angle — column twin of geo/geometry.align_heading. A NULL
+    compass yields NULL (without the guard, when(NULL <= NULL) is
+    not-true and the otherwise() branch would return the REVERSE bearing
+    as confident garbage — missing camera headings are routine)."""
     rev = F.pmod(seg_bearing + F.lit(180.0), F.lit(360.0))
     d_fwd = F.abs(
         F.pmod(seg_bearing - compass + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
     )
     d_rev = F.abs(F.pmod(rev - compass + F.lit(180.0), F.lit(360.0)) - F.lit(180.0))
-    return F.when(d_fwd <= d_rev, seg_bearing).otherwise(rev)
+    return F.when(compass.isNull() | seg_bearing.isNull(), F.lit(None)).otherwise(
+        F.when(d_fwd <= d_rev, seg_bearing).otherwise(rev)
+    )
 
 
 def align_heading_sql(b: str, compass: str) -> str:

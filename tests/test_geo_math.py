@@ -277,3 +277,18 @@ def test_bearing_column_matches_numpy_twin(spark):
     want_h = align_heading(want_b, compass)
     assert np.allclose(out["b"], want_b, atol=1e-9)
     assert np.allclose(out["h"], want_h, atol=1e-9)
+
+
+def test_align_heading_null_compass_yields_null(spark):
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.geo.sphere import align_heading_col
+
+    df = spark.createDataFrame([(90.0, None), (90.0, 260.0)], "b double, c double")
+    got = [
+        r["h"]
+        for r in df.select(align_heading_col(F.col("b"), F.col("c")).alias("h"))
+        .collect()
+    ]
+    assert got[0] is None  # no confident backwards garbage on missing compass
+    assert got[1] == 270.0  # reverse is closer to 260
