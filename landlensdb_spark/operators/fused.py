@@ -135,6 +135,14 @@ def extract_pip(
             )
         return _worker_cache[key]
 
+    # ship ONLY the needed columns through the Arrow boundary: the python
+    # stage reads `html` + the kept columns, but mapInPandas serializes
+    # every input column — on the bench pages table the unused `text`
+    # column alone is ~1/3 of the transferred bytes
+    pages = pages.select(*keep_names, html) if html not in keep_names else (
+        pages.select(*keep_names)
+    )
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cover_pdf, res_sorted, state = _get_state()
         for pdf in batches:
