@@ -166,7 +166,9 @@ def main() -> None:
     # ---- q4: per-tile export catalog at z12 --------------------------------
     def q_tiles():
         pages = spark.read.parquet(pages_path)
-        geo = extract_geotags(pages, with_text=False).select("url", "lon", "lat")
+        geo = extract_geotags(pages, with_text=False, keep=["url"]).select(
+            "url", "lon", "lat"
+        )
         return tile_stats(geo, zoom=12).count()
 
     n_exp = timed("tile_export", q_tiles)

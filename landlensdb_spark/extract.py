@@ -158,6 +158,7 @@ def extract_geotags(
     drop_untagged: bool = True,
     drop_html: bool = True,
     with_text: bool = True,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Attach ``lat``/``lon``/``text_extracted`` columns extracted from ``html``.
 
@@ -173,16 +174,30 @@ def extract_geotags(
     AND the (dominant) Python->JVM string transfer; mapInPandas is a plan
     barrier, so Catalyst cannot column-prune through it and the caller must
     ask for the narrow output explicitly.
+
+    ``keep`` restricts the pass-through columns: mapInPandas serializes
+    every INPUT column across the Arrow boundary, so narrow pipelines
+    (e.g. url-only tiling) should name just what they need — the heavy
+    ``text`` column otherwise rides the transfer both ways for nothing.
     """
     from collections.abc import Iterator
 
-    keep = [f for f in df.schema.fields if not (drop_html and f.name == html)]
+    fields = [
+        f
+        for f in df.schema.fields
+        if (keep is None and not (drop_html and f.name == html))
+        or (keep is not None and f.name in keep)
+    ]
     out_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in keep]
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
         + ["lat double", "lon double"]
         + (["text_extracted string"] if with_text else [])
     )
-    keep_names = [f.name for f in keep]
+    keep_names = [f.name for f in fields]
+    if keep is not None:  # prune the Arrow transfer, not just the output
+        df = df.select(*keep_names, html) if html not in keep_names else (
+            df.select(*keep_names)
+        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
