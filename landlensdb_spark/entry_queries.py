@@ -2392,6 +2392,44 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("key", "width", "height", "n_frames", "codec", "ok")
 
 
+@query(
+    "pipeline_lineage",
+    """
+    SELECT CAST(i % 8 AS INTEGER) AS unit,
+           CAST(count(*) AS BIGINT) AS rows_in,
+           CAST(sum(CASE WHEN i % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_out
+    FROM (SELECT unnest(range(3000)) AS i) GROUP BY 1
+    """,
+)
+def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star resumable job END TO END under the hard signal:
+    run_geo_pipeline buckets the pages, runs the fused extract->PIP->tile
+    stage per bucket with dynamic-partition-overwrite, and logs
+    (unit, rows_in, rows_out) lineage to the checkpoint table — which is
+    what this query returns. Bucketing is injected as a SQL-reproducible
+    url-suffix key so the oracle can restate both counts: rows_in = pages
+    per bucket, rows_out = tile rows (every 5th page is untagged and
+    drops; every tagged page lands in exactly one grid polygon)."""
+    import tempfile
+
+    from landlensdb_spark.checkpoint import CheckpointTable
+    from landlensdb_spark.pipeline import run_geo_pipeline
+
+    d = tempfile.mkdtemp(prefix="llb_pipe_")
+    pages = tables.pages(spark, 3000, num_partitions=8)
+    polys = synth.admin_polygons(spark)
+    ckpt = CheckpointTable(spark, f"{d}/ckpt")
+    bucket = F.substring(F.col("url"), -8, 8).cast("int") % 8
+    run_geo_pipeline(
+        spark, pages, polys, f"{d}/out", ckpt, n_buckets=8, bucket_expr=bucket
+    )
+    return ckpt.read().select(
+        F.col("unit_id").cast("int").alias("unit"),
+        F.col("rows_in").cast("long").alias("rows_in"),
+        F.col("rows_out").cast("long").alias("rows_out"),
+    )
+
+
 def _track_hav_sql() -> str:
     from landlensdb_spark.geo.sphere import haversine_sql
 

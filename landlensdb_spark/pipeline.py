@@ -43,19 +43,23 @@ def run_geo_pipeline(
     run_id: str | None = None,
     fail_buckets: set[int] | None = None,
     zoom: int = 14,
+    bucket_expr=None,
 ) -> dict:
     """Run (or resume) the headline pipeline; returns per-run metrics.
 
     ``fail_buckets`` injects a crash after those buckets would have been
     processed — the idempotency test kills a run mid-way and asserts the
     resumed run produces the identical final table with no duplicate work.
+    ``bucket_expr`` overrides the default xxhash64 url bucketing with any
+    deterministic int Column in [0, n_buckets) — e.g. a SQL-reproducible
+    key for cross-engine lineage verification.
     """
     import uuid
 
     run_id = run_id or uuid.uuid4().hex[:12]
-    bucketed = pages.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
-    )
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets))
+    bucketed = pages.withColumn("_bucket", bucket_expr.cast("int"))
     work = bucketed.select("_bucket").distinct().withColumnRenamed("_bucket", "unit")
     pending = [r.unit for r in ckpt.pending(work, STAGE, "unit").collect()]
     done: list[tuple] = []
