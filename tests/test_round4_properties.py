@@ -77,3 +77,39 @@ def test_ring_stats_matches_numpy_shoelace(spark, pts):
     assert abs(r["area"] - area) < 1e-9
     assert abs(r["cx"] - cx) < 1e-9
     assert abs(r["cy"] - cy) < 1e-9
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=8, max_value=24),
+    st.integers(min_value=8, max_value=24),
+    st.booleans(),
+    st.integers(min_value=0, max_value=255),
+)
+def test_mjpeg_avi_roundtrip_property(n_frames, h, w, color, seed):
+    """Arbitrary frame stacks survive the AVI container: meta matches,
+    every frame chunk is the byte-exact JPEG the encoder produced, and
+    decoding through the container equals decoding the frame directly."""
+    from landlensdb_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+    from landlensdb_spark.operators.video import (
+        avi_meta,
+        encode_mjpeg_avi,
+        mjpeg_frames,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    frames = [rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(n_frames)]
+    blob = encode_mjpeg_avi(frames, fps=12)
+    assert avi_meta(blob)[:3] == (w, h, n_frames)
+    chunks = mjpeg_frames(blob)
+    assert len(chunks) == n_frames
+    enc = encode_jpeg_color if color else encode_jpeg_gray
+    for f, c in zip(frames, chunks):
+        assert c == enc(f, 85)  # container adds nothing, drops nothing
+        assert np.array_equal(decode_jpeg(c), decode_jpeg(enc(f, 85)))
