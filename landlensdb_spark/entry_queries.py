@@ -2392,6 +2392,86 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("key", "width", "height", "n_frames", "codec", "ok")
 
 
+_SINK_PTS_SQL = f"""
+      SELECT o_orderkey AS key,
+             round({synth.lon_sql('o_orderkey')}, 6) AS lon,
+             round({synth.lat_sql('o_orderkey')}, 6) AS lat
+      FROM orders WHERE o_orderkey < 2000
+"""
+
+
+def _sink_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.filter(k < 2000).select(
+        k.alias("key"),
+        F.round(synth.lon_col(k), 6).alias("lon"),
+        F.round(synth.lat_col(k), 6).alias("lat"),
+    )
+
+
+@query("geojson_roundtrip", f"SELECT * FROM ({_SINK_PTS_SQL})")
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GeoJSON file sink through REAL bytes on disk: write the point
+    set as a FeatureCollection (export.write_geojson), parse the file
+    back with a plain json.load, and return the recovered rows — any
+    coordinate/property loss or malformed JSON breaks the hash. (The
+    sink is the bounded edge export; the distributed sink for full tables
+    stays spatially-sorted parquet.)"""
+    import json
+    import tempfile
+
+    from landlensdb_spark.export import write_geojson
+
+    pts = _sink_points(spark, sf_dir)
+    path = tempfile.mktemp(prefix="llb_geojson_", suffix=".json")
+    n = write_geojson(pts, path, properties=["key"], limit=5000)
+    with open(path) as f:
+        fc = json.load(f)
+    if fc["type"] != "FeatureCollection" or len(fc["features"]) != n:
+        raise ValueError("malformed FeatureCollection")
+    rows = [
+        (
+            int(ft["properties"]["key"]),
+            float(ft["geometry"]["coordinates"][0]),
+            float(ft["geometry"]["coordinates"][1]),
+        )
+        for ft in fc["features"]
+    ]
+    return spark.createDataFrame(rows, "key long, lon double, lat double")
+
+
+@query("gpkg_roundtrip", f"SELECT * FROM ({_SINK_PTS_SQL})")
+def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GeoPackage sink through REAL sqlite bytes: write the point set
+    (export.write_gpkg — OGC spec tables + GeoPackageBinary blobs), reopen
+    the file with stdlib sqlite3, parse each blob's header + WKB point
+    doubles, and return the recovered rows."""
+    import sqlite3
+    import struct
+    import tempfile
+
+    from landlensdb_spark.export import write_gpkg
+
+    pts = _sink_points(spark, sf_dir)
+    path = tempfile.mktemp(prefix="llb_gpkg_", suffix=".gpkg")
+    write_gpkg(pts, path, layer="pts")
+    con = sqlite3.connect(path)
+    rows = []
+    for key, blob in con.execute('SELECT "key", geom FROM "pts"'):
+        if blob[:2] != b"GP":
+            raise ValueError("bad GeoPackageBinary magic")
+        # 8-byte header + 4-double envelope, then WKB point (LE: byte
+        # order, type uint32, x, y)
+        wkb = blob[8 + 32 :]
+        if wkb[0] != 1 or struct.unpack_from("<I", wkb, 1)[0] != 1:
+            raise ValueError("not a little-endian WKB point")
+        x, y = struct.unpack_from("<2d", wkb, 5)
+        rows.append((int(key), float(x), float(y)))
+    con.close()
+    return spark.createDataFrame(rows, "key long, lon double, lat double")
+
+
 @query(
     "pipeline_lineage",
     """
