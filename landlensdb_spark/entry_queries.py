@@ -2419,15 +2419,20 @@ def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink is the bounded edge export; the distributed sink for full tables
     stays spatially-sorted parquet.)"""
     import json
+    import os
     import tempfile
 
     from landlensdb_spark.export import write_geojson
 
     pts = _sink_points(spark, sf_dir)
-    path = tempfile.mktemp(prefix="llb_geojson_", suffix=".json")
-    n = write_geojson(pts, path, properties=["key"], limit=5000)
-    with open(path) as f:
-        fc = json.load(f)
+    fd, path = tempfile.mkstemp(prefix="llb_geojson_", suffix=".json")
+    os.close(fd)
+    try:
+        n = write_geojson(pts, path, properties=["key"], limit=5000)
+        with open(path) as f:
+            fc = json.load(f)
+    finally:
+        os.unlink(path)
     if fc["type"] != "FeatureCollection" or len(fc["features"]) != n:
         raise ValueError("malformed FeatureCollection")
     rows = [
@@ -2447,6 +2452,7 @@ def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (export.write_gpkg — OGC spec tables + GeoPackageBinary blobs), reopen
     the file with stdlib sqlite3, parse each blob's header + WKB point
     doubles, and return the recovered rows."""
+    import os
     import sqlite3
     import struct
     import tempfile
@@ -2454,21 +2460,26 @@ def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landlensdb_spark.export import write_gpkg
 
     pts = _sink_points(spark, sf_dir)
-    path = tempfile.mktemp(prefix="llb_gpkg_", suffix=".gpkg")
-    write_gpkg(pts, path, layer="pts")
-    con = sqlite3.connect(path)
+    # mkstemp (not mktemp): an empty pre-created file is a fresh sqlite db
+    fd, path = tempfile.mkstemp(prefix="llb_gpkg_", suffix=".gpkg")
+    os.close(fd)
     rows = []
-    for key, blob in con.execute('SELECT "key", geom FROM "pts"'):
-        if blob[:2] != b"GP":
-            raise ValueError("bad GeoPackageBinary magic")
-        # 8-byte header + 4-double envelope, then WKB point (LE: byte
-        # order, type uint32, x, y)
-        wkb = blob[8 + 32 :]
-        if wkb[0] != 1 or struct.unpack_from("<I", wkb, 1)[0] != 1:
-            raise ValueError("not a little-endian WKB point")
-        x, y = struct.unpack_from("<2d", wkb, 5)
-        rows.append((int(key), float(x), float(y)))
-    con.close()
+    try:
+        write_gpkg(pts, path, layer="pts")
+        con = sqlite3.connect(path)
+        for key, blob in con.execute('SELECT "key", geom FROM "pts"'):
+            if blob[:2] != b"GP":
+                raise ValueError("bad GeoPackageBinary magic")
+            # 8-byte header + 4-double envelope, then WKB point (LE: byte
+            # order, type uint32, x, y)
+            wkb = blob[8 + 32 :]
+            if wkb[0] != 1 or struct.unpack_from("<I", wkb, 1)[0] != 1:
+                raise ValueError("not a little-endian WKB point")
+            x, y = struct.unpack_from("<2d", wkb, 5)
+            rows.append((int(key), float(x), float(y)))
+        con.close()
+    finally:
+        os.unlink(path)
     return spark.createDataFrame(rows, "key long, lon double, lat double")
 
 

@@ -182,6 +182,10 @@ def extract_geotags(
     """
     from collections.abc import Iterator
 
+    if keep is not None:
+        unknown = sorted(set(keep) - {f.name for f in df.schema.fields})
+        if unknown:  # loud: a typo must not silently narrow the output
+            raise ValueError(f"keep= names not in the input schema: {unknown}")
     fields = [
         f
         for f in df.schema.fields

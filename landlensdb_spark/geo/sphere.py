@@ -105,7 +105,13 @@ def align_heading_sql(b: str, compass: str) -> str:
     rev = pmod(f"({b}) + 180.0")
     d_fwd = f"abs({pmod(f'({b}) - ({compass}) + 180.0')} - 180.0)"
     d_rev = f"abs({pmod(f'{rev} - ({compass}) + 180.0')} - 180.0)"
-    return f"CASE WHEN {d_fwd} <= {d_rev} THEN ({b}) ELSE {rev} END"
+    # NULL guard mirrors align_heading_col: without it a NULL compass makes
+    # the d_fwd comparison not-true and the ELSE returns the REVERSE bearing
+    # as confident garbage while the Spark twin returns NULL
+    return (
+        f"CASE WHEN ({compass}) IS NULL OR ({b}) IS NULL THEN NULL"
+        f" WHEN {d_fwd} <= {d_rev} THEN ({b}) ELSE {rev} END"
+    )
 
 
 def np_haversine_m(lon1, lat1, lon2, lat2):
