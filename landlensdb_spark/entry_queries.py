@@ -3942,52 +3942,64 @@ def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in/out split per round is documented in COVERAGE.md.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # round-3 ops + round-2 stragglers: never driver-checked before round 4
-    "warc_scan",
-    "jpeg_roundtrip",
-    "pagerank_hosts",
-    "bm25_docs",
-    "postings_stats",
-    "repeated_spans",
-    "span_scrub",
-    "corpus_prep",
-    "lm_scores",
-    "dup_clusters",
-    "robots_gate",
-    "crawl_schedule",
-    "knn_self",
-    "length_quantiles",
-    "balanced_docs",
-    "token_shards",
-    "pii_redact",
-    "stratified_docs",
-    "hash_sample_docs",
-    "contamination_docs",
-    "first_per_source",
-    "fetch_plan",
-    "mvt_build",
-    "raster_density",
-    # round-4 additions (never checked before, by definition)
-    "jpeg_color_roundtrip",
-    "snapshot_diff",
-    "stream_tiles",
-    "shape_stats",
-    "haversine_pairs",
-    "spatial_clusters",
-    "bpe_merges",
-    "media_meta",
-    "corpus_tokenize",
-    "doc_chunks",
-    "salted_tile_counts",
-    "fetch_local",
-    "jpeg_progressive_roundtrip",
-    "track_lengths",
-    "semantic_dup_clusters",
-    "bearing_align",
-    "scalar_funcs",
-    # pinned: carries the north-star byte-identical-extracted-text
-    # invariant — must stay inside the driver's hard signal
+    # --- round-5 rotation ---
+    # never driver-checked (landed in the last commits of round 4);
+    # pipeline_lineage is the north rule's resumable-lineage criterion
+    "pipeline_lineage",
+    "geojson_roundtrip",
+    "gpkg_roundtrip",
+    # canaries: paths whose implementation CHANGES in round 5 (BPE
+    # re-architecture, kNN fallback bound) plus the pinned north-star
+    # byte-identical-extracted-text invariant
     "extract_text",
+    "pip_admin",
+    "knn_points",
+    "knn_self",
+    "bpe_merges",
+    "corpus_tokenize",
+    # the 41 stalest rows: every one of these last saw a driver check in
+    # round 3 (hash-green there and in this round's local full sweep)
+    "coverage_ingest",
+    "extract_pip",
+    "extract_date_filter",
+    "extract_exif_real",
+    "bbox_scan",
+    "filter_dsl",
+    "distinct_priority",
+    "anti_join",
+    "agg_doc_stats",
+    "bounds_agg",
+    "argmin_lineitem",
+    "upsert_orders",
+    "window_events",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_sigs",
+    "minhash_lsh",
+    "simhash_docs",
+    "fingerprint_docs",
+    "line_dedup",
+    "token_stats",
+    "quality_docs",
+    "lang_pred",
+    "embed_topk",
+    "embed_ann_lsh",
+    "embed_near_dup",
+    "tile_bounds",
+    "pip_admin_named",
+    "snap_full",
+    "hilbert_cells",
+    "s2_cells",
+    "quad_leaves",
+    "localized_iso",
+    "sessionize_events",
+    "embed_ann_ivf",
+    "tile_pyramid",
+    "gopher_stats",
+    "url_normalize",
+    "host_stats",
+    "bloom_anti",
+    "geohash_cells",
 ]
 
 

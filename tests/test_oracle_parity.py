@@ -25,15 +25,39 @@ def test_every_query_has_an_oracle():
     )
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
+# The round-5 rotation, pinned VERBATIM so a refactor can't silently restore
+# build order: 3 never-driver-checked rows first (pipeline_lineage is the
+# north rule's resumable-lineage criterion), then 6 canaries on paths that
+# change in round 5 (BPE re-architecture, kNN fallback bound, north-star
+# extract_text), then the 41 rows whose last driver check was round 3.
+_R05_WINDOW = [
+    "pipeline_lineage", "geojson_roundtrip", "gpkg_roundtrip",
+    "extract_text", "pip_admin", "knn_points", "knn_self",
+    "bpe_merges", "corpus_tokenize",
+    "coverage_ingest", "extract_pip", "extract_date_filter",
+    "extract_exif_real", "bbox_scan", "filter_dsl", "distinct_priority",
+    "anti_join", "agg_doc_stats", "bounds_agg", "argmin_lineitem",
+    "upsert_orders", "window_events", "dedup_exact", "ngram_jaccard",
+    "minhash_sigs", "minhash_lsh", "simhash_docs", "fingerprint_docs",
+    "line_dedup", "token_stats", "quality_docs", "lang_pred",
+    "embed_topk", "embed_ann_lsh", "embed_near_dup", "tile_bounds",
+    "pip_admin_named", "snap_full", "hilbert_cells", "s2_cells",
+    "quad_leaves", "localized_iso", "sessionize_events", "embed_ann_ivf",
+    "tile_pyramid", "gopher_stats", "url_normalize", "host_stats",
+    "bloom_anti", "geohash_cells",
+]
+
+
 def test_driver_window_ordering():
-    """The driver hashes the FIRST 50 registered queries; pin that the
-    never-driver-checked set occupies the front of the window so a future
-    registration can't silently push them back out of the hard signal."""
+    """The driver hashes the FIRST 50 registered queries; pin the round-5
+    rotation list verbatim so neither a new registration nor a refactor can
+    silently push a window row back out of the hard signal."""
     from landlensdb_spark.entry_queries import _DRIVER_WINDOW_FIRST
 
+    assert _DRIVER_WINDOW_FIRST == _R05_WINDOW
     names = list(QUERIES)
     assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
-    assert len(_DRIVER_WINDOW_FIRST) <= 50
+    assert len(_DRIVER_WINDOW_FIRST) == 50
 
 
 TABLES = (
