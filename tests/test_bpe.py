@@ -56,6 +56,82 @@ def test_apply_bpe_encodes_with_learned_merges(spark):
     assert any(t.startswith("low") and len(t) > 2 for t in toks)
 
 
+def test_learn_bpe_job_count_constant_in_merges(spark):
+    """2000 merges must cost a CONSTANT number of Spark jobs (one corpus
+    pass + collect), not one job per merge round — at a real tokenizer
+    vocab (30k-50k merges) per-round jobs are weeks of submit latency."""
+    text = " ".join(
+        f"{a}{b}{c}" for a in "abcdef" for b in "ghijkl" for c in "mnopqr"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe2000", "bounded-jobs assertion")
+    try:
+        merges = learn_bpe(df, 2000)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(merges) > 100  # the tiny corpus still yields real merges
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe2000")
+    assert len(jobs) <= 4, f"learn_bpe(2000) ran {len(jobs)} jobs"
+
+
+def test_apply_bpe_equals_sequential_rank_order_replay(spark):
+    """The rank-priority pandas-UDF encode must reach the same fixed point
+    as replaying every merge sequentially in rank order (the twin the
+    oracle uses) — including self-pair overlap words and merge-created
+    adjacencies."""
+    texts = [
+        "aaa aa aaaa banana bandana",
+        "low low lower lowest newest",
+        "",
+        "   ",
+        "banana ana aaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = learn_bpe(df, 10)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe(df, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    import re
+
+    from landlensdb_spark.operators.bpe import EOW
+
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+    for i, t in enumerate(texts):
+        t = t.strip().lower()
+        want = []
+        for w in (ws.split(t) if t else []):
+            syms = list(w) + [EOW]
+            for _, lhs, rhs, _ in merges:  # sequential rank-order replay
+                out, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == lhs and syms[j + 1] == rhs:
+                        out.append(lhs + rhs)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            want.extend(syms)
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_learn_bpe_truncation_is_deterministic(spark):
+    """max_word_types truncation must select by (freq desc, word asc) —
+    the same table regardless of partitioning."""
+    text = "bb bb aa aa cc dd"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # keep only the 2 most frequent types: aa(2), bb(2) beat cc/dd on the
+    # word asc tie-break; merges learn only from those
+    merges = learn_bpe(df, 4, max_word_types=2)
+    learned_syms = {m[1] for m in merges} | {m[2] for m in merges}
+    assert "c" not in learned_syms and "d" not in learned_syms
+    assert merges == learn_bpe(df.repartition(7), 4, max_word_types=2)
+
+
 def test_bpe_python_twin_agrees_on_synthetic_docs(spark):
     """The oracle's independent dict implementation and the Spark fold
     must produce identical merge tables on a corpus with ties and

@@ -312,21 +312,38 @@ def test_spatial_cluster_candidates_are_equi_join(spark):
     assert _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "BroadcastHashJoin") == 1
 
 
-def test_bpe_pair_counts_map_side_combined(spark):
-    """Each BPE round's pair count must partial-aggregate before its
-    exchange (the per-round shuffle carries combined (pair, n) rows, not
-    one row per adjacent-pair occurrence)."""
-    from landlensdb_spark.operators.bpe import _initial_symbols, _pair_counts
+def test_bpe_word_table_map_side_combined(spark):
+    """learn_bpe's single corpus pass (the word-type groupBy) must
+    partial-aggregate before its exchange — the shuffle carries combined
+    (word, freq) rows, not one row per corpus token occurrence."""
+    from landlensdb_spark.operators.bpe import _words
 
-    words = spark.createDataFrame(
-        [("low", 5), ("newest", 6)], "word string, freq long"
-    ).select("freq", _initial_symbols(F.col("word")).alias("syms"))
+    docs = spark.createDataFrame(
+        [(1, "low low newest"), (2, "newest widest")], "doc_id long, text string"
+    )
     import re
 
-    plan = _plan(_pair_counts(words))
-    assert "partial_sum" in plan, plan
-    # tree shape: the Exchange's CHILD is the partial HashAggregate
+    plan = _plan(_words(docs, "text"))
+    assert "partial_count" in plan, plan
     assert re.search(r"Exchange \(\d+\)\n\s*\+- HashAggregate", plan), plan
+
+
+def test_apply_bpe_plan_depth_independent_of_merge_count(spark):
+    """The encode path must be ONE Arrow python stage whose plan does not
+    grow with the merge table: at real vocab sizes (30k-50k merges) a
+    per-merge expression chain would blow Catalyst analysis/codegen limits
+    long before data scale matters."""
+    from landlensdb_spark.operators.bpe import apply_bpe
+
+    docs = spark.createDataFrame([(1, "low lower")], "doc_id long, text string")
+    few = _plan(apply_bpe(docs, [(1, "l", "o", 9), (2, "lo", "w", 9)]))
+    many_merges = [(i + 1, f"x{i}", f"y{i}", 1) for i in range(2000)]
+    many = _plan(apply_bpe(docs, many_merges))
+    for plan in (few, many):
+        assert _n_nodes(plan, "ArrowEvalPython") == 1, plan
+        assert "aggregate(" not in plan, plan  # no higher-order fold chain
+    # the merge table rides in the UDF closure, not the plan tree
+    assert abs(len(many) - len(few)) < 200, (len(few), len(many))
 
 
 def test_pack_token_shards_single_data_shuffle(spark):
