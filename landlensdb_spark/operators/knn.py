@@ -180,6 +180,82 @@ def _dist2() -> Column:
     ) * (F.col("_py") - F.col("_ny"))
 
 
+def _certify_join(pts, prb_sub, res, r1c, k, maybe_bc, w):
+    """Certify-in-join pass at constant box radius ``r1c``: candidates come
+    from box ``r2c = ceil(sqrt(2)*(r1c+1))``; a probe whose box ``r1c``
+    holds >= k points is provably exact (every such point lies within
+    sqrt(2)*(r1c+1)*cell and anything outside box r2c is at least that
+    far). Needs no histogram — certification reads the ring tag riding the
+    exploded box, sharing the candidate join's one shuffle. Returns the
+    certified (_pid, _nid, dist2, rank) rows only."""
+    r2c = math.ceil(math.sqrt(2.0) * (r1c + 1))
+    probe_cells = (
+        prb_sub.withColumn("_dx", F.explode(F.sequence(F.lit(-r2c), F.lit(r2c))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-r2c), F.lit(r2c))))
+        .withColumn("_ring", F.greatest(F.abs("_dx"), F.abs("_dy")))
+        .withColumn(
+            "_jc", _cell_shift(F.col("_pcell"), F.col("_dx"), F.col("_dy"), res)
+        )
+        .filter(F.col("_jc").isNotNull())
+        .select("_pid", "_px", "_py", "_ring", "_jc")
+    )
+    wp = Window.partitionBy("_pid")
+    cand = (
+        pts.join(maybe_bc(probe_cells), F.col("_ncell") == F.col("_jc"), "inner")
+        .withColumn(
+            "_nclose",
+            F.sum(F.when(F.col("_ring") <= r1c, 1).otherwise(0)).over(wp),
+        )
+        .withColumn("dist2", _dist2())
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return cand.filter((F.col("_nclose") >= k) & (F.col("rank") <= k)).select(
+        "_pid", "_nid", "dist2", "rank"
+    )
+
+
+def _guarded_bruteforce(unresolved, pts, k, w, max_fallback_probes):
+    """Exact brute-force pass for probes no ring could certify, with a
+    LAZY size guard: the worst case is |unresolved| * N shuffle rows (a
+    batch of ocean probes against 10^9 points would detonate), so the
+    probe side is limited to ``max_fallback_probes + 1`` rows and a
+    row_number + assert_true column raises a clear runtime error when the
+    cap is exceeded — no driver-side count action, no aggregation node
+    (the fixed-ring path's zero-HashAggregate plan shape is preserved).
+    Under the cap the limit is a no-op, so results stay exact."""
+    sel = unresolved.select("_pid", "_px", "_py")
+    if max_fallback_probes is not None:
+        wg = Window.partitionBy(F.lit(1)).orderBy("_pid")
+        sel = (
+            sel.limit(max_fallback_probes + 1)
+            .withColumn("_rn", F.row_number().over(wg))
+            .withColumn(
+                "_g",
+                F.assert_true(
+                    F.col("_rn") <= F.lit(max_fallback_probes),
+                    F.lit(
+                        "knn_join: more than "
+                        f"{max_fallback_probes} probes fell through to the "
+                        "brute-force fallback (each one cross-joins the "
+                        "ENTIRE point table). The point field is too sparse "
+                        "for the grid: pass a coarser res, raise "
+                        "escalate_ring, or raise max_fallback_probes if the "
+                        "cross product is genuinely intended."
+                    ),
+                ),
+            )
+            .filter(F.col("_g").isNull())  # forces the assert; always true
+            .drop("_rn", "_g")
+        )
+    return (
+        sel.crossJoin(pts.drop("_ncell"))
+        .withColumn("dist2", _dist2())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("_pid", "_nid", "dist2", "rank")
+    )
+
+
 def knn_join(
     probes: DataFrame,
     points: DataFrame,
@@ -194,6 +270,8 @@ def knn_join(
     broadcast_probes: bool = True,
     persist_points: bool = False,
     fixed_ring: int | None = None,
+    escalate_ring: int | None = None,
+    max_fallback_probes: int | None = 10_000,
 ) -> DataFrame:
     """Exact k-nearest ``points`` for every probe row.
 
@@ -217,6 +295,15 @@ def knn_join(
     there, box 1 averages >= 4.5*(k/2) candidates, so nearly every probe
     certifies. Pass an int to force it, or rely on ``res=...`` to keep the
     adaptive path.
+
+    Probes the primary pass cannot certify get ONE wider certify-in-join
+    escalation at box ``escalate_ring`` (default: one more doubling,
+    ``max(2 * primary_reach, 4)``) before brute force, and the residual
+    brute-force pass is capped at ``max_fallback_probes`` probes — beyond
+    that the job RAISES instead of detonating an |unresolved| x N cross
+    product (None disables the cap). Both extra passes are lazy branches
+    of the same single action and see only the (normally empty) residual
+    probe set.
     """
     met_target = False
     if res is None:
@@ -245,38 +332,9 @@ def knn_join(
 
     if fixed_ring is not None:
         # -- fixed-ring fast path: no histogram, no ring selection ----------
-        # Certificate (same geometry as the adaptive path): if a probe's
-        # Chebyshev box r1c holds >= k points, they all lie within
-        # sqrt(2)*(r1c+1)*cell, and anything outside box
-        # r2c = ceil(sqrt(2)*(r1c+1)) is at least that far — so the top-k
-        # over the r2c candidates is exact. The within-r1c count is read off
-        # the candidate rows themselves (the ring tag rides the exploded
-        # box), so certification shares the candidate join's one shuffle.
-        r1c = fixed_ring
-        r2c = math.ceil(math.sqrt(2.0) * (r1c + 1))
-        probe_cells = (
-            prb.withColumn("_dx", F.explode(F.sequence(F.lit(-r2c), F.lit(r2c))))
-            .withColumn("_dy", F.explode(F.sequence(F.lit(-r2c), F.lit(r2c))))
-            .withColumn("_ring", F.greatest(F.abs("_dx"), F.abs("_dy")))
-            .withColumn(
-                "_jc", _cell_shift(F.col("_pcell"), F.col("_dx"), F.col("_dy"), res)
-            )
-            .filter(F.col("_jc").isNotNull())
-            .select("_pid", "_px", "_py", "_ring", "_jc")
-        )
-        wp = Window.partitionBy("_pid")
-        cand = (
-            pts.join(maybe_bc(probe_cells), F.col("_ncell") == F.col("_jc"), "inner")
-            .withColumn(
-                "_nclose",
-                F.sum(F.when(F.col("_ring") <= r1c, 1).otherwise(0)).over(wp),
-            )
-            .withColumn("dist2", _dist2())
-            .withColumn("rank", F.row_number().over(w))
-        )
-        topk = cand.filter((F.col("_nclose") >= k) & (F.col("rank") <= k)).select(
-            "_pid", "_nid", "dist2", "rank"
-        )
+        # Certify-in-join at constant box fixed_ring (_certify_join holds
+        # the certificate geometry); the within-r1c count rides the
+        # candidate join's one shuffle.
         # topk feeds BOTH the result union and the unresolved anti-join's
         # broadcast build; without a materialization point the candidate
         # join + window pipeline executes twice inside the one action
@@ -284,17 +342,17 @@ def knn_join(
         # local checkpoint: the broadcast-build job computes it first, the
         # union branch reuses the checkpointed blocks (released by the
         # ContextCleaner when the result is GC'd).
+        topk = _certify_join(pts, prb, res, fixed_ring, k, maybe_bc, w)
         topk = topk.localCheckpoint(eager=False)
         unresolved = prb.join(maybe_bc(topk.select("_pid")), "_pid", "left_anti")
-        fallback = (
-            unresolved.select("_pid", "_px", "_py")
-            .crossJoin(pts.drop("_ncell"))
-            .withColumn("dist2", _dist2())
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("_pid", "_nid", "dist2", "rank")
+        esc_ring = escalate_ring or max(2 * fixed_ring, 4)
+        esc = _certify_join(pts, unresolved, res, esc_ring, k, maybe_bc, w)
+        esc = esc.localCheckpoint(eager=False)
+        residual = unresolved.join(
+            maybe_bc(esc.select("_pid")), "_pid", "left_anti"
         )
-        return topk.unionByName(fallback).select(
+        fallback = _guarded_bruteforce(residual, pts, k, w, max_fallback_probes)
+        return topk.unionByName(esc).unionByName(fallback).select(
             F.col("_pid").alias(probe_id),
             F.col("_nid").alias(point_id),
             "dist2",
@@ -369,18 +427,17 @@ def knn_join(
         .select("_pid", "_nid", "dist2", "rank")
     )
 
-    # -- fallback: probes whose box `cap` holds < k points -> brute force ---
+    # -- fallback: probes whose box `cap` holds < k points ------------------
+    # one wider certify-in-join escalation (no histogram needed) before the
+    # capped brute-force residual
     unresolved = prb.join(maybe_bc(r1), "_pid", "left_anti")
-    fallback = (
-        unresolved.select("_pid", "_px", "_py")
-        .crossJoin(pts.drop("_ncell"))
-        .withColumn("dist2", _dist2())
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("_pid", "_nid", "dist2", "rank")
-    )
+    esc_ring = escalate_ring or max(2 * cap, 4)
+    esc = _certify_join(pts, unresolved, res, esc_ring, k, maybe_bc, w)
+    esc = esc.localCheckpoint(eager=False)
+    residual = unresolved.join(maybe_bc(esc.select("_pid")), "_pid", "left_anti")
+    fallback = _guarded_bruteforce(residual, pts, k, w, max_fallback_probes)
 
-    return topk.unionByName(fallback).select(
+    return topk.unionByName(esc).unionByName(fallback).select(
         F.col("_pid").alias(probe_id),
         F.col("_nid").alias(point_id),
         "dist2",

@@ -187,3 +187,90 @@ def test_auto_res_cache_misses_on_table_rewrite(spark, tmp_path):
     r_sparse = _auto_res(sparse, "lon", "lat", 5)
     assert r_sparse != r_dense, "stale res reused after rewrite"
     assert r_dense > r_sparse  # denser field -> finer grid
+
+
+def test_knn_escalation_resolves_without_cross_product(spark):
+    """A probe the primary fixed-ring pass cannot certify but the wider
+    escalation pass can must come back exact WITH BRUTE FORCE FORBIDDEN
+    (max_fallback_probes=0 raises on any residual probe) — proof the
+    escalation branch, not the cartesian, resolved it."""
+    import numpy as np
+
+    res = 14
+    cell_deg = 360.0 / (1 << res)
+    # 10 points inside one cell near the origin; probe ~3 cells east:
+    # box 1 around the probe is empty, box 4 (the default escalation for
+    # fixed_ring=1) contains all 10 points -> certified exact
+    nlon = 0.001 + np.arange(10) * 1e-5
+    nlat = np.full(10, 0.001)
+    pts = spark.createDataFrame(
+        [(int(j), float(a), float(b)) for j, (a, b) in enumerate(zip(nlon, nlat))],
+        "point_id long, lon double, lat double",
+    )
+    prb = spark.createDataFrame(
+        [(0, 0.001 + 3 * cell_deg, 0.001)], "probe_id long, lon double, lat double"
+    )
+    got = (
+        knn_join(
+            prb, pts, k=3, res=res, fixed_ring=1, max_fallback_probes=0
+        )
+        .orderBy("rank")
+        .toPandas()
+    )
+    want = brute_force_knn(
+        np.array([0.001 + 3 * cell_deg]), np.array([0.001]), nlon, nlat, 3
+    )
+    assert list(got["point_id"]) == [j for j, _ in want[0]]
+
+
+def test_knn_ocean_probes_hit_fallback_cap(spark):
+    """An all-ocean probe batch (nothing within any ring) larger than
+    max_fallback_probes must RAISE with the documented message instead of
+    detonating an |unresolved| x N cross product."""
+    import numpy as np
+    import pytest
+
+    i = np.arange(50, dtype=np.int64)
+    nlon, nlat = synth.np_lon(i * 101), synth.np_lat(i * 101)
+    pts = spark.createDataFrame(
+        [(int(j), float(a), float(b)) for j, (a, b) in enumerate(zip(nlon, nlat))],
+        "point_id long, lon double, lat double",
+    )
+    # 5 probes in the middle of nowhere at a very fine grid: no ring (not
+    # even the escalation) can certify them
+    prb = spark.createDataFrame(
+        [(int(j), -140.0 + j * 0.001, -45.0) for j in range(5)],
+        "probe_id long, lon double, lat double",
+    )
+    with pytest.raises(Exception, match="max_fallback_probes|brute-force"):
+        knn_join(
+            prb, pts, k=3, res=24, max_rounds=2, max_fallback_probes=2
+        ).collect()
+
+
+def test_knn_ocean_probes_under_cap_stay_exact(spark):
+    """The same all-ocean batch UNDER the cap still brute-forces exactly."""
+    import numpy as np
+
+    i = np.arange(50, dtype=np.int64)
+    nlon, nlat = synth.np_lon(i * 101), synth.np_lat(i * 101)
+    pts = spark.createDataFrame(
+        [(int(j), float(a), float(b)) for j, (a, b) in enumerate(zip(nlon, nlat))],
+        "point_id long, lon double, lat double",
+    )
+    plon = np.array([-140.0, -139.999])
+    plat = np.array([-45.0, -45.0])
+    prb = spark.createDataFrame(
+        [(int(j), float(a), float(b)) for j, (a, b) in enumerate(zip(plon, plat))],
+        "probe_id long, lon double, lat double",
+    )
+    got = (
+        knn_join(prb, pts, k=3, res=24, max_rounds=2, max_fallback_probes=10)
+        .orderBy("probe_id", "rank")
+        .toPandas()
+    )
+    want = brute_force_knn(plon, plat, nlon, nlat, 3)
+    for pid in (0, 1):
+        assert list(got[got["probe_id"] == pid]["point_id"]) == [
+            j for j, _ in want[pid]
+        ]
