@@ -2,8 +2,11 @@
 
 Runs the engine's flagship operators at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
-"sf", "rows", "rows_per_sec", "cpus"}.
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+median sec}, "spread": {name: [min, max]}, "protocol", "sf", "rows",
+"rows_per_sec", "cpus"}. Queries run as INTERLEAVED round-robin rounds
+(``$SPARK_GRAFT_BENCH_REPEATS``, default 3) — see the protocol comment in
+``main`` for why back-to-back per-query repeats publish host noise.
 
 The workload is the north-rule pipeline on a *clustered* (skewed) point
 field — 60% of geotagged pages in 3 urban cells:
@@ -27,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -98,20 +102,19 @@ def main() -> None:
     polys = synth.admin_polygons(spark)
     net = synth.road_network(spark)
 
-    queries: dict[str, float] = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # ---- timing protocol: INTERLEAVED rounds, median + spread -------------
+    # The sandbox VM has noisy-neighbor variance of 2-4x and burst-credit
+    # throttling; back-to-back repeats of ONE query land in the same host
+    # window, so a single contention burst published a phantom 2.7x
+    # "regression" in round 4. Instead the full query list runs round-robin
+    # (q1..q5, q1..q5, ...) so a bad window taxes every query equally, and
+    # the JSON carries the per-query MEDIAN plus [min, max] spread —
+    # round-over-round comparison needs the spread to tell engine from host.
+    specs: list[tuple] = []
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
     def timed(name: str, fn):
-        """Best-of-N timing: the sandbox VM has noisy-neighbor variance of
-        2-4x; min-of-two measures the engine rather than host contention."""
-        best, out = None, None
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        queries[name] = round(best, 3)
-        return out
+        specs.append((name, fn))
 
     # ---- q1: extract -> PIP -> tile -> rollup -----------------------------
     def q_pipeline():
@@ -124,7 +127,7 @@ def main() -> None:
         tiled = assign_tiles(joined)
         return tiled.groupBy("admin_id", "tile_x", "tile_y").count().count()
 
-    n_tiles = timed("extract_pip_tile", q_pipeline)
+    timed("extract_pip_tile", q_pipeline)
 
     # ---- q2: snap probes to the road network ------------------------------
     def q_snap():
@@ -137,7 +140,7 @@ def main() -> None:
         snapped = snap_to_network(probes, net, tolerance_m=100.0)
         return snapped.filter(F.col("line_id").isNotNull()).count()
 
-    n_snapped = timed("snap", q_snap)
+    timed("snap", q_snap)
 
     # ---- q3: kNN among urban points ---------------------------------------
     def q_knn():
@@ -161,7 +164,7 @@ def main() -> None:
         # top-k window with ~60M candidate rows.
         return knn_join(prb, pts, k=10).count()
 
-    n_knn = timed("knn", q_knn)
+    timed("knn", q_knn)
 
     # ---- q4: per-tile export catalog at z12 --------------------------------
     def q_tiles():
@@ -171,7 +174,7 @@ def main() -> None:
         )
         return tile_stats(geo, zoom=12).count()
 
-    n_exp = timed("tile_export", q_tiles)
+    timed("tile_export", q_tiles)
 
     # ---- q5: LLM corpus prep (quality gate -> PII -> dedup -> shards) ------
     def q_corpus():
@@ -181,7 +184,21 @@ def main() -> None:
 
         return QUERIES["corpus_prep"](spark, sf_dir).count()
 
-    n_prep = timed("corpus_prep", q_corpus)
+    timed("corpus_prep", q_corpus)
+
+    # ---- execute: round-robin over the query list --------------------------
+    samples: dict[str, list[float]] = {name: [] for name, _ in specs}
+    outs: dict[str, int] = {}
+    for rnd in range(repeats):
+        for name, fn in specs:
+            t0 = time.perf_counter()
+            out = fn()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            if rnd == 0:
+                outs[name] = out
+
+    queries = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
 
     total = round(sum(queries.values()), 3)
     # headline throughput: pipeline rows/sec (extraction+join+tile rollup)
@@ -196,16 +213,19 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "spread": spread,
+                "protocol": f"interleaved x{repeats}, per-query median "
+                "(spread = [min, max] across rounds)",
                 "sf": sf,
                 "rows": n_pages,
                 "rows_per_sec": rows_per_sec,
                 "cpus": cpus,
                 "checks": {
-                    "tiles": n_tiles,
-                    "snapped": n_snapped,
-                    "knn_rows": n_knn,
-                    "export_tiles": n_exp,
-                    "corpus_docs": n_prep,
+                    "tiles": outs["extract_pip_tile"],
+                    "snapped": outs["snap"],
+                    "knn_rows": outs["knn"],
+                    "export_tiles": outs["tile_export"],
+                    "corpus_docs": outs["corpus_prep"],
                 },
             }
         )

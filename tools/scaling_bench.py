@@ -29,6 +29,7 @@ import argparse
 import json
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -103,7 +104,9 @@ def run_once(cpus: int, sf_dir: str, mult: str, pin: bool = False) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_BENCH_REPEATS="2",
+        # 3 interleaved rounds inside each bench process: round 0 carries the
+        # JVM/codegen warmup, so the per-query MEDIAN lands on a warm round
+        SPARK_GRAFT_BENCH_REPEATS="3",
         SPARK_GRAFT_BENCH_MULT=mult,
     )
     # --pin: taskset the whole JVM+python-worker tree onto exactly `cpus`
@@ -202,6 +205,26 @@ def main() -> None:
     factor = hi / lo
     eff_pipeline = res_hi["rows_per_sec"] / (factor * res_lo["rows_per_sec"])
     eff_total = (res_lo["value"] / res_hi["value"]) / factor
+    # median-of-passes twin: best-per-level estimates the unthrottled engine
+    # but is hostage to burst-credit state (one lucky low-level window moved
+    # the round-4 raw number -0.08); the median across interleaved passes is
+    # the stable round-over-round comparator. Both are reported.
+    med_rps = {
+        c: statistics.median(p["rows_per_sec"] for p in passes[c]) for c in (lo, hi)
+    }
+    eff_pipeline_med = med_rps[hi] / (factor * med_rps[lo])
+    # scalable-subtotal efficiency: queries under ~2s at the SMALL level are
+    # fixed-stage-latency-bound at this input size (job submit + barrier
+    # overhead, not data) — they drag the total-wall quotient without saying
+    # anything about 100 TB behavior. Report the total over >=2s queries
+    # alongside the all-query total.
+    big_qs = [q for q, t in res_lo["queries"].items() if t >= 2.0]
+    if big_qs:
+        big_lo = sum(res_lo["queries"][q] for q in big_qs)
+        big_hi = sum(res_hi["queries"][q] for q in big_qs)
+        eff_total_big = (big_lo / big_hi) / factor
+    else:
+        big_lo = big_hi = eff_total_big = None
     # host-normalized: engine speedup over what the host SUSTAINS for the big
     # level (a real cluster's 4N executors own 4N real cores; this VM's
     # hypervisor does not hand 4x sustained cycles to 4x pinned workers).
@@ -209,6 +232,9 @@ def main() -> None:
     # local[N] freeloads extra host cores, and normalizing an unpinned
     # numerator by the pinned sustained denominator would overstate scaling.
     eff_norm = (eff_pipeline * factor / sus_ratio) if (sus_ratio and args.pin) else None
+    eff_norm_med = (
+        (eff_pipeline_med * factor / sus_ratio) if (sus_ratio and args.pin) else None
+    )
 
     md = f"""# BENCH — two-cluster-size scaling evidence
 
@@ -231,9 +257,11 @@ big level clear of the cap).
 
 | metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency |
 |---|---|---|---|
-| headline pipeline rows/sec (extract -> PIP join -> tile rollup) | {res_lo['rows_per_sec']} | {res_hi['rows_per_sec']} | **{eff_pipeline:.3f}** |
+| headline pipeline rows/sec (extract -> PIP join -> tile rollup), best of {args.runs} | {res_lo['rows_per_sec']} | {res_hi['rows_per_sec']} | **{eff_pipeline:.3f}** |
+| headline pipeline rows/sec, MEDIAN of {args.runs} interleaved passes (stable round-over-round comparator; best-per-level is hostage to burst-credit state) | {med_rps[lo]:.1f} | {med_rps[hi]:.1f} | **{eff_pipeline_med:.3f}** |
 | total bench wall time (sec, {len(res_lo['queries'])} queries) | {res_lo['value']} | {res_hi['value']} | {eff_total:.3f} |
-{f'''| headline efficiency normalized to SUSTAINED host capacity ({sus_ratio:.2f}x measured {lo}w->{hi}w over {args.sustained:.0f}s pinned burns) | | | **{eff_norm:.3f}** |''' if eff_norm else ''}
+{f"| scalable subtotal (queries >=2s at local[{lo}]: {', '.join(big_qs)} — sub-2s queries are fixed-stage-latency-bound at this input size and say nothing about 100 TB) | {big_lo:.3f} | {big_hi:.3f} | {eff_total_big:.3f} |" if big_qs else ""}
+{f'''| headline efficiency normalized to SUSTAINED host capacity ({sus_ratio:.2f}x measured {lo}w->{hi}w over {args.sustained:.0f}s pinned burns) | | | **{eff_norm:.3f}** (best) / **{eff_norm_med:.3f}** (median) |''' if eff_norm else ''}
 
 {f'''**Raw vs normalized.** The raw ratio divides by the ideal {factor:.0f}x, but a
 {args.sustained:.0f}s pure-Python pinned burn — Spark-free, run with the same taskset
