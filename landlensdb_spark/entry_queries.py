@@ -2392,6 +2392,129 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("key", "width", "height", "n_frames", "codec", "ok")
 
 
+@query(
+    "gif_roundtrip",
+    """
+    SELECT o_orderkey AS key,
+           CAST(10 + o_orderkey % 23 AS INTEGER) AS width,
+           CAST(10 + (o_orderkey * 3) % 17 AS INTEGER) AS height,
+           CAST(1 + o_orderkey % 3 AS INTEGER) AS n_frames,
+           'gif' AS codec,
+           TRUE AS ok,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'rgb' ELSE 'gray' END AS mode,
+           CAST(o_orderkey % 256 AS INTEGER) AS intensity,
+           CAST(GREATEST(FLOOR((10 + o_orderkey % 23)
+                * LEAST(8.0 / (10 + o_orderkey % 23),
+                        8.0 / (10 + (o_orderkey * 3) % 17), 1.0)), 1)
+                AS INTEGER) AS thumb_w,
+           CAST(GREATEST(FLOOR((10 + (o_orderkey * 3) % 17)
+                * LEAST(8.0 / (10 + o_orderkey % 23),
+                        8.0 / (10 + (o_orderkey * 3) % 17), 1.0)), 1)
+                AS INTEGER) AS thumb_h
+    FROM orders WHERE o_orderkey < 1200
+    """,
+)
+def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIF87a/89a codec (operators/gif.py) through REAL wire bytes:
+    per key, build a multi-image GIF (1 + k%3 image blocks, interlaced for
+    odd keys, a 7-color RGB palette for k%5=0 else the gray ramp), encode
+    it with the in-repo encoder, then (a) run the production
+    ``default_decode`` dispatch (the function ``decode_media`` ships to
+    executors) for (width, height, n_frames, codec, ok), (b) decode the
+    first frame back and verify the row-gradient EXACTLY — palette-indexed
+    storage is lossless, so any LZW/bit-packing/interlace bug breaks
+    equality and therefore the hash — and (c) shrink through
+    ``gif_thumbnail`` and report the re-decoded thumbnail dims. The oracle
+    states the arithmetic (thumbnail dims use the same IEEE-double
+    floor(w * min(8/w, 8/h, 1)) both sides). Closes the GIF slice of the
+    F25 media seam (reference handlers/image.py:95-138 thumbnails anything
+    PIL decodes); parity target reference landlensdb/handlers/image.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 1200).select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.gif import (
+            decode_gif,
+            decode_gif_indexed,
+            encode_gif_gray,
+            encode_gif_indexed,
+            gif_dims,
+            gif_thumbnail,
+        )
+        from landlensdb_spark.operators.multimodal import default_decode
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["key"]:
+                k = int(k)
+                w, h = 10 + k % 23, 10 + (k * 3) % 17
+                nf = 1 + k % 3
+                interlace = bool(k % 2)
+                rgb = k % 5 == 0
+                # row-gradient frames: non-flat so interlace reordering and
+                # real LZW runs are actually exercised by the exactness check
+                if rgb:
+                    pal = np.array(
+                        [
+                            ((k + 37 * c) % 256, (k * 3 + 11 * c) % 256, (k * 7 + 5 * c) % 256)
+                            for c in range(7)
+                        ],
+                        dtype=np.uint8,
+                    )
+                    pal[0] = (k % 256, (k * 3) % 256, (k * 7) % 256)
+                    frames = [
+                        (np.arange(h, dtype=np.int64)[:, None] + i) % 7
+                        * np.ones((1, w), dtype=np.int64)
+                        for i in range(nf)
+                    ]
+                    frames = [f.astype(np.uint8) for f in frames]
+                    blob = encode_gif_indexed(frames, pal, interlace=interlace)
+                else:
+                    frames = [
+                        ((np.arange(h, dtype=np.int64)[:, None] + k + i) % 256
+                         * np.ones((1, w), dtype=np.int64)).astype(np.uint8)
+                        for i in range(nf)
+                    ]
+                    blob = encode_gif_gray(frames, interlace=interlace)
+                mw, mh, mf, codec, ok = default_decode(blob)
+                img = decode_gif(blob)
+                if rgb:
+                    idx0, dpal = decode_gif_indexed(blob)
+                    expect = dpal[(np.arange(h)[:, None] % 7) * np.ones((1, w), dtype=np.int64)]
+                    if img.ndim != 3 or not (img == expect).all():
+                        raise ValueError(f"gif rgb round-trip not exact for key={k}")
+                    intensity = int(img[0, 0, 0])
+                else:
+                    expect = (
+                        (np.arange(h, dtype=np.int64)[:, None] + k) % 256
+                        * np.ones((1, w), dtype=np.int64)
+                    ).astype(np.uint8)
+                    if img.ndim != 2 or not (img == expect).all():
+                        raise ValueError(f"gif gray round-trip not exact for key={k}")
+                    intensity = int(img[0, 0])
+                tdims = gif_dims(gif_thumbnail(blob, 8, 8))
+                rows.append((k, mw, mh, mf, codec, ok, "rgb" if rgb else "gray",
+                             intensity, tdims[0], tdims[1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "width", "height", "n_frames", "codec", "ok",
+                         "mode", "intensity", "thumb_w", "thumb_h"],
+            )
+
+    return keys.mapInPandas(
+        _rt,
+        "key long, width int, height int, n_frames int, codec string, "
+        "ok boolean, mode string, intensity int, thumb_w int, thumb_h int",
+    )
+
+
 _SINK_PTS_SQL = f"""
       SELECT o_orderkey AS key,
              round({synth.lon_sql('o_orderkey')}, 6) AS lon,

@@ -1,0 +1,399 @@
+"""From-scratch GIF87a/89a codec (CompuServe GIF spec / W3C GIF89a, public).
+
+Closes the GIF slice of the F25 media seam honestly: the reference
+thumbnails anything PIL decodes (/root/reference/landlensdb/handlers/
+image.py:95-138); this module gives the engine native GIF metadata, pixel
+decode (variable-width LZW, local/global color tables, interlace,
+multi-image files) and an encoder twin so round-trips are testable without
+PIL. Palette-indexed storage is lossless, so encode -> decode is EXACT by
+construction — any LZW/bit-packing bug breaks equality, which is what the
+tests and the media_meta oracle lean on.
+
+Scope notes (all raising/None-returning, never crashing an Arrow stage):
+- decode targets the common encoder behavior (initial clear code, code
+  width growth at table sizes 2^w, 4096-entry cap with table freeze);
+  exotic deferred-clear streams beyond the cap are out of scope.
+- GIF89a extension blocks (graphic control, comment, application) are
+  skipped structurally; frame delays/transparency are not interpreted.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_SIGS = (b"GIF87a", b"GIF89a")
+#: LZW code width never exceeds 12 bits (table cap 4096) per the spec
+_MAX_WIDTH = 12
+_TABLE_CAP = 1 << _MAX_WIDTH
+#: interlace pass layout: (first row, row step) per the GIF spec
+_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+# --------------------------------------------------------------------------
+# metadata
+# --------------------------------------------------------------------------
+def gif_dims(blob: bytes) -> tuple[int, int] | None:
+    """(width, height) from the logical screen descriptor, or None if the
+    payload is not a GIF."""
+    if blob is None or len(blob) < 13 or blob[:6] not in _SIGS:
+        return None
+    w, h = struct.unpack_from("<HH", blob, 6)
+    return (int(w), int(h))
+
+
+def _skip_subblocks(blob: bytes, pos: int) -> int:
+    """Advance past a data sub-block chain (size-prefixed, 0-terminated)."""
+    n = len(blob)
+    while True:
+        if pos >= n:
+            raise ValueError("gif: truncated sub-block chain")
+        size = blob[pos]
+        pos += 1
+        if size == 0:
+            return pos
+        if pos + size > n:
+            raise ValueError("gif: sub-block overruns payload")
+        pos += size
+
+
+def _read_subblocks(blob: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a data sub-block chain; returns (data, next_pos)."""
+    n = len(blob)
+    parts = []
+    while True:
+        if pos >= n:
+            raise ValueError("gif: truncated sub-block chain")
+        size = blob[pos]
+        pos += 1
+        if size == 0:
+            return b"".join(parts), pos
+        if pos + size > n:
+            raise ValueError("gif: sub-block overruns payload")
+        parts.append(blob[pos : pos + size])
+        pos += size
+
+
+def _header(blob: bytes) -> tuple[int, int, np.ndarray | None, int]:
+    """Parse signature + LSD + global color table.
+
+    Returns (width, height, global_palette or None, pos_after_gct)."""
+    dims = gif_dims(blob)
+    if dims is None:
+        raise ValueError("gif: bad signature or truncated header")
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        end = pos + 3 * n_colors
+        if end > len(blob):
+            raise ValueError("gif: global color table overruns payload")
+        gct = np.frombuffer(blob, dtype=np.uint8, count=3 * n_colors, offset=pos)
+        gct = gct.reshape(n_colors, 3).copy()
+        pos = end
+    return (dims[0], dims[1], gct, pos)
+
+
+def gif_meta(blob: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) — walks every block structurally; None for
+    non-GIF payloads, ValueError for GIFs with corrupt framing."""
+    if gif_dims(blob) is None:
+        return None
+    w, h, _gct, pos = _header(blob)
+    n = len(blob)
+    frames = 0
+    while pos < n:
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label byte + sub-blocks
+            if pos >= n:
+                raise ValueError("gif: truncated extension")
+            pos = _skip_subblocks(blob, pos + 1)
+        elif marker == 0x2C:  # image descriptor
+            if pos + 9 > n:
+                raise ValueError("gif: truncated image descriptor")
+            ipacked = blob[pos + 8]
+            pos += 9
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            if pos >= n:
+                raise ValueError("gif: truncated image block")
+            pos = _skip_subblocks(blob, pos + 1)  # +1 skips LZW min code size
+            frames += 1
+        else:
+            raise ValueError(f"gif: unknown block marker 0x{marker:02x}")
+    if frames == 0:
+        raise ValueError("gif: no image blocks")
+    return (w, h, frames)
+
+
+# --------------------------------------------------------------------------
+# LZW (GIF variant: LSB-first packing, variable 3..12-bit codes)
+# --------------------------------------------------------------------------
+def _lzw_decode(data: bytes, mcs: int, npix: int) -> bytes:
+    if not (2 <= mcs <= 8):
+        raise ValueError(f"gif: bad LZW min code size {mcs}")
+    clear = 1 << mcs
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < npix:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("gif: LZW stream ended before EOI/pixels")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("gif: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: LZW code beyond table")
+        out += entry
+        prev = entry
+        # mirror of the encoder's growth rule; at the 4096 cap the table
+        # freezes (codes stay 12-bit, later appends are never referenced)
+        if width < _MAX_WIDTH and len(table) == (1 << width):
+            width += 1
+    if len(out) < npix:
+        raise ValueError("gif: LZW stream short of the pixel count")
+    return bytes(out[:npix])
+
+
+def _lzw_encode(pixels: bytes, mcs: int) -> bytes:
+    clear = 1 << mcs
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for p in pixels:
+        wc = w + bytes([p])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < _TABLE_CAP:
+            table[wc] = next_code
+            next_code += 1
+            # decoder adds its mirror entry one code LATER, so it reaches
+            # table size 2^w exactly when we reach 2^w + 1 — grow now so
+            # the NEXT emitted code uses the width the decoder expects
+            if width < _MAX_WIDTH and next_code - 1 == (1 << width):
+                width += 1
+        # else: table frozen (no deferred clear) — decoder stays in sync
+        # because it only grows width at sizes the encoder also reached
+        w = bytes([p])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+def decode_gif_indexed(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """First image block as (index array (h, w) uint8, palette (n, 3)).
+
+    Uses the local color table when present, else the global one."""
+    w, h, gct, pos = _header(bytes(blob))
+    n = len(blob)
+    while pos < n:
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x3B:
+            break
+        if marker == 0x21:
+            if pos >= n:
+                raise ValueError("gif: truncated extension")
+            pos = _skip_subblocks(blob, pos + 1)
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"gif: unknown block marker 0x{marker:02x}")
+        if pos + 9 > n:
+            raise ValueError("gif: truncated image descriptor")
+        _left, _top, iw, ih = struct.unpack_from("<HHHH", blob, pos)
+        ipacked = blob[pos + 8]
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:
+            n_colors = 2 << (ipacked & 0x07)
+            end = pos + 3 * n_colors
+            if end > n:
+                raise ValueError("gif: local color table overruns payload")
+            palette = (
+                np.frombuffer(blob, dtype=np.uint8, count=3 * n_colors, offset=pos)
+                .reshape(n_colors, 3)
+                .copy()
+            )
+            pos = end
+        if palette is None:
+            raise ValueError("gif: image has neither local nor global palette")
+        if iw == 0 or ih == 0 or iw * ih > 64 * 1024 * 1024:
+            raise ValueError(f"gif: unreasonable image dims {iw}x{ih}")
+        if pos >= n:
+            raise ValueError("gif: truncated image block")
+        mcs = blob[pos]
+        data, _pos = _read_subblocks(blob, pos + 1)
+        idx = np.frombuffer(
+            _lzw_decode(data, mcs, iw * ih), dtype=np.uint8
+        ).reshape(ih, iw)
+        if idx.size and int(idx.max()) >= len(palette):
+            raise ValueError("gif: pixel index beyond palette")
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deinter = np.empty_like(idx)
+            src = 0
+            for first, step in _INTERLACE:
+                rows = range(first, ih, step)
+                for r in rows:
+                    deinter[r] = idx[src]
+                    src += 1
+            idx = deinter
+        return idx.copy(), palette
+    raise ValueError("gif: no image blocks")
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """First frame as pixels: grayscale (h, w) when every referenced palette
+    entry is achromatic (r == g == b), else RGB (h, w, 3) — mirroring
+    decode_jpeg's 2-D/3-D convention."""
+    idx, palette = decode_gif_indexed(blob)
+    used = palette[: int(idx.max()) + 1] if idx.size else palette[:1]
+    if (used[:, 0] == used[:, 1]).all() and (used[:, 1] == used[:, 2]).all():
+        return palette[idx, 0]
+    return palette[idx]
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+def encode_gif_indexed(
+    frames: np.ndarray | list[np.ndarray],
+    palette: np.ndarray,
+    interlace: bool = False,
+) -> bytes:
+    """Palette-indexed GIF87a. ``frames`` is one (h, w) uint8 index array or
+    a list of same-shaped arrays (multi-image file — the pre-89a "animation"
+    form; gif_meta counts them as n_frames). Lossless: decode returns the
+    index array bit-exactly."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("gif: need at least one frame")
+    first = np.ascontiguousarray(frames[0], dtype=np.uint8)
+    h, w = first.shape
+    palette = np.ascontiguousarray(palette, dtype=np.uint8).reshape(-1, 3)
+    n_colors = len(palette)
+    if not (2 <= n_colors <= 256):
+        raise ValueError("gif: palette must have 2..256 entries")
+    # GCT size field stores 2^(f+1) entries — pad the palette up
+    f = max((n_colors - 1).bit_length() - 1, 0)
+    stored = 2 << f
+    pal = np.zeros((stored, 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 0x70 | f)  # GCT present, 8-bit color resolution
+    out += b"\x00\x00"  # background index, aspect ratio
+    out += pal.tobytes()
+    mcs = max(f + 1, 2)  # LZW min code size >= 2 per the spec
+    for frame in frames:
+        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        if frame.shape != (h, w):
+            raise ValueError("gif: all frames must share the first frame's shape")
+        if frame.size and int(frame.max()) >= n_colors:
+            raise ValueError("gif: frame index beyond palette")
+        out.append(0x2C)
+        out += struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x40 if interlace else 0x00)
+        rows = frame
+        if interlace:
+            order = [r for first_, step in _INTERLACE for r in range(first_, h, step)]
+            rows = frame[order]
+        out.append(mcs)
+        data = _lzw_encode(rows.tobytes(), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+_GRAY_RAMP = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+
+
+def encode_gif_gray(
+    frames: np.ndarray | list[np.ndarray], interlace: bool = False
+) -> bytes:
+    """Grayscale GIF: the 256-entry gray ramp palette makes index == pixel
+    value, so encode -> decode_gif is EXACT."""
+    return encode_gif_indexed(frames, _GRAY_RAMP, interlace=interlace)
+
+
+def resize_nearest_indexed(idx: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an INDEX array — palette-preserving (a box
+    filter would average indices, which is meaningless for palette images);
+    the GIF thumbnail path re-encodes the result against the source palette."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    rows = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(np.int64)
+    cols = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(np.int64)
+    return idx[rows][:, cols]
+
+
+def gif_thumbnail(blob: bytes, max_w: int = 128, max_h: int = 128) -> bytes:
+    """Format-preserving GIF thumbnail: decode indices, nearest-neighbor
+    shrink (aspect-preserving, never upscale), re-encode against the SAME
+    palette — every output color exists in the source image."""
+    idx, palette = decode_gif_indexed(blob)
+    h, w = idx.shape
+    scale = min(max_w / w, max_h / h, 1.0)
+    ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
+    return encode_gif_indexed(resize_nearest_indexed(idx, ow, oh), palette)

@@ -41,12 +41,15 @@ META_SCHEMA = "width int, height int, n_frames int, codec string, ok boolean"
 
 def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     """Metadata decode, REAL for every in-scope format: PNG (IHDR parse),
-    JPEG (SOFn parse — any color/progressive variant) and MJPEG-AVI video
-    ('avih' header) via the in-repo codecs. Formats this container cannot
-    parse (non-MJPEG video needs ffmpeg) report ``ok=False`` honestly
-    instead of synthetic dimensions."""
+    JPEG (SOFn parse — any color/progressive variant), GIF87a/89a (block
+    walk, n_frames = image-block count) and MJPEG-AVI video ('avih' header)
+    via the in-repo codecs. Formats this container cannot parse (non-MJPEG
+    video needs ffmpeg) report ``ok=False`` honestly instead of synthetic
+    dimensions; a GIF signature with corrupt framing reports
+    ``("gif", ok=False)`` rather than crashing the Arrow stage."""
     if payload is None or len(payload) == 0:
         return (0, 0, 0, "none", False)
+    from landlensdb_spark.operators.gif import gif_meta
     from landlensdb_spark.operators.jpeg import jpeg_dims
     from landlensdb_spark.operators.raster import png_dims
     from landlensdb_spark.operators.video import avi_meta
@@ -58,6 +61,12 @@ def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     dims = jpeg_dims(b)
     if dims is not None:
         return (dims[0], dims[1], 1, "jpeg", True)
+    try:
+        gmeta = gif_meta(b)
+    except ValueError:
+        return (0, 0, 0, "gif", False)
+    if gmeta is not None:
+        return (gmeta[0], gmeta[1], gmeta[2], "gif", True)
     vmeta = avi_meta(b)
     if vmeta is not None:
         return (vmeta[0], vmeta[1], vmeta[2], "mjpeg-avi", True)
@@ -89,13 +98,15 @@ def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
     """REAL thumbnails via the in-repo codecs: gray-8 PNG (decode ->
     box/nearest resize -> PNG) and JPEG — baseline AND progressive,
     grayscale AND interleaved YCbCr color (decode -> per-plane resize ->
-    JPEG, format+colorspace-preserving). None (null column) for payloads
+    JPEG, format+colorspace-preserving) and GIF (palette-preserving
+    nearest-neighbor on the index plane). None (null column) for payloads
     outside codec scope — the seam is now video only."""
     import struct
     import zlib
 
     import numpy as np
 
+    from landlensdb_spark.operators.gif import gif_thumbnail
     from landlensdb_spark.operators.jpeg import (
         decode_jpeg,
         encode_jpeg_color,
@@ -111,6 +122,10 @@ def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
     try:
         return png_thumbnail(b, max_w, max_h)
     except (ValueError, zlib.error, struct.error):
+        pass
+    try:
+        return gif_thumbnail(b, max_w, max_h)
+    except (ValueError, struct.error):
         pass
     try:
         img = decode_jpeg(b)

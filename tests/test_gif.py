@@ -1,0 +1,158 @@
+"""GIF87a/89a codec: LZW round-trips, interlace, multi-image, scope, wiring.
+
+Palette-indexed storage is lossless, so every encode -> decode assertion is
+EXACT equality — the same contract the gif_roundtrip oracle leans on.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from landlensdb_spark.operators.gif import (
+    _INTERLACE,
+    _lzw_encode,
+    decode_gif,
+    decode_gif_indexed,
+    encode_gif_gray,
+    encode_gif_indexed,
+    gif_dims,
+    gif_meta,
+    gif_thumbnail,
+    resize_nearest_indexed,
+)
+
+
+def _rand_idx(h, w, n_colors, seed):
+    return np.random.default_rng(seed).integers(0, n_colors, (h, w), dtype=np.uint8)
+
+
+def _rand_palette(n_colors, seed):
+    return np.random.default_rng(seed + 1).integers(0, 256, (n_colors, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("n_colors", [2, 3, 7, 16, 100, 256])
+def test_indexed_roundtrip_exact(n_colors):
+    idx = _rand_idx(37, 53, n_colors, n_colors)
+    pal = _rand_palette(n_colors, n_colors)
+    blob = encode_gif_indexed(idx, pal)
+    out, out_pal = decode_gif_indexed(blob)
+    assert (out == idx).all()
+    assert (out_pal[:n_colors] == pal).all()
+    assert gif_dims(blob) == (53, 37)
+    assert gif_meta(blob) == (53, 37, 1)
+
+
+def test_interlaced_roundtrip_exact():
+    # a row-index image makes any interlace reorder bug visible
+    idx = (np.arange(29, dtype=np.uint8)[:, None] * np.ones((1, 31), dtype=np.uint8)) % 16
+    pal = _rand_palette(16, 5)
+    blob = encode_gif_indexed(idx, pal, interlace=True)
+    out, _ = decode_gif_indexed(blob)
+    assert (out == idx).all()
+    # the interlace row order itself must be a permutation of all rows
+    order = [r for first, step in _INTERLACE for r in range(first, 29, step)]
+    assert sorted(order) == list(range(29))
+
+
+def test_multi_image_meta_and_first_frame():
+    frames = [_rand_idx(12, 18, 64, s) for s in range(4)]
+    blob = encode_gif_indexed(frames, _rand_palette(64, 9))
+    assert gif_meta(blob) == (18, 12, 4)
+    out, _ = decode_gif_indexed(blob)
+    assert (out == frames[0]).all()
+
+
+def test_gray_ramp_exact_and_2d():
+    img = _rand_idx(40, 25, 256, 3)
+    blob = encode_gif_gray(img)
+    out = decode_gif(blob)
+    assert out.ndim == 2 and (out == img).all()
+
+
+def test_color_decode_is_3d_palette_lookup():
+    idx = _rand_idx(10, 11, 5, 7)
+    pal = np.array(
+        [[10, 20, 30], [5, 5, 5], [200, 0, 0], [0, 200, 0], [9, 9, 9]], np.uint8
+    )
+    out = decode_gif(encode_gif_indexed(idx, pal))
+    assert out.ndim == 3 and (out == pal[idx]).all()
+
+
+def test_lzw_table_cap_freeze_roundtrip():
+    # 300x300 of 256-color noise pushes the LZW table past the 4096-entry
+    # cap, exercising width growth 9->12 bits and the frozen-table tail on
+    # both encoder and decoder
+    img = _rand_idx(300, 300, 256, 42)
+    out = decode_gif(encode_gif_gray(img))
+    assert (out == img).all()
+
+
+def test_local_color_table_decode():
+    # hand-build a GIF with NO global table and a local one on the image
+    # descriptor (the encoder always writes a GCT, so construct the wire
+    # form manually to cover the LCT path)
+    idx = _rand_idx(6, 7, 4, 11)
+    pal = _rand_palette(4, 11)
+    data = _lzw_encode(idx.tobytes(), 2)
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HH", 7, 6)
+    blob += b"\x00\x00\x00"  # no GCT
+    blob.append(0x2C)
+    blob += struct.pack("<HHHH", 0, 0, 7, 6)
+    blob.append(0x80 | 0x01)  # LCT present, 4 entries
+    blob += pal.tobytes()
+    blob.append(2)  # LZW min code size
+    blob.append(len(data))
+    blob += data
+    blob += b"\x00\x3b"
+    out, out_pal = decode_gif_indexed(bytes(blob))
+    assert (out == idx).all() and (out_pal == pal).all()
+
+
+def test_scope_and_corruption():
+    assert gif_dims(b"NOTAGIF" * 4) is None
+    assert gif_meta(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) is None
+    ok = encode_gif_gray(_rand_idx(8, 8, 256, 1))
+    with pytest.raises(ValueError):
+        gif_meta(ok[:20])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        decode_gif(ok[:6] + b"\x00" * 4)  # bad logical screen descriptor tail
+    with pytest.raises(ValueError):
+        encode_gif_indexed(np.zeros((4, 4), np.uint8), _rand_palette(300, 2))
+    with pytest.raises(ValueError):
+        # frame index beyond palette
+        encode_gif_indexed(np.full((4, 4), 9, np.uint8), _rand_palette(4, 2))
+
+
+def test_thumbnail_palette_preserving():
+    idx = _rand_idx(120, 90, 33, 8)
+    pal = _rand_palette(33, 8)
+    blob = encode_gif_indexed(idx, pal)
+    thumb = gif_thumbnail(blob, 32, 32)
+    assert gif_dims(thumb) == (24, 32)  # aspect-preserving 90x120 -> 24x32
+    tidx, tpal = decode_gif_indexed(thumb)
+    assert (tpal[:33] == pal).all()
+    assert (tidx == resize_nearest_indexed(idx, 24, 32)).all()
+    # never upscales
+    assert gif_dims(gif_thumbnail(blob, 4096, 4096)) == (90, 120)
+
+
+def test_default_decode_and_thumbnail_dispatch():
+    from landlensdb_spark.operators.multimodal import _default_thumbnail, default_decode
+
+    frames = [_rand_idx(9, 14, 16, s) for s in range(3)]
+    blob = encode_gif_indexed(frames, _rand_palette(16, 4))
+    assert default_decode(blob) == (14, 9, 3, "gif", True)
+    # GIF signature with corrupt framing: honest ok=False, never a crash
+    assert default_decode(blob[:20]) == (0, 0, 0, "gif", False)
+    thumb = _default_thumbnail(blob, 8, 8)
+    assert thumb[:6] in (b"GIF87a", b"GIF89a") and gif_dims(thumb) == (8, 5)
+    # the other codecs still route past the GIF branch
+    from landlensdb_spark.operators.raster import encode_png_gray
+
+    png = encode_png_gray(np.full((5, 6), 7, np.uint8))
+    assert default_decode(png)[3] == "png"
+    assert _default_thumbnail(png, 4, 4)[:8] == b"\x89PNG\r\n\x1a\n"
