@@ -2515,6 +2515,106 @@ def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tiff_roundtrip",
+    """
+    SELECT o_orderkey AS key,
+           CAST(10 + o_orderkey % 19 AS INTEGER) AS width,
+           CAST(10 + (o_orderkey * 5) % 13 AS INTEGER) AS height,
+           CAST(1 + o_orderkey % 3 AS INTEGER) AS n_pages,
+           'tiff' AS codec,
+           TRUE AS ok,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'gray' ELSE 'rgb' END AS mode,
+           CAST(o_orderkey % 256 AS INTEGER) AS intensity,
+           CAST(GREATEST(FLOOR((10 + o_orderkey % 19)
+                * LEAST(8.0 / (10 + o_orderkey % 19),
+                        8.0 / (10 + (o_orderkey * 5) % 13), 1.0)), 1)
+                AS INTEGER) AS thumb_w,
+           CAST(GREATEST(FLOOR((10 + (o_orderkey * 5) % 13)
+                * LEAST(8.0 / (10 + o_orderkey % 19),
+                        8.0 / (10 + (o_orderkey * 5) % 13), 1.0)), 1)
+                AS INTEGER) AS thumb_h
+    FROM orders WHERE o_orderkey < 1200
+    """,
+)
+def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline TIFF 6.0 codec (operators/tiff.py) through REAL wire
+    bytes: per key, build a multi-page LZW-compressed TIFF (1 + k%3 pages,
+    8-bit grayscale for even keys, chunky RGB for odd), then (a) run the
+    production ``default_decode`` dispatch (the function ``decode_media``
+    ships to executors) for (width, height, n_pages, codec, ok), (b)
+    decode page 0 back and verify the row-gradient EXACTLY — 8-bit LZW
+    storage is lossless, so any IFD/LZW/bit-packing bug breaks equality
+    and therefore the hash — and (c) shrink through ``tiff_thumbnail`` and
+    report the re-decoded thumbnail dims (same IEEE-double arithmetic both
+    sides). Closes the TIFF slice of the F25 media seam (reference
+    handlers/image.py:95-138 thumbnails anything PIL decodes); parity
+    target reference landlensdb/handlers/image.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 1200).select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.multimodal import default_decode
+        from landlensdb_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff_gray,
+            encode_tiff_rgb,
+            tiff_dims,
+            tiff_thumbnail,
+        )
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["key"]:
+                k = int(k)
+                w, h = 10 + k % 19, 10 + (k * 5) % 13
+                npages = 1 + k % 3
+                rgb = bool(k % 2)
+                ramp = np.arange(h, dtype=np.int64)[:, None] * np.ones(
+                    (1, w), dtype=np.int64
+                )
+                if rgb:
+                    pages = [
+                        np.stack(
+                            [(ramp + k + p) % 256, (ramp * 2 + k) % 256,
+                             (ramp * 3 + p) % 256],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        for p in range(npages)
+                    ]
+                    blob = encode_tiff_rgb(pages)
+                else:
+                    pages = [((ramp + k + p) % 256).astype(np.uint8)
+                             for p in range(npages)]
+                    blob = encode_tiff_gray(pages)
+                mw, mh, mp, codec, ok = default_decode(blob)
+                out = decode_tiff(blob)
+                if not (out == pages[0]).all() or out.ndim != (3 if rgb else 2):
+                    raise ValueError(f"tiff round-trip not exact for key={k}")
+                intensity = int(out[0, 0, 0] if rgb else out[0, 0])
+                tdims = tiff_dims(tiff_thumbnail(blob, 8, 8))
+                rows.append((k, mw, mh, mp, codec, ok, "rgb" if rgb else "gray",
+                             intensity, tdims[0], tdims[1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "width", "height", "n_pages", "codec", "ok",
+                         "mode", "intensity", "thumb_w", "thumb_h"],
+            )
+
+    return keys.mapInPandas(
+        _rt,
+        "key long, width int, height int, n_pages int, codec string, "
+        "ok boolean, mode string, intensity int, thumb_w int, thumb_h int",
+    )
+
+
 _SINK_PTS_SQL = f"""
       SELECT o_orderkey AS key,
              round({synth.lon_sql('o_orderkey')}, 6) AS lon,

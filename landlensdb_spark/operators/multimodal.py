@@ -42,16 +42,20 @@ META_SCHEMA = "width int, height int, n_frames int, codec string, ok boolean"
 def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     """Metadata decode, REAL for every in-scope format: PNG (IHDR parse),
     JPEG (SOFn parse — any color/progressive variant), GIF87a/89a (block
-    walk, n_frames = image-block count) and MJPEG-AVI video ('avih' header)
-    via the in-repo codecs. Formats this container cannot parse (non-MJPEG
-    video needs ffmpeg) report ``ok=False`` honestly instead of synthetic
-    dimensions; a GIF signature with corrupt framing reports
-    ``("gif", ok=False)`` rather than crashing the Arrow stage."""
+    walk, n_frames = image-block count), baseline TIFF (IFD chain walk,
+    n_frames = page count) and MJPEG-AVI video ('avih' header) via the
+    in-repo codecs. Formats this container cannot parse (non-MJPEG video
+    needs ffmpeg) report ``ok=False`` honestly instead of synthetic
+    dimensions; a GIF/TIFF signature with corrupt framing reports
+    ``(codec, ok=False)`` rather than crashing the Arrow stage."""
     if payload is None or len(payload) == 0:
         return (0, 0, 0, "none", False)
+    import struct
+
     from landlensdb_spark.operators.gif import gif_meta
     from landlensdb_spark.operators.jpeg import jpeg_dims
     from landlensdb_spark.operators.raster import png_dims
+    from landlensdb_spark.operators.tiff import tiff_meta
     from landlensdb_spark.operators.video import avi_meta
 
     b = bytes(payload)
@@ -63,10 +67,16 @@ def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
         return (dims[0], dims[1], 1, "jpeg", True)
     try:
         gmeta = gif_meta(b)
-    except ValueError:
+    except (ValueError, struct.error):
         return (0, 0, 0, "gif", False)
     if gmeta is not None:
         return (gmeta[0], gmeta[1], gmeta[2], "gif", True)
+    try:
+        tmeta = tiff_meta(b)
+    except (ValueError, struct.error):
+        return (0, 0, 0, "tiff", False)
+    if tmeta is not None:
+        return (tmeta[0], tmeta[1], tmeta[2], "tiff", True)
     vmeta = avi_meta(b)
     if vmeta is not None:
         return (vmeta[0], vmeta[1], vmeta[2], "mjpeg-avi", True)
@@ -98,15 +108,17 @@ def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
     """REAL thumbnails via the in-repo codecs: gray-8 PNG (decode ->
     box/nearest resize -> PNG) and JPEG — baseline AND progressive,
     grayscale AND interleaved YCbCr color (decode -> per-plane resize ->
-    JPEG, format+colorspace-preserving) and GIF (palette-preserving
-    nearest-neighbor on the index plane). None (null column) for payloads
-    outside codec scope — the seam is now video only."""
+    JPEG, format+colorspace-preserving), GIF (palette-preserving
+    nearest-neighbor on the index plane) and baseline TIFF (box-filter
+    shrink, colorspace-preserving LZW re-encode). None (null column) for
+    payloads outside codec scope — the seam is now video only."""
     import struct
     import zlib
 
     import numpy as np
 
     from landlensdb_spark.operators.gif import gif_thumbnail
+    from landlensdb_spark.operators.tiff import tiff_thumbnail
     from landlensdb_spark.operators.jpeg import (
         decode_jpeg,
         encode_jpeg_color,
@@ -125,6 +137,10 @@ def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
         pass
     try:
         return gif_thumbnail(b, max_w, max_h)
+    except (ValueError, struct.error):
+        pass
+    try:
+        return tiff_thumbnail(b, max_w, max_h)
     except (ValueError, struct.error):
         pass
     try:
