@@ -3206,8 +3206,15 @@ def _bpe_py_merges(sf_dir: str, num_merges: int) -> list[tuple[int, str, str, in
         t = edge.sub("", (t or "").lower())
         if t:
             freq.update(ws.split(t))
+    # replicate learn_bpe's frequency truncation RULE (freq desc, word asc,
+    # top max_word_types) so the twins cannot diverge on a corpus exceeding
+    # the cap — a no-op at oracle scale (sf0.01 has ~10^4 word types)
+    from landlensdb_spark.operators.bpe import DEFAULT_MAX_WORD_TYPES
+
+    kept = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = kept[:DEFAULT_MAX_WORD_TYPES]
     vocab: dict[tuple[str, ...], int] = {}
-    for w, n in freq.items():
+    for w, n in kept:
         vocab[tuple(w) + ("</w>",)] = vocab.get(tuple(w) + ("</w>",), 0) + n
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):

@@ -102,6 +102,12 @@ def extract_pip(
     else:
         bc, token = hit[1], hit[2]
 
+    if keep is not None:
+        # loud-failure twin of extract.extract_geotags' keep= validation: a
+        # typo'd name must not silently narrow the output
+        unknown = sorted(set(keep) - {f.name for f in pages.schema.fields})
+        if unknown:
+            raise ValueError(f"keep= names not in the input schema: {unknown}")
     keep_fields = [
         f
         for f in pages.schema.fields

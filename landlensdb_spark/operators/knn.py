@@ -345,7 +345,7 @@ def knn_join(
         topk = _certify_join(pts, prb, res, fixed_ring, k, maybe_bc, w)
         topk = topk.localCheckpoint(eager=False)
         unresolved = prb.join(maybe_bc(topk.select("_pid")), "_pid", "left_anti")
-        esc_ring = escalate_ring or max(2 * fixed_ring, 4)
+        esc_ring = escalate_ring if escalate_ring is not None else max(2 * fixed_ring, 4)
         esc = _certify_join(pts, unresolved, res, esc_ring, k, maybe_bc, w)
         esc = esc.localCheckpoint(eager=False)
         residual = unresolved.join(
@@ -431,7 +431,7 @@ def knn_join(
     # one wider certify-in-join escalation (no histogram needed) before the
     # capped brute-force residual
     unresolved = prb.join(maybe_bc(r1), "_pid", "left_anti")
-    esc_ring = escalate_ring or max(2 * cap, 4)
+    esc_ring = escalate_ring if escalate_ring is not None else max(2 * cap, 4)
     esc = _certify_join(pts, unresolved, res, esc_ring, k, maybe_bc, w)
     esc = esc.localCheckpoint(eager=False)
     residual = unresolved.join(maybe_bc(esc.select("_pid")), "_pid", "left_anti")

@@ -69,8 +69,12 @@ def _read_ifd(blob: bytes, off: int, bo: str) -> tuple[dict[int, list[int]], int
     tags: dict[int, list[int]] = {}
     for i in range(count):
         tag, typ, cnt = struct.unpack_from(bo + "HHI", blob, off + 2 + 12 * i)
-        if typ not in _TYPE_SIZE:
-            continue  # rational/float tags are metadata this codec ignores
+        if typ not in _TYPE_SIZE or cnt == 0:
+            # rational/float tags are metadata this codec ignores; a
+            # zero-count entry is corrupt — skipping it routes readers into
+            # their missing-tag ValueError guards instead of an IndexError
+            # escaping the Arrow stage's (ValueError, struct.error) net
+            continue
         size = _TYPE_SIZE[typ] * cnt
         vpos = off + 2 + 12 * i + 8
         if size > 4:
@@ -349,11 +353,19 @@ def _encode(pages: list[np.ndarray], compress: bool) -> bytes:
 
         off_pos = _arr(offs) if len(offs) > 1 else offs[0]
         cnt_pos = _arr(cnts) if len(cnts) > 1 else cnts[0]
-        bits_pos = _arr([8] * spp) if spp > 1 else 8
+        if spp > 1:
+            # tag 258 is SHORT per the TIFF 6.0 type table; 3 SHORTs = 6
+            # bytes, so the array still lives out-of-line
+            bits_pos = len(out)
+            out.extend(struct.pack(f"<{spp}H", *([8] * spp)))
+            if len(out) % 2:
+                out += b"\x00"
+        else:
+            bits_pos = 8
         entries = [
             (_W, 4, 1, w),
             (_H, 4, 1, h),
-            (_BITS, 3 if spp == 1 else 4, spp, bits_pos),
+            (_BITS, 3, spp, bits_pos),
             (_COMP, 3, 1, 5 if compress else 1),
             (_PHOTO, 3, 1, photo),
             (_STRIP_OFF, 4, len(offs), off_pos),
@@ -367,7 +379,12 @@ def _encode(pages: list[np.ndarray], compress: bool) -> bytes:
         out += struct.pack("<H", len(entries))
         for tag, typ, cnt, val in sorted(entries):
             out += struct.pack("<HHI", tag, typ, cnt)
-            out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+            # the value field holds a 32-bit OFFSET whenever the values
+            # don't fit inline (e.g. the 3-SHORT BitsPerSample array)
+            if typ == 4 or _TYPE_SIZE[typ] * cnt > 4:
+                out += struct.pack("<I", val)
+            else:
+                out += struct.pack("<HH", val, 0)
         ifd_patch = len(out)
         out += b"\x00\x00\x00\x00"  # next-IFD pointer (patched by next page)
     return bytes(out)

@@ -89,3 +89,12 @@ def test_extract_pip_multiring_polygons_match_composition(spark):
     got = _sorted_rows(fused, cols)
     assert got == _sorted_rows(composed, cols)
     assert len(got) > 0  # some globally-spread pages do land in the shapes
+
+
+def test_extract_pip_keep_typo_raises(spark):
+    import pytest
+
+    pages = tables.pages(spark, 10)
+    polys = synth.admin_polygons(spark)
+    with pytest.raises(ValueError, match="ur1"):
+        extract_pip(pages, polys, keep=["ur1", "lang"])

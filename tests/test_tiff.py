@@ -173,3 +173,31 @@ def test_thumbnail_and_dispatch():
     # never upscales; gray stays gray
     gt = tiff_thumbnail(encode_tiff_gray(_rand_gray(20, 10, 6)), 64, 64)
     assert tiff_dims(gt) == (10, 20) and decode_tiff(gt).ndim == 2
+
+
+def test_zero_count_ifd_entry_degrades_not_crashes():
+    from landlensdb_spark.operators.multimodal import default_decode
+
+    # hostile payload: valid signature, IFD whose entries carry count=0 —
+    # must degrade to ('tiff', ok=False), never an IndexError out of the
+    # Arrow stage
+    blob = bytearray(b"II\x2a\x00")
+    blob += struct.pack("<I", 8)
+    blob += struct.pack("<H", 2)
+    for tag in (256, 257):
+        blob += struct.pack("<HHI", tag, 3, 0) + b"\x00\x00\x00\x00"
+    blob += b"\x00\x00\x00\x00"
+    assert default_decode(bytes(blob)) == (0, 0, 0, "tiff", False)
+
+
+def test_rgb_bits_per_sample_is_short_per_spec():
+    blob = encode_tiff_rgb(_rand_rgb(5, 4, 13))
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (count,) = struct.unpack_from("<H", blob, ifd_off)
+    seen = {}
+    for i in range(count):
+        tag, typ, cnt, val = struct.unpack_from("<HHII", blob, ifd_off + 2 + 12 * i)
+        seen[tag] = (typ, cnt, val)
+    typ, cnt, off = seen[258]
+    assert (typ, cnt) == (3, 3)  # SHORT x3 per the TIFF 6.0 type table
+    assert struct.unpack_from("<3H", blob, off) == (8, 8, 8)
