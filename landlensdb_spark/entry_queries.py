@@ -4221,7 +4221,6 @@ _DRIVER_WINDOW_FIRST = [
     "hilbert_cells",
     "s2_cells",
     "quad_leaves",
-    "localized_iso",
     "sessionize_events",
     "embed_ann_ivf",
     "tile_pyramid",
@@ -4229,7 +4228,13 @@ _DRIVER_WINDOW_FIRST = [
     "url_normalize",
     "host_stats",
     "bloom_anti",
-    "geohash_cells",
+    # late-round-5 swap: the two NEW codec oracles take the slots of
+    # localized_iso/geohash_cells (pure column formulas, unchanged since
+    # r01/r02, r03 hash-green, independently pytest-covered) — never-
+    # driver-checked rows outrank stale-but-stable ones, the same rule
+    # that ordered this window in the first place
+    "gif_roundtrip",
+    "tiff_roundtrip",
 ]
 
 

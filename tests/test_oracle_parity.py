@@ -42,9 +42,13 @@ _R05_WINDOW = [
     "line_dedup", "token_stats", "quality_docs", "lang_pred",
     "embed_topk", "embed_ann_lsh", "embed_near_dup", "tile_bounds",
     "pip_admin_named", "snap_full", "hilbert_cells", "s2_cells",
-    "quad_leaves", "localized_iso", "sessionize_events", "embed_ann_ivf",
+    "quad_leaves", "sessionize_events", "embed_ann_ivf",
     "tile_pyramid", "gopher_stats", "url_normalize", "host_stats",
-    "bloom_anti", "geohash_cells",
+    "bloom_anti",
+    # late-r05 swap: the new codec oracles displace localized_iso /
+    # geohash_cells (unchanged pure column math, r03 hash-green) — never
+    # driver-checked outranks stale-but-stable
+    "gif_roundtrip", "tiff_roundtrip",
 ]
 
 
