@@ -298,6 +298,45 @@ def decode_gif_indexed(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     raise ValueError("gif: no image blocks")
 
 
+def gif_frames(blob: bytes) -> list[bytes]:
+    """Each image block as a STANDALONE single-image GIF (the source
+    header + global color table re-wrapped around the block's bytes plus
+    a trailer) — the GIF analog of video.mjpeg_frames: every element
+    decodes independently via decode_gif. Pure byte-level slicing; a
+    local color table travels inside its block untouched."""
+    b = bytes(blob)
+    _w, _h, _gct, pos = _header(b)
+    head = b[:pos]  # signature + logical screen descriptor + GCT
+    n = len(b)
+    frames: list[bytes] = []
+    while pos < n:
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:
+            break
+        if marker == 0x21:
+            if pos >= n:
+                raise ValueError("gif: truncated extension")
+            pos = _skip_subblocks(b, pos + 1)
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"gif: unknown block marker 0x{marker:02x}")
+        start = pos - 1
+        if pos + 9 > n:
+            raise ValueError("gif: truncated image descriptor")
+        ipacked = b[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        if pos >= n:
+            raise ValueError("gif: truncated image block")
+        pos = _skip_subblocks(b, pos + 1)
+        frames.append(head + b[start:pos] + b"\x3b")
+    if not frames:
+        raise ValueError("gif: no image blocks")
+    return frames
+
+
 def decode_gif(blob: bytes) -> np.ndarray:
     """First frame as pixels: grayscale (h, w) when every referenced palette
     entry is achromatic (r == g == b), else RGB (h, w, 3) — mirroring

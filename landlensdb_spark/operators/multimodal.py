@@ -248,11 +248,12 @@ def media_features(
 def frame_sample(
     df: DataFrame, media_col: str = "media", every_n: int = 10
 ) -> DataFrame:
-    """Video frame sampling: binary -> array<binary> of every
-    ``every_n``-th compressed frame. REAL for MJPEG-AVI payloads (RIFF
-    walk via operators/video.py; each returned element is a standalone
-    JPEG the in-repo codec decodes); non-video payloads yield an empty
-    array honestly — no synthetic slicing in the production path."""
+    """Frame sampling: binary -> array<binary> of every ``every_n``-th
+    compressed frame. REAL for MJPEG-AVI payloads (RIFF walk via
+    operators/video.py; each element is a standalone JPEG) and for
+    multi-image GIFs (block re-wrap via operators/gif.py; each element is
+    a standalone single-image GIF); other payloads yield an empty array
+    honestly — no synthetic slicing in the production path."""
     keep = [f.name for f in df.schema.fields]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -260,7 +261,13 @@ def frame_sample(
     )
 
     def _fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.gif import gif_frames
         from landlensdb_spark.operators.video import mjpeg_frames
+
+        def _grab(b: bytes) -> list[bytes]:
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                return gif_frames(b)
+            return mjpeg_frames(b)
 
         for pdf in batches:
             out = pdf[keep].copy()
@@ -269,9 +276,10 @@ def frame_sample(
                 if b is None or len(b) == 0:
                     frames.append([])
                     continue
-                try:  # one parse: non-AVI AND corrupt/truncated AVI both
-                    # degrade to an empty list per row, never a failed task
-                    frames.append(mjpeg_frames(bytes(b))[::every_n])
+                try:  # one parse: unknown AND corrupt/truncated payloads
+                    # both degrade to an empty list per row, never a
+                    # failed task
+                    frames.append(_grab(bytes(b))[::every_n])
                 except ValueError:
                     frames.append([])
             out["frames"] = frames
@@ -358,13 +366,31 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
                 raise ValueError("empty video")
             return _jpeg_luma(frames[0])
 
+        def _gif_luma(b: bytes):
+            from landlensdb_spark.operators.gif import decode_gif
+
+            img = decode_gif(b)
+            return rgb_luma(img) if img.ndim == 3 else img
+
+        def _tiff_luma(b: bytes):
+            from landlensdb_spark.operators.tiff import decode_tiff
+
+            img = decode_tiff(b)
+            return rgb_luma(img) if img.ndim == 3 else img
+
         for pdf in batches:
             out = pdf[keep].copy()
             hashes = []
             for b in pdf[media_col]:
                 img = None
                 if b is not None and len(b):
-                    for dec in (decode_png_gray, _jpeg_luma, _video_luma):
+                    for dec in (
+                        decode_png_gray,
+                        _jpeg_luma,
+                        _gif_luma,
+                        _tiff_luma,
+                        _video_luma,
+                    ):
                         try:
                             img = dec(bytes(b))
                             break

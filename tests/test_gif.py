@@ -156,3 +156,41 @@ def test_default_decode_and_thumbnail_dispatch():
     png = encode_png_gray(np.full((5, 6), 7, np.uint8))
     assert default_decode(png)[3] == "png"
     assert _default_thumbnail(png, 4, 4)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_gif_frames_standalone_decode():
+    from landlensdb_spark.operators.gif import gif_frames
+
+    frames = [_rand_idx(11, 13, 32, s) for s in range(5)]
+    pal = _rand_palette(32, 21)
+    blob = encode_gif_indexed(frames, pal, interlace=True)
+    singles = gif_frames(blob)
+    assert len(singles) == 5
+    for single, src in zip(singles, frames):
+        assert gif_meta(single) == (13, 11, 1)
+        out, out_pal = decode_gif_indexed(single)
+        assert (out == src).all() and (out_pal[:32] == pal).all()
+    with pytest.raises(ValueError):
+        gif_frames(b"not a gif")
+
+
+def test_phash_covers_gif_and_tiff():
+    from landlensdb_spark.operators.tiff import encode_tiff_rgb
+
+    # module-private luma helpers live inside the Arrow stage; drive the
+    # public phash64 on the decoded pixels and check cross-codec identity:
+    # the SAME image through GIF (lossless gray) and TIFF (lossless rgb of
+    # the gray ramp) must hash identically
+    from landlensdb_spark.operators.gif import decode_gif
+    from landlensdb_spark.operators.multimodal import phash64
+    from landlensdb_spark.operators.tiff import decode_tiff
+
+    img = _rand_idx(40, 40, 256, 17)  # gray values
+    g = phash64(decode_gif(encode_gif_gray(img)))
+    rgb = np.repeat(img[..., None], 3, axis=-1)
+    t_img = decode_tiff(encode_tiff_rgb(rgb))
+    # BT.601 luma of an achromatic image is the gray value itself
+    from landlensdb_spark.operators.jpeg import rgb_luma
+
+    assert (rgb_luma(t_img) == img).all()
+    assert phash64(rgb_luma(t_img)) == g

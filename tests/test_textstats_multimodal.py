@@ -201,3 +201,37 @@ def test_corrupt_video_degrades_per_row(spark):
     assert meta == {"good": True, "forged": False, "trunc": True}  # trunc: header intact
     fr = {r["url"]: len(r["frames"]) for r in multimodal.frame_sample(df, every_n=1).collect()}
     assert fr["good"] == 3 and fr["forged"] == 0 and fr["trunc"] == 0
+
+
+def test_gif_tiff_pipeline(spark):
+    """GIF and TIFF through the production multimodal path: real metadata
+    (dims + frame/page count), GIF frame sampling (each sampled element a
+    standalone decodable single-image GIF), pHash coverage for both."""
+    import numpy as np
+
+    from landlensdb_spark.operators.gif import decode_gif, encode_gif_gray
+    from landlensdb_spark.operators.tiff import encode_tiff_rgb
+
+    gframes = [np.full((9, 15), 20 + 10 * i, np.uint8) for i in range(5)]
+    gif_blob = encode_gif_gray(gframes)
+    tiff_blob = encode_tiff_rgb(
+        np.random.default_rng(3).integers(0, 256, (8, 11, 3), dtype=np.uint8)
+    )
+    df = spark.createDataFrame(
+        [("g", bytearray(gif_blob)), ("t", bytearray(tiff_blob))],
+        "url string, media binary",
+    )
+    meta = {r["url"]: r for r in multimodal.decode_media(df).collect()}
+    assert (meta["g"]["width"], meta["g"]["height"], meta["g"]["n_frames"],
+            meta["g"]["codec"], meta["g"]["ok"]) == (15, 9, 5, "gif", True)
+    assert (meta["t"]["width"], meta["t"]["height"], meta["t"]["n_frames"],
+            meta["t"]["codec"], meta["t"]["ok"]) == (11, 8, 1, "tiff", True)
+
+    sampled = {r["url"]: r["frames"]
+               for r in multimodal.frame_sample(df, every_n=2).collect()}
+    assert len(sampled["g"]) == 3  # image blocks 0, 2, 4
+    assert [int(decode_gif(bytes(f))[0, 0]) for f in sampled["g"]] == [20, 40, 60]
+    assert sampled["t"] == []  # single-page TIFF is not a frame source
+
+    ph = {r["url"]: r["phash"] for r in multimodal.media_phash(df).collect()}
+    assert ph["g"] is not None and ph["t"] is not None
