@@ -1920,8 +1920,9 @@ def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_stats(build_postings(docs))
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(limit: int | None = 50) -> str:
     terms_list = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    qualify = f"QUALIFY rank <= {limit}" if limit is not None else ""
     return rf"""
     WITH terms AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0b]+')) AS term
@@ -1954,7 +1955,7 @@ def _bm25_oracle() -> str:
     SELECT doc_id, score,
            CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
     FROM scored
-    QUALIFY rank <= 50
+    {qualify}
     """
 
 
@@ -1970,6 +1971,22 @@ def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bm25_docs"] = _bm25_oracle()
+
+
+@query("bm25_rank_all", None)
+def q_bm25_rank_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with ``top=None``: the FULL matching set globally ranked via
+    the two-level rank (range shuffle -> partitioned window -> broadcast
+    offsets; round-5 verdict #4) — no unpartitioned WindowExec anywhere,
+    so the exact same code path survives an unbounded corpus-scale result
+    set. Oracle is the bm25_docs formula without the QUALIFY cap."""
+    from landlensdb_spark.operators.search import bm25_search
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return bm25_search(docs, _BM25_TERMS, top=None)
+
+
+ORACLES["bm25_rank_all"] = _bm25_oracle(limit=None)
 
 
 # ---------------------------------------------------------------------------
@@ -2390,6 +2407,134 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = decode_media(media)
     # zero dims/frames for the junk class per the oracle's arithmetic
     return meta.select("key", "width", "height", "n_frames", "codec", "ok")
+
+
+@query(
+    "media_meta_v2",
+    """
+    SELECT o_orderkey AS key,
+           CAST(CASE WHEN o_orderkey % 6 < 5
+                THEN 10 + o_orderkey % 23 ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN o_orderkey % 6 < 5
+                THEN 10 + (o_orderkey * 3) % 17 ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE o_orderkey % 6 WHEN 0 THEN 1 WHEN 1 THEN 1
+                WHEN 2 THEN 2 + (o_orderkey * 7) % 4
+                WHEN 3 THEN 1 + o_orderkey % 3
+                WHEN 4 THEN 1 + o_orderkey % 2 ELSE 0 END AS INTEGER) AS n_frames,
+           CASE o_orderkey % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'mjpeg-avi' WHEN 3 THEN 'gif'
+                WHEN 4 THEN 'tiff' ELSE 'unknown' END AS codec,
+           o_orderkey % 6 < 5 AS ok,
+           o_orderkey % 6 < 5 AS phash_set,
+           CAST(CASE WHEN o_orderkey % 6 IN (0, 3, 4) THEN 0 ELSE -1 END
+                AS INTEGER) AS phash_dist
+    FROM orders WHERE o_orderkey < 1500
+    """,
+)
+def q_media_meta_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_meta extended with the round-5 codecs (r05 verdict #6): the
+    class mix adds multi-image GIF (k%6=3, 1 + k%3 frames) and multi-page
+    TIFF (k%6=4, 1 + k%2 pages) next to PNG/JPEG/MJPEG-AVI/junk, so both
+    new codecs sit under the hard driver signal on METADATA (frame counts
+    via the production ``decode_media`` block/IFD walks), not just
+    round-trip. ``phash_set`` proves ``media_phash`` produces a hash for
+    every decodable class; ``phash_dist`` is the Hamming distance between
+    the blob's pHash and ``phash64`` of the known source pixel array —
+    exactly 0 for the LOSSLESS classes (png/gif/tiff), i.e. the pHash is
+    content-determined and codec-invariant; -1 (not claimed) for the
+    lossy classes and junk. The oracle states the arithmetic.
+
+    Gotcha pinned here on purpose: ``exp_phash`` must ride through the
+    ``decode_media``/``media_phash`` Arrow hops NULL-FREE (0 sentinel for
+    the non-claiming classes, selected by ``codec`` downstream). Arrow ->
+    pandas inside mapInPandas turns a nullable long column into float64
+    (NaN-backed), silently rounding |x| > 2^53 — a 64-bit hash loses its
+    low bits and every Hamming distance lands at 3-9 instead of 0."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from landlensdb_spark.operators.multimodal import decode_media, media_phash
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 1500).select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.gif import encode_gif_gray
+        from landlensdb_spark.operators.jpeg import encode_jpeg_color
+        from landlensdb_spark.operators.multimodal import phash64
+        from landlensdb_spark.operators.raster import encode_png_gray
+        from landlensdb_spark.operators.tiff import encode_tiff_gray
+        from landlensdb_spark.operators.video import encode_mjpeg_avi
+
+        for pdf in batches:
+            ks, blobs, exps = [], [], []
+            for k in pdf["key"]:
+                k = int(k)
+                w, h = 10 + k % 23, 10 + (k * 3) % 17
+                base = (
+                    (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 5 + k)
+                    % 256
+                ).astype(np.uint8)
+                cls = k % 6
+                exp = 0
+                if cls == 0:
+                    b = encode_png_gray(base)
+                    exp = phash64(base)
+                elif cls == 1:
+                    b = encode_jpeg_color(
+                        np.full((h, w, 3), (k % 200, 30, 60), dtype=np.uint8),
+                        quality=85,
+                    )
+                elif cls == 2:
+                    nf = 2 + (k * 7) % 4
+                    b = encode_mjpeg_avi(
+                        [((base + i) % 256).astype(np.uint8) for i in range(nf)],
+                        fps=10,
+                    )
+                elif cls == 3:
+                    nf = 1 + k % 3
+                    b = encode_gif_gray(
+                        [((base + i) % 256).astype(np.uint8) for i in range(nf)]
+                    )
+                    exp = phash64(base)
+                elif cls == 4:
+                    nf = 1 + k % 2
+                    b = encode_tiff_gray(
+                        [((base + i) % 256).astype(np.uint8) for i in range(nf)]
+                    )
+                    exp = phash64(base)
+                else:
+                    b = bytes([k % 251]) * 16  # undecodable junk
+                ks.append(k)
+                blobs.append(b)
+                exps.append(exp)
+            yield pd.DataFrame(
+                {
+                    "key": ks,
+                    "media": blobs,
+                    "exp_phash": np.asarray(exps, dtype=np.int64),
+                }
+            )
+
+    media = keys.mapInPandas(_mk, "key long, media binary, exp_phash long")
+    meta = media_phash(decode_media(media))
+    return meta.select(
+        "key",
+        "width",
+        "height",
+        "n_frames",
+        "codec",
+        "ok",
+        F.col("phash").isNotNull().alias("phash_set"),
+        F.when(~F.col("codec").isin("png", "gif", "tiff"), F.lit(-1))
+        .otherwise(F.bit_count(F.col("phash").bitwiseXOR(F.col("exp_phash"))))
+        .cast("int")
+        .alias("phash_dist"),
+    )
 
 
 @query(
@@ -4172,69 +4317,65 @@ def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in/out split per round is documented in COVERAGE.md.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # --- round-5 rotation ---
-    # never driver-checked (landed in the last commits of round 4);
-    # pipeline_lineage is the north rule's resumable-lineage criterion
-    "pipeline_lineage",
-    "geojson_roundtrip",
-    "gpkg_roundtrip",
-    # canaries: paths whose implementation CHANGES in round 5 (BPE
-    # re-architecture, kNN fallback bound) plus the pinned north-star
-    # byte-identical-extracted-text invariant
-    "extract_text",
-    "pip_admin",
-    "knn_points",
-    "knn_self",
-    "bpe_merges",
+    # --- round-6 rotation (r05 verdict #2) ---
+    # never driver-checked: the round-6 additions (GIF/TIFF metadata +
+    # pHash invariance under the hard signal; BM25 two-level full rank)
+    "media_meta_v2",
+    "bm25_rank_all",
+    # changed-path canary: apply_bpe's duplicate-pair rank table moved to
+    # first-wins this round — corpus_tokenize drives that encoder
     "corpus_tokenize",
-    # the 41 stalest rows: every one of these last saw a driver check in
-    # round 3 (hash-green there and in this round's local full sweep)
-    "coverage_ingest",
-    "extract_pip",
-    "extract_date_filter",
-    "extract_exif_real",
-    "bbox_scan",
-    "filter_dsl",
-    "distinct_priority",
-    "anti_join",
-    "agg_doc_stats",
-    "bounds_agg",
-    "argmin_lineitem",
-    "upsert_orders",
-    "window_events",
-    "dedup_exact",
-    "ngram_jaccard",
-    "minhash_sigs",
-    "minhash_lsh",
-    "simhash_docs",
-    "fingerprint_docs",
-    "line_dedup",
-    "token_stats",
-    "quality_docs",
-    "lang_pred",
-    "embed_topk",
-    "embed_ann_lsh",
-    "embed_near_dup",
-    "tile_bounds",
-    "pip_admin_named",
-    "snap_full",
-    "hilbert_cells",
-    "s2_cells",
-    "quad_leaves",
-    "sessionize_events",
-    "embed_ann_ivf",
-    "tile_pyramid",
-    "gopher_stats",
-    "url_normalize",
-    "host_stats",
-    "bloom_anti",
-    # late-round-5 swap: the two NEW codec oracles take the slots of
-    # localized_iso/geohash_cells (pure column formulas, unchanged since
-    # r01/r02, r03 hash-green, independently pytest-covered) — never-
-    # driver-checked rows outrank stale-but-stable ones, the same rule
-    # that ordered this window in the first place
-    "gif_roundtrip",
-    "tiff_roundtrip",
+    # the 2 stalest rows (last driver check: round 3)
+    "localized_iso",
+    "geohash_cells",
+    # the 44 rows whose last driver check was round 4 — every row that
+    # missed the r05 window, verdict-named ones first
+    "tile_assign",
+    "tile_stats",
+    "pip_admin_agg",
+    "snap_nearest",
+    "extract_geotags",
+    "mvt_features",
+    "first_per_source",
+    "fetch_plan",
+    "mvt_build",
+    "raster_density",
+    "stream_tiles",
+    "pii_redact",
+    "stratified_docs",
+    "hash_sample_docs",
+    "token_shards",
+    "contamination_docs",
+    "postings_stats",
+    "bm25_docs",
+    "repeated_spans",
+    "warc_scan",
+    "balanced_docs",
+    "span_scrub",
+    "corpus_prep",
+    "jpeg_roundtrip",
+    "media_meta",
+    "track_lengths",
+    "scalar_funcs",
+    "bearing_align",
+    "semantic_dup_clusters",
+    "fetch_local",
+    "salted_tile_counts",
+    "doc_chunks",
+    "spatial_clusters",
+    "shape_stats",
+    "haversine_pairs",
+    "snapshot_diff",
+    "jpeg_color_roundtrip",
+    "jpeg_progressive_roundtrip",
+    "lm_scores",
+    "pagerank_hosts",
+    "dup_clusters",
+    "robots_gate",
+    "length_quantiles",
+    "crawl_schedule",
+    # canary: the pinned north-star byte-identical-extracted-text invariant
+    "extract_text",
 ]
 
 

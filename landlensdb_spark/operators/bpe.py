@@ -29,7 +29,12 @@ rank-priority loop (repeatedly merge the lowest-rank pair present in the
 word), which reaches the same fixed point as replaying every merge in
 rank order: a merge of rank r only ever creates adjacencies involving its
 output token, and every learned pair containing that token has rank > r,
-so lower-rank pairs can never become applicable again. This runs in ONE
+so lower-rank pairs can never become applicable again. Caveat
+(token-string aliasing): that argument assumes learned pairs are
+DISTINCT — a consumed pair can be re-learned when a later merge yields a
+token with an identical string ('abc' from both (a,'bc') and ('ab',c)) —
+so the rank table keeps the FIRST occurrence's rank, matching sequential
+replay's earliest application. This runs in ONE
 Arrow-batched pandas UDF stage with a per-batch word→tokens memo (word
 types repeat massively in real text), and the plan depth is INDEPENDENT
 of merge count. (The previous design stacked one nested higher-order fold
@@ -54,6 +59,20 @@ EOW = "</w>"
 #: whose pair counts cannot overtake the head during early merges, and
 #: standard BPE trainers truncate identically (tokenizers' min_frequency).
 DEFAULT_MAX_WORD_TYPES = 2_000_000
+
+#: measured driver bytes per collected word type across the heap-learn
+#: working set (word/freq rows + per-word symbol lists of interned 1-char
+#: strings + the pair->word-id index sets, which dominate): ~750 B/type
+#: via tracemalloc on a 200k-type random table (4-14 char words). The
+#: default cap therefore commits ~1.5 GiB of driver memory. ``learn_bpe``
+#: converts ``max_word_types`` into this approximate byte bound and
+#: REFUSES caps past ``MAX_DRIVER_COLLECT_BYTES`` rather than OOMing the
+#: driver mid-collect — raise the budget explicitly after provisioning
+#: driver memory, or keep the Zipf-head truncation (the types below the
+#: top few million are hapax-like noise whose pair counts cannot overtake
+#: the head; standard BPE trainers truncate identically).
+BYTES_PER_WORD_TYPE = 750
+MAX_DRIVER_COLLECT_BYTES = 4 * 1024**3
 
 
 def _words(df: DataFrame, text: str) -> DataFrame:
@@ -189,7 +208,23 @@ def learn_bpe(
     frequency-truncated top-``max_word_types`` with deterministic
     (freq desc, word asc) tie-break), ONE collect, then driver-side heap
     learning — Spark job count is constant in ``num_merges``.
+
+    The collect is a driver-memory commitment of ~``max_word_types`` x
+    ``BYTES_PER_WORD_TYPE`` (~750 B/type measured, index sets included);
+    caps whose estimate exceeds ``MAX_DRIVER_COLLECT_BYTES`` raise up
+    front with guidance instead of OOMing mid-collect.
     """
+    if max_word_types is not None:
+        est = max_word_types * BYTES_PER_WORD_TYPE
+        if est > MAX_DRIVER_COLLECT_BYTES:
+            raise ValueError(
+                f"max_word_types={max_word_types:,} commits ~{est / 1024**3:.1f} "
+                f"GiB of driver memory (~{BYTES_PER_WORD_TYPE} B/type measured; "
+                f"budget {MAX_DRIVER_COLLECT_BYTES / 1024**3:.0f} GiB). Lower the "
+                "cap, or raise bpe.MAX_DRIVER_COLLECT_BYTES after provisioning "
+                "the driver; truncation to the Zipf head is the standard trade "
+                "and does not change early merges."
+            )
     words = _words(df, text)
     if max_word_types is not None:
         words = words.orderBy(
@@ -223,7 +258,14 @@ def apply_bpe(
         (m[-3] if len(m) == 4 else m[0], m[-2] if len(m) == 4 else m[1])
         for m in merges
     ]
-    ranks = {p: i for i, p in enumerate(pair_list)}
+    # first-wins on duplicate pairs: a consumed pair can be RE-learned when
+    # a later merge produces a token with an identical string (e.g. 'abc'
+    # from both (a,'bc') and ('ab',c) merges). Sequential replay applies
+    # such a pair at its EARLIEST appearance, so rank-priority must score
+    # it by the first rank — last-wins could diverge from replay.
+    ranks: dict[tuple[str, str], int] = {}
+    for i, p in enumerate(pair_list):
+        ranks.setdefault(p, i)
 
     @pandas_udf(ArrayType(StringType()))
     def encode(texts: pd.Series) -> pd.Series:

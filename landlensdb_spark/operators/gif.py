@@ -257,7 +257,7 @@ def decode_gif_indexed(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
             raise ValueError(f"gif: unknown block marker 0x{marker:02x}")
         if pos + 9 > n:
             raise ValueError("gif: truncated image descriptor")
-        _left, _top, iw, ih = struct.unpack_from("<HHHH", blob, pos)
+        left, top, iw, ih = struct.unpack_from("<HHHH", blob, pos)
         ipacked = blob[pos + 8]
         pos += 9
         palette = gct
@@ -294,6 +294,20 @@ def decode_gif_indexed(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
                     deinter[r] = idx[src]
                     src += 1
             idx = deinter
+        if (left, top, iw, ih) != (0, 0, w, h):
+            # the image block is a sub-rectangle of the logical screen:
+            # composite onto the full (h, w) canvas — the reference's PIL
+            # path renders the whole canvas, so decode dims must agree
+            # with gif_meta/LSD dims. Uncovered area takes the LSD's
+            # background color index (clamped to this image's palette).
+            if left + iw > w or top + ih > h:
+                raise ValueError("gif: image block overruns logical screen")
+            bg = blob[11]
+            if bg >= len(palette):
+                bg = 0
+            canvas = np.full((h, w), bg, dtype=np.uint8)
+            canvas[top : top + ih, left : left + iw] = idx
+            return canvas, palette
         return idx.copy(), palette
     raise ValueError("gif: no image blocks")
 

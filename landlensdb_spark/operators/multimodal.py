@@ -38,6 +38,34 @@ from pyspark.sql import functions as F
 
 META_SCHEMA = "width int, height int, n_frames int, codec string, ok boolean"
 
+#: |x| <= 2**53 survives an int64 -> float64 -> long round-trip exactly.
+_FLOAT64_EXACT_INT = float(1 << 53)
+
+
+def _guard_long_precision(pdf: pd.DataFrame, long_cols: list[str]) -> None:
+    """Fail LOUDLY on the Arrow->pandas nullable-long precision trap.
+
+    Spark's Arrow->pandas conversion inside mapInPandas turns a long
+    column that contains NULLs in the batch into float64 (NaN-backed).
+    Values with |x| > 2**53 then silently lose their low bits — a 64-bit
+    hash riding through a media pass-through operator comes out a few
+    Hamming bits off with no error anywhere. Smaller magnitudes round-trip
+    exactly and are passed through unharmed, so this guard only rejects
+    batches that have ALREADY been corrupted beyond recovery; callers
+    should null-fill (sentinel) such columns or re-join them after the
+    media stage instead."""
+    for c in long_cols:
+        s = pdf[c]
+        if s.dtype == np.float64:
+            bad = s.abs().max()  # NaN-safe: max skips NaN
+            if bad == bad and bad > _FLOAT64_EXACT_INT:
+                raise ValueError(
+                    f"column '{c}' is a nullable long with |values| > 2^53: "
+                    "Arrow->pandas upcast it to float64 and its low bits are "
+                    "already lost. Null-fill it with a sentinel before the "
+                    "media stage, or join it back afterwards."
+                )
+
 
 def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     """Metadata decode, REAL for every in-scope format: PNG (IHDR parse),
@@ -172,9 +200,11 @@ def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
     # capture at plan-build time: python workers re-import this module, so
     # a DECODERS swap made on the driver must travel inside the closure
     dec = DECODERS["decode"]
+    long_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"]
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            _guard_long_precision(pdf, long_cols)
             metas = [dec(b) for b in pdf[media_col]]
             out = pdf[names].copy()
             cols = list(zip(*metas)) if metas else [[], [], [], [], []]
@@ -200,12 +230,14 @@ def media_thumbnail(
     )
 
     thumbnail = DECODERS["thumbnail"]  # captured at plan-build time (see _dec)
+    long_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"]
 
     def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from landlensdb_spark.operators.jpeg import jpeg_dims
         from landlensdb_spark.operators.raster import png_dims
 
         for pdf in batches:
+            _guard_long_precision(pdf, long_cols)
             out = pdf[keep].copy()
             thumbs, ws, hs = [], [], []
             for b in pdf[media_col]:
@@ -259,6 +291,7 @@ def frame_sample(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["frames array<binary>"]
     )
+    long_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"]
 
     def _fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from landlensdb_spark.operators.gif import gif_frames
@@ -270,6 +303,7 @@ def frame_sample(
             return mjpeg_frames(b)
 
         for pdf in batches:
+            _guard_long_precision(pdf, long_cols)
             out = pdf[keep].copy()
             frames = []
             for b in pdf[media_col]:
@@ -344,6 +378,8 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
         + ["phash long"]
     )
 
+    long_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"]
+
     def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
         import zlib as _zlib
@@ -379,6 +415,7 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
             return rgb_luma(img) if img.ndim == 3 else img
 
         for pdf in batches:
+            _guard_long_precision(pdf, long_cols)
             out = pdf[keep].copy()
             hashes = []
             for b in pdf[media_col]:

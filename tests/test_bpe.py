@@ -160,3 +160,38 @@ def test_bpe_python_twin_agrees_on_synthetic_docs(spark):
         )
         want = _bpe_py_merges(d, 8)
     assert got == want
+
+
+def test_learn_bpe_refuses_over_budget_word_type_cap(spark):
+    """max_word_types converts to an approximate driver byte commitment
+    (~750 B/type measured); caps past MAX_DRIVER_COLLECT_BYTES must raise
+    up front with guidance, BEFORE any Spark job runs."""
+    import pytest
+
+    from landlensdb_spark.operators import bpe
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    too_big = bpe.MAX_DRIVER_COLLECT_BYTES // bpe.BYTES_PER_WORD_TYPE + 1
+    with pytest.raises(ValueError, match="driver memory"):
+        learn_bpe(df, 2, max_word_types=too_big)
+    # the default cap must sit comfortably inside the budget
+    from landlensdb_spark.operators.bpe import DEFAULT_MAX_WORD_TYPES
+
+    assert (
+        DEFAULT_MAX_WORD_TYPES * bpe.BYTES_PER_WORD_TYPE
+        < bpe.MAX_DRIVER_COLLECT_BYTES
+    )
+
+
+def test_apply_bpe_duplicate_pair_keeps_first_rank(spark):
+    """Token-string aliasing: when the same (left, right) pair appears
+    twice in a merge table (re-learned after being consumed), the encoder
+    must score it by its FIRST rank — sequential replay applies it at its
+    earliest appearance. On word 'abc' with merges [(a,b), (b,c), (a,b)],
+    sequential replay gives [ab, c]: (a,b) fires first, consuming the b
+    that (b,c) needed. Last-wins ranks would score (a,b)=2 > (b,c)=1 and
+    wrongly produce [a, bc]."""
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    merges = [("a", "b"), ("b", "c"), ("a", "b")]
+    rows = apply_bpe(df, merges).select("bpe_tokens").collect()
+    assert rows[0]["bpe_tokens"] == ["ab", "c", "</w>"]

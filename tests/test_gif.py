@@ -194,3 +194,39 @@ def test_phash_covers_gif_and_tiff():
 
     assert (rgb_luma(t_img) == img).all()
     assert phash64(rgb_luma(t_img)) == g
+
+
+def test_sub_rectangle_composites_onto_logical_screen():
+    """A third-party GIF whose first image block is a sub-rectangle of the
+    logical screen must decode to the FULL canvas (background index fills
+    the uncovered area) so decode dims agree with gif_meta/LSD dims — the
+    reference's PIL path composites identically (round-5 ADVICE)."""
+    sub = _rand_idx(2, 3, 4, 21)
+    pal = _rand_palette(4, 21)
+    data = _lzw_encode(sub.tobytes(), 2)
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HH", 8, 6)  # logical screen 8x6
+    blob.append(0x80 | 0x01)  # GCT present, 4 entries
+    blob.append(3)  # background color index
+    blob.append(0)  # aspect
+    blob += pal.tobytes()
+    blob.append(0x2C)
+    blob += struct.pack("<HHHH", 4, 1, 3, 2)  # left=4 top=1 3x2 sub-rect
+    blob.append(0x00)  # no LCT, not interlaced
+    blob.append(2)
+    blob.append(len(data))
+    blob += data
+    blob += b"\x00\x3b"
+    out, out_pal = decode_gif_indexed(bytes(blob))
+    assert out.shape == (6, 8)  # LSD dims, not the 2x3 crop
+    assert (out[1:3, 4:7] == sub).all()
+    mask = np.ones((6, 8), bool)
+    mask[1:3, 4:7] = False
+    assert (out[mask] == 3).all()  # background index everywhere else
+    # hostile: sub-rect overrunning the logical screen must raise
+    bad = bytearray(blob)
+    ipos = 6 + 7 + 12  # header + LSD + 4-entry GCT -> image separator
+    assert bad[ipos] == 0x2C
+    struct.pack_into("<HHHH", bad, ipos + 1, 7, 5, 3, 2)  # 7+3 > 8
+    with pytest.raises(ValueError):
+        decode_gif_indexed(bytes(bad))

@@ -25,40 +25,38 @@ def test_every_query_has_an_oracle():
     )
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
-# The round-5 rotation, pinned VERBATIM so a refactor can't silently restore
-# build order: 3 never-driver-checked rows first (pipeline_lineage is the
-# north rule's resumable-lineage criterion), then 6 canaries on paths that
-# change in round 5 (BPE re-architecture, kNN fallback bound, north-star
-# extract_text), then the 41 rows whose last driver check was round 3.
-_R05_WINDOW = [
-    "pipeline_lineage", "geojson_roundtrip", "gpkg_roundtrip",
-    "extract_text", "pip_admin", "knn_points", "knn_self",
-    "bpe_merges", "corpus_tokenize",
-    "coverage_ingest", "extract_pip", "extract_date_filter",
-    "extract_exif_real", "bbox_scan", "filter_dsl", "distinct_priority",
-    "anti_join", "agg_doc_stats", "bounds_agg", "argmin_lineitem",
-    "upsert_orders", "window_events", "dedup_exact", "ngram_jaccard",
-    "minhash_sigs", "minhash_lsh", "simhash_docs", "fingerprint_docs",
-    "line_dedup", "token_stats", "quality_docs", "lang_pred",
-    "embed_topk", "embed_ann_lsh", "embed_near_dup", "tile_bounds",
-    "pip_admin_named", "snap_full", "hilbert_cells", "s2_cells",
-    "quad_leaves", "sessionize_events", "embed_ann_ivf",
-    "tile_pyramid", "gopher_stats", "url_normalize", "host_stats",
-    "bloom_anti",
-    # late-r05 swap: the new codec oracles displace localized_iso /
-    # geohash_cells (unchanged pure column math, r03 hash-green) — never
-    # driver-checked outranks stale-but-stable
-    "gif_roundtrip", "tiff_roundtrip",
+# The round-6 rotation, pinned VERBATIM so a refactor can't silently restore
+# build order: 2 never-driver-checked round-6 rows first, one changed-path
+# canary (apply_bpe duplicate-rank first-wins), the 2 r03-stale rows, then
+# the 44 rows whose last driver check was round 4 (everything that missed
+# the r05 window, verdict-named ones first), closing with the north-star
+# extract_text canary.
+_R06_WINDOW = [
+    "media_meta_v2", "bm25_rank_all", "corpus_tokenize",
+    "localized_iso", "geohash_cells",
+    "tile_assign", "tile_stats", "pip_admin_agg", "snap_nearest",
+    "extract_geotags", "mvt_features", "first_per_source", "fetch_plan",
+    "mvt_build", "raster_density", "stream_tiles", "pii_redact",
+    "stratified_docs", "hash_sample_docs", "token_shards",
+    "contamination_docs", "postings_stats", "bm25_docs", "repeated_spans",
+    "warc_scan", "balanced_docs", "span_scrub", "corpus_prep",
+    "jpeg_roundtrip", "media_meta", "track_lengths", "scalar_funcs",
+    "bearing_align", "semantic_dup_clusters", "fetch_local",
+    "salted_tile_counts", "doc_chunks", "spatial_clusters", "shape_stats",
+    "haversine_pairs", "snapshot_diff", "jpeg_color_roundtrip",
+    "jpeg_progressive_roundtrip", "lm_scores", "pagerank_hosts",
+    "dup_clusters", "robots_gate", "length_quantiles", "crawl_schedule",
+    "extract_text",
 ]
 
 
 def test_driver_window_ordering():
-    """The driver hashes the FIRST 50 registered queries; pin the round-5
+    """The driver hashes the FIRST 50 registered queries; pin the round-6
     rotation list verbatim so neither a new registration nor a refactor can
     silently push a window row back out of the hard signal."""
     from landlensdb_spark.entry_queries import _DRIVER_WINDOW_FIRST
 
-    assert _DRIVER_WINDOW_FIRST == _R05_WINDOW
+    assert _DRIVER_WINDOW_FIRST == _R06_WINDOW
     names = list(QUERIES)
     assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
     assert len(_DRIVER_WINDOW_FIRST) == 50
@@ -123,3 +121,30 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert sorted(df.columns) == sorted(d[0] for d in duck.execute(ORACLES[name]).description)
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     assert got == want, f"{name}: value mismatch"
+
+
+def test_full_sweep_all_queries():
+    """The enforced exact-value check for rotated-OUT window rows (the
+    round-4 ADVICE trade-off, made one-command per round-5 verdict #8):
+    EVERY registered query vs its DuckDB oracle at sf0.01 through the
+    driver-gate replica, exact values + dtypes. Heavy (~3-4 min), so it
+    only arms when SPARK_GRAFT_FULL_SWEEP=1; the documented pre-round
+    command (also in COVERAGE.md) is
+
+        SPARK_GRAFT_FULL_SWEEP=1 python -m pytest \
+            tests/test_oracle_parity.py::test_full_sweep_all_queries -q
+
+    (equivalently: ``python tools/check_oracle.py`` and check exit 0)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.environ.get("SPARK_GRAFT_FULL_SWEEP"):
+        pytest.skip("set SPARK_GRAFT_FULL_SWEEP=1 to run the full sweep")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py")],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + "\n" + proc.stderr[-2000:]

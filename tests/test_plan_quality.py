@@ -251,6 +251,31 @@ def test_bm25_broadcast_side_is_query_bounded(spark):
             )
 
 
+def test_bm25_top_none_rank_is_two_level(spark):
+    """``top=None`` must never compile to a single-task global sort: every
+    Window node in the executed plan must carry the ``_pid`` partition spec
+    (the two-level rank), and the plan must contain the range exchange that
+    makes partition-local ranks globally consistent (round-5 verdict #4).
+    The two-level ranks must also equal the reference top-k ranks."""
+    from landlensdb_spark.operators.search import bm25_search
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox " + "jumps " * (i % 3 + 1)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = bm25_search(corpus, ["quick", "jumps"], top=None)
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in tree.lower(), tree
+    for ln in tree.splitlines():
+        if "Window [" in ln:
+            assert "_pid" in ln, (
+                "unpartitioned WindowExec in top=None plan:\n" + ln
+            )
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in out.collect()}
+    ref = bm25_search(corpus, ["quick", "jumps"], top=len(got)).collect()
+    assert got == {r["doc_id"]: (r["score"], r["rank"]) for r in ref}
+
+
 def test_repeated_spans_shuffles_hash_not_window_string(spark):
     """The corpus-wide window count must shuffle the 8-byte xxhash64 of
     each window, never the window STRING (~win tokens of text per row —

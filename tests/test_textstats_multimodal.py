@@ -235,3 +235,40 @@ def test_gif_tiff_pipeline(spark):
 
     ph = {r["url"]: r["phash"] for r in multimodal.media_phash(df).collect()}
     assert ph["g"] is not None and ph["t"] is not None
+
+
+def test_nullable_long_precision_guard(spark):
+    """The Arrow->pandas trap: a long column with NULLs in the batch
+    arrives in a pandas UDF as float64, silently rounding |x| > 2^53
+    (a 64-bit hash loses its low bits — media_meta_v2 shipped with every
+    lossless pHash distance reading 3-9 instead of 0 until this was
+    found). The media pass-through operators must FAIL LOUDLY on such
+    already-corrupted columns, and keep passing (a) null-free long
+    columns of any magnitude and (b) nullable longs within float64's
+    exact-integer range."""
+    import pytest
+
+    from landlensdb_spark.operators import multimodal
+    from landlensdb_spark.operators.raster import encode_png_gray
+
+    blob = bytearray(encode_png_gray(np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    big, small = -(6 << 60) + 5, 123456
+    corrupt = spark.createDataFrame(
+        [(1, big, blob), (2, None, blob)], "key long, h long, media binary"
+    ).coalesce(1)  # null + big value in ONE batch -> float64 upcast fires
+    with pytest.raises(Exception, match="2\\^53"):
+        multimodal.decode_media(corrupt).collect()
+    with pytest.raises(Exception, match="2\\^53"):
+        multimodal.media_phash(corrupt).collect()
+    # null-free big values ride through EXACTLY (no float upcast)
+    clean = spark.createDataFrame(
+        [(1, big, blob), (2, big + 1, blob)], "key long, h long, media binary"
+    )
+    got = {r["key"]: r["h"] for r in multimodal.decode_media(clean).collect()}
+    assert got == {1: big, 2: big + 1}
+    # nullable but small: exact in float64, passes and round-trips
+    ok = spark.createDataFrame(
+        [(1, small, blob), (2, None, blob)], "key long, h long, media binary"
+    ).coalesce(1)
+    got = {r["key"]: r["h"] for r in multimodal.frame_sample(ok).collect()}
+    assert got == {1: small, 2: None}
