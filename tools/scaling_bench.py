@@ -369,6 +369,7 @@ Per-query seconds:
 - host capacity probe (1s bursts): {cap[lo]:.4g} it/s @ {lo}w, {cap[hi]:.4g} it/s @ {hi}w ({cap_ratio:.2f}x)
 {f"- SUSTAINED host capacity ({sustained:.0f}s pinned burns, {rest}s pre-rest each): {sus[lo]:.4g} it/s @ {lo}w, {sus[hi]:.4g} it/s @ {hi}w ({sus_ratio:.2f}x of ideal {factor:.0f}x)" if sus else ""}
 - raw JSON: see BENCH/raw_{lo}.json, BENCH/raw_{hi}.json
+- serial-floor decomposition (the Amdahl s term, measured directly): BENCH/PROFILE.md
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
