@@ -366,8 +366,8 @@ Per-query seconds:
     md += f"""
 - input: {res_lo['rows']} pages (sf={res_lo['sf']} x mult {mult}), 60% clustered into 3 urban cells (skew on)
 - efficiency definition: (rows/sec @ 4N) / ({factor:.0f} x rows/sec @ N)
-- host capacity probe (1s bursts): {cap[lo]:.4g} it/s @ {lo}w, {cap[hi]:.4g} it/s @ {hi}w ({cap_ratio:.2f}x)
-{f"- SUSTAINED host capacity ({sustained:.0f}s pinned burns, {rest}s pre-rest each): {sus[lo]:.4g} it/s @ {lo}w, {sus[hi]:.4g} it/s @ {hi}w ({sus_ratio:.2f}x of ideal {factor:.0f}x)" if sus else ""}
+{f"- host capacity probe (1s bursts): {cap[lo]:.4g} it/s @ {lo}w, {cap[hi]:.4g} it/s @ {hi}w ({cap_ratio:.2f}x)" if cap and cap.get(lo) != 1.0 else f"- host capacity probe (1s bursts): {cap_ratio:.2f}x from {lo}w to {hi}w (absolute it/s not persisted for this run)"}
+{f"- SUSTAINED host capacity ({sustained:.0f}s pinned burns, {rest}s pre-rest each): {sus[lo]:.4g} it/s @ {lo}w, {sus[hi]:.4g} it/s @ {hi}w ({sus_ratio:.2f}x of ideal {factor:.0f}x)" if sus and sus.get(lo) != 1.0 else (f"- SUSTAINED host capacity ({sustained:.0f}s pinned burns): {sus_ratio:.2f}x of ideal {factor:.0f}x (absolute it/s not persisted for this run)" if sus_ratio else "")}
 - raw JSON: see BENCH/raw_{lo}.json, BENCH/raw_{hi}.json
 - serial-floor decomposition (the Amdahl s term, measured directly): BENCH/PROFILE.md
 """
