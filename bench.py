@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -200,6 +201,49 @@ def main() -> None:
     queries = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
 
+    # ---- pinned twin: the stable round-over-round comparator ---------------
+    # The unpinned local[N] medians above are hostage to the VM's burst-credit
+    # state (r05 published spreads up to 11x on a contended session). A
+    # taskset-pinned local[8] pass inherits the 2/8 scaling protocol's noise
+    # immunity: a fixed 8-core budget is a reproducible resource envelope, so
+    # its medians compare round over round even when the 32-core shape is
+    # noisy. Runs as a child process (affinity must be set before the JVM
+    # starts); disabled inside the child itself and in scaling runs (which
+    # already pin every pass).
+    pinned_twin = None
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_TWIN", "1") != "0"
+        and not os.environ.get("SPARK_GRAFT_BENCH_TWIN_CHILD")
+        and cpus > 8
+    ):
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS="8",
+            # 3 rounds so the median lands on a warm round (round 0 carries
+            # JVM/codegen warmup), same as the parent protocol
+            SPARK_GRAFT_BENCH_REPEATS="3",
+            SPARK_GRAFT_BENCH_TWIN_CHILD="1",
+        )
+        try:
+            out = subprocess.run(
+                ["taskset", "-c", "0-7", sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            child = json.loads(line)
+            pinned_twin = {
+                "protocol": "taskset 0-7, local[8], interleaved x2, median",
+                "queries": child["queries"],
+                "spread": child["spread"],
+                "value": child["value"],
+                "rows_per_sec": child["rows_per_sec"],
+            }
+        except Exception:
+            pinned_twin = None  # never fail the headline bench over the twin
+
     total = round(sum(queries.values()), 3)
     # headline throughput: pipeline rows/sec (extraction+join+tile rollup)
     rows_per_sec = round(n_pages / queries["extract_pip_tile"], 1)
@@ -227,6 +271,7 @@ def main() -> None:
                     "export_tiles": outs["tile_export"],
                     "corpus_docs": outs["corpus_prep"],
                 },
+                **({"pinned_twin": pinned_twin} if pinned_twin else {}),
             }
         )
     )
