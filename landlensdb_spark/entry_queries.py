@@ -1505,6 +1505,26 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["geohash_cells"] = _geohash_oracle()
 
 
+@query("hex_cells", oracles.hex_sql(_PTS_SQL, 17))
+def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell ids (geo/hex.py) — fourth index family next to
+    quadkey/Morton, Hilbert and S2, carrying real H3 semantics (uniform
+    6-neighborhoods, isotropic k-rings) rather than the square 'H3 slot'.
+    res 17 edge ~176.5 m ~= H3 res 9, the north star's indexing
+    resolution. Pure column math; oracle unrolls the same axial mapping,
+    floor(v+0.5) cube rounding and largest-error repair in SQL."""
+    from landlensdb_spark.geo.hex import hex_encode, hex_q, hex_r
+
+    pts = _points(spark, sf_dir)
+    cell = hex_encode("lon", "lat", 17)
+    return pts.select(
+        "key",
+        cell.alias("hex"),
+        hex_q(cell).cast("int").alias("hq"),
+        hex_r(cell).cast("int").alias("hr"),
+    )
+
+
 @query(
     "first_per_source",
     """
@@ -4319,9 +4339,11 @@ def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_FIRST = [
     # --- round-6 rotation (r05 verdict #2) ---
     # never driver-checked: the round-6 additions (GIF/TIFF metadata +
-    # pHash invariance under the hard signal; BM25 two-level full rank)
+    # pHash invariance under the hard signal; BM25 two-level full rank;
+    # the hexagonal cell index)
     "media_meta_v2",
     "bm25_rank_all",
+    "hex_cells",
     # changed-path canary: apply_bpe's duplicate-pair rank table moved to
     # first-wins this round — corpus_tokenize drives that encoder
     "corpus_tokenize",
@@ -4373,7 +4395,8 @@ _DRIVER_WINDOW_FIRST = [
     "dup_clusters",
     "robots_gate",
     "length_quantiles",
-    "crawl_schedule",
+    # (crawl_schedule, r04-green, yields its slot to the never-checked
+    # hex_cells row and rotates back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -7,6 +7,8 @@ Submodules:
   the reference formulas (cloud.py:860-911) exactly.
 - ``cells``: sortable-long spatial cell ids (Morton 'H3-slot' and Hilbert
   'S2-slot' encodings), k-ring, polygon covers. Pure numpy, UDF-wrapped.
+- ``hex``: hexagonal cell index with real H3 semantics (axial coords, cube
+  rounding, 6-neighborhoods, isotropic k-rings) as pure column math.
 - ``geometry``: exact-geometry numpy kernels (ray-cast PIP, point-segment
   distance, linear referencing, bearing, grid spatial index).
 """

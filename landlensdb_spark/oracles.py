@@ -302,3 +302,54 @@ SELECT probe_id, vec_id, round(score, 6) AS score, rank FROM (
   FROM pairs
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Hex cell index (geo/hex.py hex_encode), axial + cube rounding unrolled
+# --------------------------------------------------------------------------
+
+
+def hex_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of :func:`landlensdb_spark.geo.hex.hex_encode` plus the
+    q/r decode — same mercator projection, same fractional-axial formulas,
+    same floor(v+0.5) rounding and largest-error cube repair, same 64-bit
+    packing. floor() ties and the strict-inequality repair order must match
+    the Spark build exactly; both engines evaluate them on IEEE doubles in
+    the same order, which the driver's value-hash verifies."""
+    import math
+
+    from landlensdb_spark.geo.hex import SQRT3, _BIAS, _Q_SHIFT, _RES_SHIFT, hex_edge_m
+    from landlensdb_spark.geo.mercator import R
+
+    e = hex_edge_m(res)
+    return f"""
+WITH pts AS ({pts_sql}),
+m AS (SELECT key,
+        radians(lon) * {R!r} AS x,
+        {R!r} * ln(tan(pi()/4 + radians(lat)/2)) AS y
+      FROM pts),
+f AS (SELECT key,
+        (x * {SQRT3 / 3.0!r} - y / 3.0) / {e!r} AS fq,
+        (y * {2.0 / 3.0!r}) / {e!r} AS fr
+      FROM m),
+c AS (SELECT key, fq, fr, -fq - fr AS fy,
+        CAST(floor(fq + 0.5) AS BIGINT) AS rx,
+        CAST(floor(-fq - fr + 0.5) AS BIGINT) AS ry,
+        CAST(floor(fr + 0.5) AS BIGINT) AS rz
+      FROM f),
+d AS (SELECT key, rx, ry, rz,
+        abs(rx - fq) AS dx, abs(ry - fy) AS dy, abs(rz - fr) AS dz
+      FROM c),
+a AS (SELECT key,
+        CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q,
+        CASE WHEN dx > dy AND dx > dz THEN rz
+             WHEN dy > dz THEN rz
+             ELSE -rx - ry END AS r
+      FROM d)
+SELECT key,
+       CAST({res} AS BIGINT) * {1 << _RES_SHIFT} + (q + {_BIAS}) * {1 << _Q_SHIFT}
+         + (r + {_BIAS}) AS hex,
+       CAST(q AS INTEGER) AS hq,
+       CAST(r AS INTEGER) AS hr
+FROM a
+"""

@@ -1,0 +1,141 @@
+"""Hexagonal cell index (geo/hex.py): geometry invariants, column/numpy
+twin agreement, k-ring structure, and plan quality (no UDF)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from landlensdb_spark.geo.hex import (
+    HEX_RES,
+    SQRT3,
+    hex_dist,
+    hex_edge_m,
+    hex_encode,
+    hex_kring,
+    hex_q,
+    hex_r,
+    hex_res,
+    np_hex_center_xy,
+    np_hex_decode,
+    np_hex_encode,
+)
+from landlensdb_spark.geo.mercator import np_merc_x, np_merc_y
+
+RNG = np.random.default_rng(20260817)
+N = 4000
+LONS = RNG.uniform(-179.0, 179.0, N)
+LATS = RNG.uniform(-80.0, 80.0, N)
+
+
+def test_column_matches_numpy_twin(spark):
+    df = spark.createDataFrame(
+        [(i, float(LONS[i]), float(LATS[i])) for i in range(N)],
+        "key long, lon double, lat double",
+    )
+    got = (
+        df.select("key", hex_encode("lon", "lat", HEX_RES).alias("h"))
+        .orderBy("key")
+        .collect()
+    )
+    want = np_hex_encode(LONS, LATS, HEX_RES)
+    assert [r["h"] for r in got] == want.tolist()
+
+
+def test_center_is_nearest_hex_center():
+    """Containment: every point is closer to ITS hex center than to any of
+    the 6 neighbor centers (strictly, up to float ties) — the defining
+    property of a correct cube-round."""
+    res = 12
+    cells = np_hex_encode(LONS, LATS, res)
+    x, y = np_merc_x(LONS), np_merc_y(LATS)
+    cx, cy = np_hex_center_xy(cells, res)
+    d_own = (x - cx) ** 2 + (y - cy) ** 2
+    e = hex_edge_m(res)
+    # distance to own center is bounded by the circumradius (= edge)
+    assert np.sqrt(d_own).max() <= e * (1 + 1e-9)
+    _, q, r = np_hex_decode(cells)
+    for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+        nx = e * (SQRT3 * (q + dq) + (SQRT3 / 2.0) * (r + dr))
+        ny = e * 1.5 * (r + dr)
+        d_n = (x - nx) ** 2 + (y - ny) ** 2
+        assert (d_own <= d_n * (1 + 1e-12)).all()
+
+
+def test_decode_roundtrip_and_res_field():
+    cells = np_hex_encode(LONS, LATS, 17)
+    res, q, r = np_hex_decode(cells)
+    assert (res == 17).all()
+    re_packed = (
+        (np.int64(17) << 58) + ((q + (1 << 28)) << 29) + (r + (1 << 28))
+    )
+    assert (re_packed == cells).all()
+
+
+def test_edge_ladder_matches_h3_res9_ballpark():
+    # res 17 edge ~176.5 m ~= H3 res 9 (~174.4 m) — the north star's level
+    assert hex_edge_m(17) == pytest.approx(176.5, abs=1.0)
+    assert hex_edge_m(16) / hex_edge_m(17) == pytest.approx(2.0)
+
+
+def test_kring_structure(spark):
+    """|kring(k)| == 3k(k+1)+1 away from field edges; every member is at
+    hex distance <= k of the center and exactly the distance-<=k set."""
+    df = spark.createDataFrame(
+        [(i, float(LONS[i]), float(LATS[i])) for i in range(50)],
+        "key long, lon double, lat double",
+    )
+    base = df.select("key", hex_encode("lon", "lat", 10).alias("h"))
+    for k in (1, 2, 3):
+        rows = base.select(
+            "key", "h", F.explode(hex_kring("h", k)).alias("n")
+        ).collect()
+        by_key: dict[int, list] = {}
+        for r in rows:
+            by_key.setdefault(r["key"], []).append((r["h"], r["n"]))
+        dist_df = spark.createDataFrame(
+            [(a, b) for v in by_key.values() for a, b in v], "h long, n long"
+        ).select(hex_dist("h", "n").alias("d"))
+        dists = [r["d"] for r in dist_df.collect()]
+        assert max(dists) <= k
+        for v in by_key.values():
+            assert len(v) == 3 * k * (k + 1) + 1
+            assert len(set(b for _, b in v)) == len(v)
+
+
+def test_neighbors_share_an_edge_metrically():
+    """The 6 hex-distance-1 neighbors' centers sit exactly sqrt(3)*edge
+    away (the hex center pitch)."""
+    res = 14
+    e = hex_edge_m(res)
+    cells = np_hex_encode(LONS[:200], LATS[:200], res)
+    cx, cy = np_hex_center_xy(cells, res)
+    _, q, r = np_hex_decode(cells)
+    for dq, dr in ((1, 0), (0, 1), (1, -1)):
+        nx = e * (SQRT3 * (q + dq) + (SQRT3 / 2.0) * (r + dr))
+        ny = e * 1.5 * (r + dr)
+        pitch = np.sqrt((cx - nx) ** 2 + (cy - ny) ** 2)
+        # centers are ~1e7 m while the pitch is ~3e2 m: differencing loses
+        # ~5 digits to cancellation, so tolerance is loose-relative
+        assert pitch == pytest.approx(SQRT3 * e, rel=1e-8)
+
+
+def test_plan_is_pure_column_math(spark):
+    """hex_encode + decode + dist compile to codegen expressions: no
+    python UDF / Arrow stage in the plan."""
+    df = spark.range(100).select(
+        (F.col("id") * 0.01).alias("lon"), (F.col("id") * 0.005).alias("lat")
+    )
+    out = df.select(hex_encode("lon", "lat").alias("h")).select(
+        hex_q("h"), hex_r("h"), hex_res("h")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_res_validation():
+    with pytest.raises(ValueError):
+        hex_encode(F.lit(0.0), F.lit(0.0), 29)
