@@ -283,10 +283,17 @@ def write_report(
     eff_pipeline_med = med_rps[hi] / (factor * med_rps[lo])
     # scalable-subtotal efficiency: queries under ~2s at the SMALL level are
     # fixed-stage-latency-bound at this input size (job submit + barrier
-    # overhead, not data) — they drag the total-wall quotient without saying
+    # overhead, not data), and two bench queries have MULT-FIXED inputs —
+    # corpus_prep reads the sf-dir documents table (independent of the
+    # scaling multiplier) and knn probes a constant 2,000-point set — so at
+    # mult > 1 their ratios measure stage latency, not data scaling. They
+    # drag the total-wall quotient without saying
     # anything about 100 TB behavior. Report the total over >=2s queries
     # alongside the all-query total.
-    big_qs = [q for q, t in res_lo["queries"].items() if t >= 2.0]
+    mult_fixed = {"corpus_prep", "knn"} if float(mult) > 1 else set()
+    big_qs = [
+        q for q, t in res_lo["queries"].items() if t >= 2.0 and q not in mult_fixed
+    ]
     if big_qs:
         big_lo = sum(res_lo["queries"][q] for q in big_qs)
         big_hi = sum(res_hi["queries"][q] for q in big_qs)
@@ -329,7 +336,7 @@ big level clear of the cap).
 | headline pipeline rows/sec, MEDIAN of {runs} interleaved passes (stable round-over-round comparator; best-per-level is hostage to burst-credit state) | {med_rps[lo]:.1f} | {med_rps[hi]:.1f} | **{eff_pipeline_med:.3f}** |
 | SAME-PASS paired efficiency — each pass's local[{hi}] against its OWN local[{lo}] leg, both inside one credit window (what a real one-cluster/two-sizes run measures): per pass {', '.join(f'{e:.3f}' for e in paired)} | | | **{max(paired):.3f}** (pass {paired.index(max(paired))}, freshest credits) / {paired_med:.3f} (median) |
 | total bench wall time (sec, {len(res_lo['queries'])} queries) | {res_lo['value']} | {res_hi['value']} | {eff_total:.3f} |
-{f"| scalable subtotal (queries >=2s at local[{lo}]: {', '.join(big_qs)} — sub-2s queries are fixed-stage-latency-bound at this input size and say nothing about 100 TB) | {big_lo:.3f} | {big_hi:.3f} | {eff_total_big:.3f} |" if big_qs else ""}
+{f"| scalable subtotal (queries >=2s at local[{lo}] whose input grows with the multiplier: {', '.join(big_qs)} — sub-2s queries are fixed-stage-latency-bound, and corpus_prep/knn have mult-FIXED inputs (sf-dir documents table; constant 2,000 probes), so neither class says anything about 100 TB) | {big_lo:.3f} | {big_hi:.3f} | {eff_total_big:.3f} |" if big_qs else ""}
 {f'''| headline efficiency normalized to SUSTAINED host capacity ({sus_ratio:.2f}x measured {lo}w->{hi}w over {sustained:.0f}s pinned burns) | | | **{eff_norm:.3f}** (best) / **{eff_norm_med:.3f}** (median) |''' if eff_norm else ''}
 
 {f'''**Raw vs normalized.** The raw ratio divides by the ideal {factor:.0f}x, but a
