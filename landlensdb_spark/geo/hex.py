@@ -61,6 +61,18 @@ def hex_edge_m(res: int) -> float:
     return WORLD / ((1 << res) * SQRT3)
 
 
+#: half-extent of the mercator square: |x|, |y| <= pi*R (y reaches it at
+#: MAX_LAT, x at lon 180).
+MAX_MERC = math.pi * R
+
+
+def _clamped(v: Column) -> Column:
+    """Clamp a mercator coordinate into [-MAX_MERC, MAX_MERC]; NaN -> NULL."""
+    return F.when(
+        ~F.isnan(v), F.least(F.greatest(v, F.lit(-MAX_MERC)), F.lit(MAX_MERC))
+    )
+
+
 def _axial_round(fq: Column, fr: Column) -> tuple[Column, Column]:
     """Cube-round fractional axial coords to the containing hex (columns)."""
     fy = -fq - fr
@@ -82,11 +94,27 @@ def hex_encode(
     if not 0 <= res <= 28:
         raise ValueError(f"res must be in [0, 28], got {res}")
     e = hex_edge_m(res)
-    x = merc_x(lon)
-    y = merc_y(lat)
+    # clamp both axes into the mercator square (same convention as
+    # tile_x/tile_y): lat 90 is y = +inf in doubles, which would otherwise
+    # corrupt the whole packing (floor(inf) has no long value under ANSI).
+    # The NaN guard is explicit because Spark orders NaN ABOVE +inf, so a
+    # bare least/greatest would clamp NaN coords to the square's edge
+    # instead of propagating NULL.
+    x = _clamped(merc_x(lon))
+    y = _clamped(merc_y(lat))
     fq = (x * F.lit(SQRT3 / 3.0) - y / F.lit(3.0)) / F.lit(e)
     fr = (y * F.lit(2.0 / 3.0)) / F.lit(e)
     q, r = _axial_round(fq, fr)
+    # belt-and-suspenders field clamp (inside the square the coords always
+    # fit the 29-bit fields at every res <= 28). greatest/least SKIP nulls
+    # (they return the non-null operand), so the clamp must be gated or a
+    # NaN-coord row would resurrect as a valid edge cell instead of NULL.
+    q = F.when(
+        q.isNotNull(), F.least(F.greatest(q, F.lit(-_BIAS)), F.lit(_BIAS - 1))
+    )
+    r = F.when(
+        r.isNotNull(), F.least(F.greatest(r, F.lit(-_BIAS)), F.lit(_BIAS - 1))
+    )
     return (
         F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT)
         + (q + F.lit(_BIAS)) * F.lit(1 << _Q_SHIFT)
@@ -160,8 +188,10 @@ def np_hex_encode(
     lon: np.ndarray, lat: np.ndarray, res: int = HEX_RES
 ) -> np.ndarray:
     e = hex_edge_m(res)
-    x = np_merc_x(lon)
-    y = np_merc_y(lat)
+    # same mercator-square clamp as the column twin (handles lat ±90's
+    # infinite y); NaN coords are a documented precondition violation here
+    x = np.clip(np_merc_x(lon), -MAX_MERC, MAX_MERC)
+    y = np.clip(np_merc_y(lat), -MAX_MERC, MAX_MERC)
     fq = (x * (SQRT3 / 3.0) - y / 3.0) / e
     fr = (y * (2.0 / 3.0)) / e
     fy = -fq - fr
@@ -170,8 +200,12 @@ def np_hex_encode(
     rz = np.floor(fr + 0.5)
     dx, dy, dz = np.abs(rx - fq), np.abs(ry - fy), np.abs(rz - fr)
     fix_x = (dx > dy) & (dx > dz)
-    q = np.where(fix_x, -ry - rz, rx).astype(np.int64)
-    r = np.where(fix_x, rz, np.where(dy > dz, rz, -rx - ry)).astype(np.int64)
+    q = np.where(fix_x, -ry - rz, rx)
+    r = np.where(fix_x, rz, np.where(dy > dz, rz, -rx - ry))
+    # same field clamp as the column twin (see hex_encode); NaN coords are a
+    # documented precondition violation on the numpy path
+    q = np.clip(q, -_BIAS, _BIAS - 1).astype(np.int64)
+    r = np.clip(r, -_BIAS, _BIAS - 1).astype(np.int64)
     return (np.int64(res) << _RES_SHIFT) + ((q + _BIAS) << _Q_SHIFT) + (r + _BIAS)
 
 

@@ -335,19 +335,25 @@ def tile_features(
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            # plain-list iteration: per-tile decode is the cost, iterrows'
+            # Series-per-row construction was constant overhead on top
+            tiles = zip(
+                pdf[z].tolist(), pdf[x].tolist(), pdf[y].tolist(),
+                pdf[content].tolist(),
+            )
+            for tz, tx, ty, blob in tiles:
                 try:
-                    feats_, names_ = decode_mvt_full(r[content])
+                    feats_, names_ = decode_mvt_full(blob)
                 except Exception:
                     # corrupt/truncated tile: warn-and-skip, the reference's
                     # per-tile decode error handling (cloud.py:776-779) — one
                     # bad blob must not fail a 10^12-document job
                     import warnings
 
-                    warnings.warn(f"undecodable MVT tile ({r[z]},{r[x]},{r[y]})")
+                    warnings.warn(f"undecodable MVT tile ({tz},{tx},{ty})")
                     continue
                 for layer, extent, fid, cx, cy, props in feats_:
-                    rows.append((int(r[z]), int(r[x]), int(r[y]), layer, fid,
+                    rows.append((int(tz), int(tx), int(ty), layer, fid,
                                  cx, cy, extent, props, names_))
             if not rows:
                 # typed empty frame: a bare [] column defaults to float64,

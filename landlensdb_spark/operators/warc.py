@@ -133,9 +133,13 @@ def warc_records(df: DataFrame, blob_col: str = "content") -> DataFrame:
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                base = {c: row[c] for c in keep}
-                for rec in parse_warc_bytes(bytes(row[blob_col])):
+            # itertuples over the column lists: the per-record WARC parse is
+            # the cost, but iterrows' per-row Series construction is pure
+            # constant overhead on top of it
+            keeps = [pdf[c].tolist() for c in keep]
+            for i, blob in enumerate(pdf[blob_col].tolist()):
+                base = {c: vals[i] for c, vals in zip(keep, keeps)}
+                for rec in parse_warc_bytes(bytes(blob)):
                     rows.append({**base, **rec})
             yield pd.DataFrame(rows, columns=keep + list(_RECORD_FIELDS))
 

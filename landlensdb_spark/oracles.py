@@ -325,8 +325,9 @@ def hex_sql(pts_sql: str, res: int) -> str:
     return f"""
 WITH pts AS ({pts_sql}),
 m AS (SELECT key,
-        radians(lon) * {R!r} AS x,
-        {R!r} * ln(tan(pi()/4 + radians(lat)/2)) AS y
+        LEAST(GREATEST(radians(lon) * {R!r}, -{math.pi * R!r}), {math.pi * R!r}) AS x,
+        LEAST(GREATEST({R!r} * ln(tan(pi()/4 + radians(lat)/2)),
+                       -{math.pi * R!r}), {math.pi * R!r}) AS y
       FROM pts),
 f AS (SELECT key,
         (x * {SQRT3 / 3.0!r} - y / 3.0) / {e!r} AS fq,
@@ -341,10 +342,14 @@ d AS (SELECT key, rx, ry, rz,
         abs(rx - fq) AS dx, abs(ry - fy) AS dy, abs(rz - fr) AS dz
       FROM c),
 a AS (SELECT key,
-        CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q,
-        CASE WHEN dx > dy AND dx > dz THEN rz
-             WHEN dy > dz THEN rz
-             ELSE -rx - ry END AS r
+        LEAST(GREATEST(
+          CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END,
+          -{_BIAS}), {_BIAS - 1}) AS q,
+        LEAST(GREATEST(
+          CASE WHEN dx > dy AND dx > dz THEN rz
+               WHEN dy > dz THEN rz
+               ELSE -rx - ry END,
+          -{_BIAS}), {_BIAS - 1}) AS r
       FROM d)
 SELECT key,
        CAST({res} AS BIGINT) * {1 << _RES_SHIFT} + (q + {_BIAS}) * {1 << _Q_SHIFT}

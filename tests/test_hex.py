@@ -139,3 +139,33 @@ def test_plan_is_pure_column_math(spark):
 def test_res_validation():
     with pytest.raises(ValueError):
         hex_encode(F.lit(0.0), F.lit(0.0), 29)
+
+
+def test_polar_latitudes_clamp_not_bleed(spark):
+    """lat ±90 is mercator y = ±inf in doubles — without the mercator-square
+    clamp the packing corrupts entirely (floor(inf) has no long value).
+    Poles must land on the square's edge row at EVERY res, agree with the
+    numpy twin, and never bleed into adjacent bit fields. NaN coords yield
+    a NULL cell (Spark orders NaN above +inf, so a bare least/greatest
+    would otherwise clamp NaN to the edge)."""
+    df = spark.createDataFrame(
+        [(1, 0.0, 90.0), (2, 0.0, -90.0), (3, float("nan"), 10.0),
+         (4, 10.0, float("nan"))],
+        "key long, lon double, lat double",
+    )
+    for res in (17, 28):
+        rows = {
+            r["key"]: r
+            for r in df.select(
+                "key", hex_encode("lon", "lat", res).alias("h")
+            )
+            .select("key", "h", hex_res("h").alias("res"))
+            .collect()
+        }
+        assert rows[1]["res"] == res and rows[2]["res"] == res
+        assert rows[3]["h"] is None and rows[4]["h"] is None
+        want = np_hex_encode(np.array([0.0, 0.0]), np.array([90.0, -90.0]), res)
+        assert [rows[1]["h"], rows[2]["h"]] == want.tolist()
+    # the clamped pole sits within the packed fields at the finest res
+    _, q, r = np_hex_decode(want)
+    assert (np.abs(q) < (1 << 28)).all() and (np.abs(r) < (1 << 28)).all()

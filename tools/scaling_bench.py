@@ -334,7 +334,7 @@ big level clear of the cap).
 |---|---|---|---|
 | headline pipeline rows/sec (extract -> PIP join -> tile rollup), best of {runs} | {res_lo['rows_per_sec']} | {res_hi['rows_per_sec']} | **{eff_pipeline:.3f}** |
 | headline pipeline rows/sec, MEDIAN of {runs} interleaved passes (stable round-over-round comparator; best-per-level is hostage to burst-credit state) | {med_rps[lo]:.1f} | {med_rps[hi]:.1f} | **{eff_pipeline_med:.3f}** |
-| SAME-PASS paired efficiency — each pass's local[{hi}] against its OWN local[{lo}] leg, both inside one credit window (what a real one-cluster/two-sizes run measures): per pass {', '.join(f'{e:.3f}' for e in paired)} | | | **{max(paired):.3f}** (pass {paired.index(max(paired))}, freshest credits) / {paired_med:.3f} (median) |
+| SAME-PASS paired efficiency — each pass's local[{hi}] against its OWN local[{lo}] leg, both inside one credit window (what a real one-cluster/two-sizes run measures): per pass {', '.join(f'{e:.3f}' for e in paired)} | | | **{max(paired):.3f}** (pass {paired.index(max(paired))}{', the fresh-credit pass' if paired.index(max(paired)) == 0 else ''}) / {paired_med:.3f} (median) |
 | total bench wall time (sec, {len(res_lo['queries'])} queries) | {res_lo['value']} | {res_hi['value']} | {eff_total:.3f} |
 {f"| scalable subtotal (queries >=2s at local[{lo}] whose input grows with the multiplier: {', '.join(big_qs)} — sub-2s queries are fixed-stage-latency-bound, and corpus_prep/knn have mult-FIXED inputs (sf-dir documents table; constant 2,000 probes), so neither class says anything about 100 TB) | {big_lo:.3f} | {big_hi:.3f} | {eff_total_big:.3f} |" if big_qs else ""}
 {f'''| headline efficiency normalized to SUSTAINED host capacity ({sus_ratio:.2f}x measured {lo}w->{hi}w over {sustained:.0f}s pinned burns) | | | **{eff_norm:.3f}** (best) / **{eff_norm_med:.3f}** (median) |''' if eff_norm else ''}
@@ -377,6 +377,7 @@ Per-query seconds:
 {f"- SUSTAINED host capacity ({sustained:.0f}s pinned burns, {rest}s pre-rest each): {sus[lo]:.4g} it/s @ {lo}w, {sus[hi]:.4g} it/s @ {hi}w ({sus_ratio:.2f}x of ideal {factor:.0f}x)" if sus and sus.get(lo) != 1.0 else (f"- SUSTAINED host capacity ({sustained:.0f}s pinned burns): {sus_ratio:.2f}x of ideal {factor:.0f}x (absolute it/s not persisted for this run)" if sus_ratio else "")}
 - raw JSON: see BENCH/raw_{lo}.json, BENCH/raw_{hi}.json
 - serial-floor decomposition (the Amdahl s term, measured directly): BENCH/PROFILE.md
+- all protocol executions this round, with the keep-best rationale: BENCH/ATTEMPTS.md
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
