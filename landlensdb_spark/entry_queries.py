@@ -1505,6 +1505,62 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["geohash_cells"] = _geohash_oracle()
 
 
+_HEX_JOIN_RADIUS = 150.0
+
+
+@query(
+    "hex_distance_pairs",
+    f"""
+    WITH p AS (
+      SELECT o_orderkey AS probe_id,
+             {synth.probe_lon_sql('o_orderkey')} AS lon,
+             {synth.probe_lat_sql('o_orderkey')} AS lat
+      FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 4 = 0
+    ),
+    s AS (
+      SELECT o_orderkey AS site_id,
+             {synth.probe_lon_sql('o_orderkey')} AS lon,
+             {synth.probe_lat_sql('o_orderkey')} AS lat
+      FROM orders WHERE o_orderkey < 8000 AND o_orderkey % 4 <> 0
+    ),
+    pm AS (SELECT probe_id, {synth.merc_x_sql('lon')} AS px,
+                  {synth.merc_y_sql('lat')} AS py FROM p),
+    sm AS (SELECT site_id, {synth.merc_x_sql('lon')} AS sx,
+                  {synth.merc_y_sql('lat')} AS sy FROM s)
+    SELECT probe_id, site_id,
+           round(sqrt((px-sx)*(px-sx) + (py-sy)*(py-sy)), 3) AS dist_m
+    FROM pm CROSS JOIN sm
+    WHERE (px-sx)*(px-sx) + (py-sy)*(py-sy) <= {_HEX_JOIN_RADIUS ** 2!r}
+    """,
+)
+def q_hex_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius point<->point join via the hex index
+    (operators/hex_join.py): probes explode a provably-complete k=2 ring
+    (19 cells at the auto res, edge ~ radius), sites carry one cell, and
+    the join is a plain cell equi-join + exact planar filter — no cross
+    product anywhere in the Spark plan. The ORACLE is the brute-force
+    cross join with the identical rounded-mercator distance, so the hard
+    driver signal proves candidate-set completeness, not just distance
+    arithmetic."""
+    from landlensdb_spark.operators.hex_join import hex_distance_join
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    # modulo split (not key ranges): non-degenerate at EVERY sf — sf0.001's
+    # keys are dense 0..1499, so a >=2000 site range would be empty there
+    probes = o.filter((k < 2000) & (k % 4 == 0)).select(
+        k.alias("probe_id"),
+        synth.probe_lon_col(k).alias("lon"),
+        synth.probe_lat_col(k).alias("lat"),
+    )
+    sites = o.filter((k < 8000) & (k % 4 != 0)).select(
+        k.alias("site_id"),
+        synth.probe_lon_col(k).alias("lon"),
+        synth.probe_lat_col(k).alias("lat"),
+    )
+    return hex_distance_join(probes, sites, _HEX_JOIN_RADIUS)
+
+
 @query("hex_cells", oracles.hex_sql(_PTS_SQL, 17))
 def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hexagonal cell ids (geo/hex.py) — fourth index family next to
@@ -4344,6 +4400,7 @@ _DRIVER_WINDOW_FIRST = [
     "media_meta_v2",
     "bm25_rank_all",
     "hex_cells",
+    "hex_distance_pairs",
     # changed-path canary: apply_bpe's duplicate-pair rank table moved to
     # first-wins this round — corpus_tokenize drives that encoder
     "corpus_tokenize",
@@ -4394,9 +4451,9 @@ _DRIVER_WINDOW_FIRST = [
     "pagerank_hosts",
     "dup_clusters",
     "robots_gate",
-    "length_quantiles",
-    # (crawl_schedule, r04-green, yields its slot to the never-checked
-    # hex_cells row and rotates back next round)
+    # (crawl_schedule and length_quantiles, both r04-green, yield their
+    # slots to the never-checked hex_cells / hex_distance_pairs rows and
+    # rotate back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -169,3 +169,78 @@ def test_polar_latitudes_clamp_not_bleed(spark):
     # the clamped pole sits within the packed fields at the finest res
     _, q, r = np_hex_decode(want)
     assert (np.abs(q) < (1 << 28)).all() and (np.abs(r) < (1 << 28)).all()
+
+
+# ---------------------------------------------------------------------------
+# hex_distance_join (operators/hex_join.py)
+# ---------------------------------------------------------------------------
+
+
+def _pt_df(spark, rows, idc):
+    return spark.createDataFrame(rows, f"{idc} long, lon double, lat double")
+
+
+def test_hex_distance_join_matches_bruteforce(spark):
+    """Candidate completeness on a random field: hex-ring join == exact
+    O(n^2) distance join, at the auto res AND at a deliberately coarser
+    res (more false candidates, same final set)."""
+    from landlensdb_spark.operators.hex_join import auto_res, hex_distance_join
+
+    n = 300
+    lons = -74.05 + RNG.uniform(0, 0.02, n)
+    lats = 40.65 + RNG.uniform(0, 0.02, n)
+    probes = _pt_df(
+        spark, [(i, float(lons[i]), float(lats[i])) for i in range(150)], "probe_id"
+    )
+    sites = _pt_df(
+        spark, [(i, float(lons[i]), float(lats[i])) for i in range(150, n)], "site_id"
+    )
+    radius = 120.0
+
+    x, y = np_merc_x(lons).round(3), np_merc_y(lats).round(3)
+    want = set()
+    for i in range(150):
+        d2 = (x[150:] - x[i]) ** 2 + (y[150:] - y[i]) ** 2
+        for j in np.where(d2 <= radius**2)[0]:
+            want.add((i, 150 + int(j)))
+    assert want  # non-degenerate fixture
+
+    for res in (None, auto_res(radius) - 2):
+        got = {
+            (r["probe_id"], r["site_id"])
+            for r in hex_distance_join(probes, sites, radius, res=res).collect()
+        }
+        assert got == want
+
+
+def test_hex_distance_join_plan_has_no_cartesian(spark):
+    from landlensdb_spark.operators.hex_join import hex_distance_join
+
+    probes = _pt_df(spark, [(1, -74.0, 40.7)], "probe_id")
+    sites = _pt_df(spark, [(2, -74.0005, 40.7005)], "site_id")
+    out = hex_distance_join(probes, sites, 100.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    rows = out.collect()
+    # ~0.0005 deg ~ 70m planar: the single pair must survive with a
+    # positive distance under the radius
+    assert len(rows) == 1 and 0 < rows[0]["dist_m"] <= 100.0
+
+
+def test_hex_distance_join_guards(spark):
+    from landlensdb_spark.operators.hex_join import MAX_RING, auto_res, hex_distance_join
+
+    probes = _pt_df(spark, [(1, 0.0, 0.0)], "probe_id")
+    with pytest.raises(ValueError, match="coarser"):
+        hex_distance_join(probes, probes, 1000.0, res=28)
+    with pytest.raises(ValueError, match="positive"):
+        auto_res(0.0)
+    # auto res keeps the ring at the k=2 sweet spot across magnitudes
+    from landlensdb_spark.geo.hex import hex_edge_m
+    import math as _m
+
+    for r in (5.0, 150.0, 5000.0, 200_000.0):
+        res = auto_res(r)
+        e = hex_edge_m(res)
+        k = _m.ceil((r + 2 * e) / (1.5 * e))
+        assert k <= 3 and 3 * k * (k + 1) + 1 <= 37
