@@ -1505,6 +1505,54 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["geohash_cells"] = _geohash_oracle()
 
 
+_COVER_PTS_SQL = (
+    f"SELECT o_orderkey AS key, {synth.probe_lon_sql('o_orderkey')} AS lon, "
+    f"{synth.probe_lat_sql('o_orderkey')} AS lat "
+    "FROM orders WHERE o_orderkey < 4000"
+)
+
+
+@query("compact_cover", oracles.compact_cover_sql(_COVER_PTS_SQL, 14, 4))
+def q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style compactCells over the Morton grid (geo/cells.py): the
+    solid res-14 tile cover of the probe field's bounds collapses every
+    complete 4-sibling block to its parent, recursively, yielding the
+    minimal mixed-res cover with the same footprint (the broadcast-size
+    reducer for cover tables). The oracle rebuilds the identical cover in
+    SQL and unrolls 4 sibling-collapse levels — past the deepest possible
+    collapse for this cover size — so the hard signal checks the exact
+    mixed-res cell set."""
+    from landlensdb_spark.geo.cells import _RES_SHIFT, _X_SHIFT, compact_cells
+    from landlensdb_spark.geo.tiles import tile_x, tile_y
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pts = o.filter(k < 4000).select(
+        synth.probe_lon_col(k).alias("lon"), synth.probe_lat_col(k).alias("lat")
+    )
+    b = pts.agg(
+        F.min("lon").alias("minlon"), F.max("lon").alias("maxlon"),
+        F.min("lat").alias("minlat"), F.max("lat").alias("maxlat"),
+    )
+    rng = b.select(
+        tile_x(F.col("minlon"), 14).alias("x0"),
+        tile_x(F.col("maxlon"), 14).alias("x1"),
+        tile_y(F.col("maxlat"), 14).alias("y0"),
+        tile_y(F.col("minlat"), 14).alias("y1"),
+    )
+    grid = rng.select(
+        F.explode(F.sequence("x0", "x1")).alias("_x"), "y0", "y1"
+    ).select("_x", F.explode(F.sequence("y0", "y1")).alias("_y"))
+    cells = grid.select(
+        (
+            F.lit(14).cast("long") * F.lit(1 << _RES_SHIFT)
+            + F.shiftleft(F.col("_x"), _X_SHIFT)
+            + F.col("_y")
+        ).cast("long").alias("cell")
+    )
+    return compact_cells(cells)
+
+
 _HEX_JOIN_RADIUS = 150.0
 
 
@@ -4401,6 +4449,7 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_rank_all",
     "hex_cells",
     "hex_distance_pairs",
+    "compact_cover",
     # changed-path canary: apply_bpe's duplicate-pair rank table moved to
     # first-wins this round — corpus_tokenize drives that encoder
     "corpus_tokenize",
@@ -4450,10 +4499,9 @@ _DRIVER_WINDOW_FIRST = [
     "lm_scores",
     "pagerank_hosts",
     "dup_clusters",
-    "robots_gate",
-    # (crawl_schedule and length_quantiles, both r04-green, yield their
-    # slots to the never-checked hex_cells / hex_distance_pairs rows and
-    # rotate back next round)
+    # (crawl_schedule, length_quantiles and robots_gate, all r04-green,
+    # yield their slots to the never-checked hex_cells /
+    # hex_distance_pairs / compact_cover rows and rotate back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -189,3 +189,149 @@ def cover_res_for_bbox(
             return res
         res -= 1
     return res
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution hierarchy: parent/children, compact/uncompact
+# (the H3 compactCells/uncompactCells API over the Morton grid: 4 children
+# per parent, so compaction replaces any complete 4-sibling block by its
+# parent — recursively — producing the minimal mixed-res cover with the
+# same footprint. Compact covers shrink broadcast cover tables and let a
+# point probe join on its ancestor chain instead of one fixed res.)
+# ---------------------------------------------------------------------------
+
+
+def cell_parent(cell: Column | str, steps: int = 1) -> Column:
+    """Ancestor cell ``steps`` resolutions coarser. Pure column math."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    res = F.shiftright(cell, _RES_SHIFT)
+    x = F.shiftright(cell_x(cell), steps)
+    y = F.shiftright(cell_y(cell), steps)
+    return (
+        (res - F.lit(steps)) * F.lit(1 << _RES_SHIFT)
+        + F.shiftleft(x, _X_SHIFT)
+        + y
+    ).cast("long")
+
+
+def cell_children(cell: Column | str) -> Column:
+    """Array of the 4 direct children (one resolution finer)."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    res = F.shiftright(cell, _RES_SHIFT)
+    x, y = cell_x(cell), cell_y(cell)
+    base = (res + 1) * F.lit(1 << _RES_SHIFT)
+    out = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            out.append(
+                base
+                + F.shiftleft(F.shiftleft(x, 1) + F.lit(dx), _X_SHIFT)
+                + F.shiftleft(y, 1)
+                + F.lit(dy)
+            )
+    return F.array(*out)
+
+
+def uncompact_cells(
+    df: DataFrame, cell: str = "cell", res: int = CELL_RES
+) -> DataFrame:
+    """Expand a (possibly mixed-res) cell set to uniform ``res``: each cell
+    becomes its 4^(res - r) descendants. Pure column math — two sequence
+    explodes over the x/y ranges — so a cover of any size expands
+    distributed, no driver loop. Cells already at ``res`` pass through;
+    cells FINER than ``res`` raise (use cell_parent to coarsen first)."""
+    d = F.lit(res) - F.shiftright(F.col(cell), _RES_SHIFT)
+    x, y = cell_x(F.col(cell)), cell_y(F.col(cell))
+    out = (
+        df.withColumn(
+            "_uc_guard",
+            F.assert_true(
+                d >= 0, F.lit(f"uncompact_cells: input finer than res {res}")
+            ),
+        )
+        .filter(F.col("_uc_guard").isNull())  # forces the assert; always true
+        .drop("_uc_guard")
+        .withColumn("_d", d.cast("int"))
+        .withColumn("_x", x)
+        .withColumn("_y", y)
+        # F.shiftleft needs a LITERAL bit count; the SQL form takes columns
+        .withColumn(
+            "_cx",
+            F.explode(
+                F.expr("sequence(shiftleft(_x, _d), shiftleft(_x + 1, _d) - 1)")
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.expr("sequence(shiftleft(_y, _d), shiftleft(_y + 1, _d) - 1)")
+            ),
+        )
+        .withColumn(
+            cell,
+            (
+                F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT)
+                + F.shiftleft(F.col("_cx"), _X_SHIFT)
+                + F.col("_cy")
+            ).cast("long"),
+        )
+        .drop("_d", "_x", "_y", "_cx", "_cy")
+    )
+    return out
+
+
+def compact_cells(
+    df: DataFrame, cell: str = "cell", group: str | None = None
+) -> DataFrame:
+    """Minimal mixed-res cover with the same footprint: every complete
+    4-sibling block collapses to its parent, recursively. Input must be a
+    SET (no duplicate cells per group) of uniform or mixed resolution.
+
+    Shape: one shuffle — groupBy(group)/applyInPandas with a numpy
+    per-group kernel. A cover is per-polygon/per-entity data (thousands of
+    cells, not billions), so the right distribution axis is the GROUP, not
+    the cell: each group compacts locally in vectorized numpy, groups run
+    in parallel across the cluster, and no driver loop or O(res) job chain
+    exists. Pass ``group=None`` for a single global set (still one task —
+    only appropriate for bounded covers)."""
+    import pandas as pd
+
+    gcol = group or "_g"
+    src = df if group else df.withColumn(gcol, F.lit(0))
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.select(gcol, cell).schema.fields
+    )
+
+    def _compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        cells = np.unique(pdf[cell].to_numpy(np.int64))
+        out = []
+        # peel one resolution at a time, finest first
+        while cells.size:
+            res = (cells >> _RES_SHIFT).max()
+            cur = cells[(cells >> _RES_SHIFT) == res]
+            rest = cells[(cells >> _RES_SHIFT) != res]
+            if res == 0:
+                out.append(cur)
+                cells = rest
+                continue
+            x = (cur >> _X_SHIFT) & ((1 << _X_SHIFT) - 1)
+            y = cur & ((1 << _X_SHIFT) - 1)
+            parent = (
+                ((res - 1) << _RES_SHIFT)
+                | ((x >> 1) << _X_SHIFT)
+                | (y >> 1)
+            )
+            uniq, counts = np.unique(parent, return_counts=True)
+            full = uniq[counts == 4]
+            keep = cur[~np.isin(parent, full)]
+            out.append(keep)
+            # promoted parents re-enter the pool (they may complete a
+            # coarser block together with pre-existing coarser cells)
+            cells = np.unique(np.concatenate([rest, full])) if full.size else rest
+        allc = (
+            np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame({gcol: pdf[gcol].iloc[0], cell: allc})
+
+    out = src.select(gcol, cell).groupBy(gcol).applyInPandas(_compact, fields)
+    return out if group else out.drop(gcol)

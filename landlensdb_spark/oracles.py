@@ -358,3 +358,54 @@ SELECT key,
        CAST(r AS INTEGER) AS hr
 FROM a
 """
+
+
+# --------------------------------------------------------------------------
+# Cell-cover compaction (geo/cells.py compact_cells), levels unrolled
+# --------------------------------------------------------------------------
+
+
+def compact_cover_sql(pts_sql: str, res: int, levels: int) -> str:
+    """DuckDB twin of bbox-cover -> ``compact_cells``: the solid tile cover
+    of the point field's bounds at ``res``, then ``levels`` unrolled
+    sibling-collapse steps (complete 4-blocks -> parent; ``levels`` must
+    exceed the deepest possible collapse, log4(|cover|), so the unroll
+    reaches the same fixed point as the engine's loop-to-fixed-point)."""
+    from landlensdb_spark import synth
+    from landlensdb_spark.geo.cells import _RES_SHIFT, _X_SHIFT
+
+    ctes = [
+        f"pts AS ({pts_sql})",
+        "b AS (SELECT min(lon) AS minlon, max(lon) AS maxlon,"
+        " min(lat) AS minlat, max(lat) AS maxlat FROM pts)",
+        f"r AS (SELECT {synth.tile_x_sql('minlon', res)} AS x0,"
+        f" {synth.tile_x_sql('maxlon', res)} AS x1,"
+        f" {synth.tile_y_sql('maxlat', res)} AS y0,"
+        f" {synth.tile_y_sql('minlat', res)} AS y1 FROM b)",
+        "xs AS (SELECT unnest(generate_series(x0, x1)) AS x FROM r)",
+        "ys AS (SELECT unnest(generate_series(y0, y1)) AS y FROM r)",
+        f"l{res} AS (SELECT CAST({res} AS BIGINT) AS res, x, y"
+        " FROM xs CROSS JOIN ys)",
+    ]
+    keeps = []
+    for n in range(res, res - levels, -1):
+        ctes.append(
+            f"p{n} AS (SELECT CAST({n - 1} AS BIGINT) AS res,"
+            f" x // 2 AS x, y // 2 AS y FROM l{n}"
+            " GROUP BY x // 2, y // 2 HAVING count(*) = 4)"
+        )
+        ctes.append(
+            f"k{n} AS (SELECT l.res, l.x, l.y FROM l{n} l"
+            f" LEFT JOIN p{n} p ON p.x = l.x // 2 AND p.y = l.y // 2"
+            " WHERE p.x IS NULL)"
+        )
+        ctes.append(f"l{n - 1} AS (SELECT res, x, y FROM p{n})")
+        keeps.append(f"SELECT res, x, y FROM k{n}")
+    keeps.append(f"SELECT res, x, y FROM l{res - levels}")
+    union = " UNION ALL ".join(keeps)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT res * {1 << _RES_SHIFT} + x * {1 << _X_SHIFT} + y AS cell
+FROM ({union})
+"""
+    )

@@ -33,7 +33,7 @@ def test_every_query_has_an_oracle():
 # extract_text canary.
 _R06_WINDOW = [
     "media_meta_v2", "bm25_rank_all", "hex_cells", "hex_distance_pairs",
-    "corpus_tokenize",
+    "compact_cover", "corpus_tokenize",
     "localized_iso", "geohash_cells",
     "tile_assign", "tile_stats", "pip_admin_agg", "snap_nearest",
     "extract_geotags", "mvt_features", "first_per_source", "fetch_plan",
@@ -46,7 +46,7 @@ _R06_WINDOW = [
     "salted_tile_counts", "doc_chunks", "spatial_clusters", "shape_stats",
     "haversine_pairs", "snapshot_diff", "jpeg_color_roundtrip",
     "jpeg_progressive_roundtrip", "lm_scores", "pagerank_hosts",
-    "dup_clusters", "robots_gate",
+    "dup_clusters",
     "extract_text",
 ]
 
