@@ -221,3 +221,30 @@ def np_hex_center_xy(cell: np.ndarray, res: int = HEX_RES) -> tuple[np.ndarray, 
     e = hex_edge_m(res)
     _, q, r = np_hex_decode(cell)
     return e * (SQRT3 * q + (SQRT3 / 2.0) * r), e * 1.5 * r
+
+
+def np_hex_bbox_cover(
+    minlon: float, minlat: float, maxlon: float, maxlat: float, res: int = HEX_RES
+) -> np.ndarray:
+    """All hex cells intersecting a lon/lat bbox — superset cover (cells
+    whose center lies within the bbox expanded by the circumradius e;
+    exactness comes from downstream refinement, same contract as
+    cells.np_bbox_cover). Row-major enumeration: the q range shifts by
+    -r/2 per row in axial coords."""
+    e = hex_edge_m(res)
+    x0 = float(np.clip(np_merc_x(np.array([minlon]))[0], -MAX_MERC, MAX_MERC)) - e
+    x1 = float(np.clip(np_merc_x(np.array([maxlon]))[0], -MAX_MERC, MAX_MERC)) + e
+    y0 = float(np.clip(np_merc_y(np.array([minlat]))[0], -MAX_MERC, MAX_MERC)) - e
+    y1 = float(np.clip(np_merc_y(np.array([maxlat]))[0], -MAX_MERC, MAX_MERC)) + e
+    r0 = int(math.floor(y0 / (1.5 * e)))
+    r1 = int(math.ceil(y1 / (1.5 * e)))
+    qs, rs = [], []
+    for r in range(r0, r1 + 1):
+        qa = int(math.floor(x0 / (SQRT3 * e) - r / 2.0))
+        qb = int(math.ceil(x1 / (SQRT3 * e) - r / 2.0))
+        q = np.arange(qa, qb + 1, dtype=np.int64)
+        qs.append(q)
+        rs.append(np.full(q.shape, r, dtype=np.int64))
+    q = np.clip(np.concatenate(qs), -_BIAS, _BIAS - 1)
+    r = np.clip(np.concatenate(rs), -_BIAS, _BIAS - 1)
+    return (np.int64(res) << _RES_SHIFT) + ((q + _BIAS) << _Q_SHIFT) + (r + _BIAS)

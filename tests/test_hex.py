@@ -244,3 +244,27 @@ def test_hex_distance_join_guards(spark):
         e = hex_edge_m(res)
         k = _m.ceil((r + 2 * e) / (1.5 * e))
         assert k <= 3 and 3 * k * (k + 1) + 1 <= 37
+
+
+def test_hex_bbox_cover_is_complete_superset():
+    """Every random point inside the bbox gets a cell that IS in the
+    cover (completeness); cover cells' centers stay within the expanded
+    bbox (boundedness)."""
+    from landlensdb_spark.geo.hex import hex_edge_m, np_hex_bbox_cover
+
+    res = 13
+    box = (-74.05, 40.65, -73.95, 40.75)
+    cover = set(np_hex_bbox_cover(*box, res=res).tolist())
+    m = 2000
+    lons = RNG.uniform(box[0], box[2], m)
+    lats = RNG.uniform(box[1], box[3], m)
+    cells = np_hex_encode(lons, lats, res)
+    assert set(cells.tolist()) <= cover
+    cx, cy = np_hex_center_xy(np.array(sorted(cover)), res)
+    e = hex_edge_m(res)
+    x0, x1 = np_merc_x(np.array(box[::2]))
+    y0, y1 = np_merc_y(np.array(box[1::2]))
+    # expansion (e) + floor/ceil enumeration slack (sqrt(3)*e per axis)
+    pad = 3.0 * e
+    assert cx.min() >= x0 - pad and cx.max() <= x1 + pad
+    assert cy.min() >= y0 - pad and cy.max() <= y1 + pad
