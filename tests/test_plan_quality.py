@@ -390,3 +390,29 @@ def test_pack_token_shards_single_data_shuffle(spark):
     # BroadcastExchange (counted separately by its node name)
     assert n_exchanges == 1, f"expected 1 shuffle Exchange, got {n_exchanges}\n{plan}"
     assert _n_nodes(plan, "BroadcastExchange") == 1
+
+
+def test_hex_distance_pairs_driver_query_plan(spark, sf_dir):
+    """The REGISTERED hex_distance_pairs query (not just the operator)
+    must stay a cell equi-join: no CartesianProduct / nested-loop join
+    can sneak in via a refactor, and the hex encode stays codegen (no
+    python UDF stage anywhere — the whole query is column math)."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["hex_distance_pairs"](spark, sf_dir))
+    assert _n_nodes(plan, "CartesianProduct") == 0, plan
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _n_nodes(plan, "ArrowEvalPython") == 0, plan
+    assert _n_nodes(plan, "BatchEvalPython") == 0, plan
+
+
+def test_compact_cover_driver_query_plan(spark, sf_dir):
+    """compact_cover: exactly one FlatMapGroupsInPandas (the per-group
+    compaction kernel) and no cartesian anywhere; the cover expansion is
+    column math (explode of sequence), not Python."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["compact_cover"](spark, sf_dir))
+    assert _n_nodes(plan, "FlatMapGroupsInPandas") == 1, plan
+    assert _n_nodes(plan, "CartesianProduct") == 0, plan
+    assert _n_nodes(plan, "ArrowEvalPython") == 0, plan
