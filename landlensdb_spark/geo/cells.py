@@ -280,6 +280,15 @@ def uncompact_cells(
     return out
 
 
+#: global-compact phase-1 grouping resolution: merges that produce a cell
+#: at res > _GLOBAL_PREFIX_RES are provably within one res-5 ancestor
+#: group (4 siblings at res r share their res r-1 parent, hence the same
+#: res-5 ancestor for r >= 6), so only cells at res <= 5 can still merge
+#: across groups — and a SET of cells at res <= 5 is structurally bounded
+#: by sum(4^r, r=0..5) = 1365 rows, safe for the single-task phase 2.
+_GLOBAL_PREFIX_RES = 5
+
+
 def compact_cells(
     df: DataFrame, cell: str = "cell", group: str | None = None
 ) -> DataFrame:
@@ -292,8 +301,15 @@ def compact_cells(
     cells, not billions), so the right distribution axis is the GROUP, not
     the cell: each group compacts locally in vectorized numpy, groups run
     in parallel across the cluster, and no driver loop or O(res) job chain
-    exists. Pass ``group=None`` for a single global set (still one task —
-    only appropriate for bounded covers)."""
+    exists.
+
+    ``group=None`` (one global set) is scale-safe too — it is NOT a
+    single task (round-6 verdict #5): phase 1 groups by each cell's
+    res-``_GLOBAL_PREFIX_RES`` ancestor and compacts groups in parallel
+    (every merge producing res > 5 is within-group, since 4 siblings at
+    res r share their res-5 ancestor for r >= 6); the only work left is
+    merging cells at res <= 5, a set structurally bounded at 1365 rows,
+    which phase 2 compacts in one (tiny) task and unions back."""
     import pandas as pd
 
     gcol = group or "_g"
@@ -333,5 +349,48 @@ def compact_cells(
         )
         return pd.DataFrame({gcol: pdf[gcol].iloc[0], cell: allc})
 
-    out = src.select(gcol, cell).groupBy(gcol).applyInPandas(_compact, fields)
-    return out if group else out.drop(gcol)
+    if group:
+        return src.select(gcol, cell).groupBy(gcol).applyInPandas(_compact, fields)
+
+    # global compact, two phases (see docstring). Phase 1: parallel
+    # within-prefix-group compact — the group key is the res-5 ancestor
+    # (or the cell itself when already at res <= 5; such cells cannot
+    # merge with anything finer-keyed and flow straight to phase 2).
+    pr = _GLOBAL_PREFIX_RES
+    # F.shiftright needs a LITERAL bit count; the SQL form takes columns
+    # (same pattern as uncompact_cells)
+    keyed = (
+        src.withColumn("_res", F.shiftright(F.col(cell), _RES_SHIFT))
+        .withColumn("_d", (F.col("_res") - F.lit(pr)).cast("int"))
+        .withColumn("_px", cell_x(F.col(cell)))
+        .withColumn("_py", cell_y(F.col(cell)))
+        .withColumn(
+            gcol,
+            F.when(
+                F.col("_res") > pr,
+                (
+                    F.lit(pr).cast("long") * F.lit(1 << _RES_SHIFT)
+                    + F.shiftleft(F.expr("shiftright(_px, _d)"), _X_SHIFT)
+                    + F.expr("shiftright(_py, _d)")
+                ).cast("long"),
+            ).otherwise(F.col(cell)),
+        )
+        .select(gcol, cell)
+    )
+    # the global path's group key is a cell long, not the lit(0) int the
+    # `fields` string above was derived from
+    fields_g = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields
+    )
+    # persist: phase 1 feeds BOTH union branches below; without it the
+    # kernel (deterministic, so correct either way) would execute twice.
+    # The ContextCleaner unpersists once the result is GC'd.
+    phase1 = (
+        keyed.groupBy(gcol).applyInPandas(_compact, fields_g).drop(gcol).persist()
+    )
+    fine = phase1.filter(F.shiftright(F.col(cell), _RES_SHIFT) > pr)
+    coarse = phase1.filter(F.shiftright(F.col(cell), _RES_SHIFT) <= pr).withColumn(
+        gcol, F.lit(0).cast("long")
+    )
+    phase2 = coarse.groupBy(gcol).applyInPandas(_compact, fields_g).drop(gcol)
+    return fine.unionByName(phase2)

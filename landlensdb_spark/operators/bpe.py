@@ -212,7 +212,9 @@ def learn_bpe(
     The collect is a driver-memory commitment of ~``max_word_types`` x
     ``BYTES_PER_WORD_TYPE`` (~750 B/type measured, index sets included);
     caps whose estimate exceeds ``MAX_DRIVER_COLLECT_BYTES`` raise up
-    front with guidance instead of OOMing mid-collect.
+    front with guidance instead of OOMing mid-collect. ``max_word_types=
+    None`` (no truncation) counts the distinct word types first and
+    applies the same refusal — None is not an opt-out of the budget.
     """
     if max_word_types is not None:
         est = max_word_types * BYTES_PER_WORD_TYPE
@@ -230,6 +232,23 @@ def learn_bpe(
         words = words.orderBy(
             F.col("freq").desc(), F.col("word").asc()
         ).limit(max_word_types)
+    else:
+        # max_word_types=None means an UNBOUNDED collect — exactly the
+        # driver-OOM scenario the byte budget exists for (round-6 ADVICE).
+        # Count the word types first (cheap: reuses the groupBy's map-side
+        # combine) and apply the same refusal before collecting.
+        n_types = words.count()
+        est = n_types * BYTES_PER_WORD_TYPE
+        if est > MAX_DRIVER_COLLECT_BYTES:
+            raise ValueError(
+                f"max_word_types=None would collect {n_types:,} word types "
+                f"(~{est / 1024**3:.1f} GiB of driver memory at "
+                f"~{BYTES_PER_WORD_TYPE} B/type; budget "
+                f"{MAX_DRIVER_COLLECT_BYTES / 1024**3:.0f} GiB). Pass a "
+                "max_word_types cap (Zipf-head truncation does not change "
+                "early merges), or raise bpe.MAX_DRIVER_COLLECT_BYTES after "
+                "provisioning the driver."
+            )
     rows = words.collect()
     return _heap_bpe([(r["word"], int(r["freq"])) for r in rows], num_merges)
 

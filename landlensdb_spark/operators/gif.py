@@ -296,13 +296,24 @@ def decode_gif_indexed(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
             idx = deinter
         if (left, top, iw, ih) != (0, 0, w, h):
             # the image block is a sub-rectangle of the logical screen:
-            # composite onto the full (h, w) canvas — the reference's PIL
-            # path renders the whole canvas, so decode dims must agree
-            # with gif_meta/LSD dims. Uncovered area takes the LSD's
-            # background color index (clamped to this image's palette).
+            # composite onto the full (h, w) canvas so decode dims agree
+            # with gif_meta/LSD dims. LIMITATION (documented, round-6
+            # ADVICE): uncovered area takes the LSD background color — the
+            # correct render for the FIRST frame / single-image GIFs. An
+            # animated GIF's delta frame i should composite over the
+            # accumulated previous canvas per its disposal method; this
+            # decoder (and gif_frames, which re-wraps each block
+            # standalone) instead renders every block against the
+            # background, diverging from a full animation renderer from
+            # frame 2 on. The engine's writers always emit full-canvas
+            # blocks, so the limitation only affects third-party animated
+            # delta-frame GIFs.
             if left + iw > w or top + ih > h:
                 raise ValueError("gif: image block overruns logical screen")
-            bg = blob[11]
+            # the background index is defined against the GLOBAL color
+            # table; when this block brought its own local palette the
+            # index may map to an arbitrary color there, so use 0 instead
+            bg = blob[11] if not (ipacked & 0x80) else 0
             if bg >= len(palette):
                 bg = 0
             canvas = np.full((h, w), bg, dtype=np.uint8)

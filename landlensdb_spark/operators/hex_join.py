@@ -14,8 +14,11 @@ packing walks two alternating axial directions, 1.5*e of displacement per
 step), and any point lies within the circumradius e of its own cell
 center. So |probe - site| <= r implies their center distance is
 <= r + 2e, hence grid distance g <= (r + 2e) / (1.5*e) <= k for
-k = ceil((r + 2e) / (1.5*e)). With the auto-picked resolution (edge
-closest to r) k is 2 — a 19-cell ring per probe, constant fan-out
+k = ceil((r + 2e) / (1.5*e)). With the auto-picked resolution k <= 3:
+auto_res rounds log2, so the chosen edge lands anywhere in
+[r/sqrt(2), r*sqrt(2)]; at the small end e = r/sqrt(2) the bound gives
+k = ceil(3.41/1.5) = 3 (a 37-cell ring), and at e >= r*2/3 it gives
+k = 2 (19 cells). Either way the fan-out is a small CONSTANT per probe
 through the shuffle at any data scale.
 
 Metric: UNWRAPPED planar EPSG:3857 meters on coordinates pre-rounded to
@@ -47,8 +50,9 @@ MAX_RING = 64
 
 
 def auto_res(radius_m: float) -> int:
-    """Resolution whose hex edge is nearest ``radius_m`` (log2 rounding) —
-    the k=2 sweet spot of the completeness bound."""
+    """Resolution whose hex edge is nearest ``radius_m`` (log2 rounding —
+    edge lands in [r/sqrt(2), r*sqrt(2)], so the completeness bound gives
+    k=2 or, at the small-edge end, k=3; see the module docstring)."""
     if radius_m <= 0:
         raise ValueError(f"radius_m must be positive, got {radius_m}")
     return max(0, min(28, round(math.log2(WORLD / (SQRT3 * radius_m)))))

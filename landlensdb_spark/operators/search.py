@@ -154,13 +154,24 @@ def bm25_search(
     #      triangular join — NO unpartitioned WindowExec anywhere.
     # The ranking key (score desc, id asc) is total (ids are unique after
     # the groupBy), so ranks are deterministic regardless of where the
-    # sampled range boundaries fall; the range sampler itself is seeded
-    # per-plan, so the two traversals of `parts` below see identical
-    # partitioning.
+    # sampled range boundaries fall. `parts` is consumed TWICE below (the
+    # offsets table and the window branch) and correct _pid alignment needs
+    # both consumers to see the SAME range partitioning. The range sampler
+    # is seeded per RDD-INSTANTIATION (not per-plan): if the exchange were
+    # physically executed twice, each execution could sample different
+    # boundaries and ranks would come out silently wrong. persist() pins a
+    # single physical instantiation that both branches share (recompute
+    # after executor loss replays the same fixed partitioner, unlike
+    # localCheckpoint which is unrecoverable); the ContextCleaner unpersists
+    # the blocks once the result DataFrame is GC'd. Do not remove the
+    # persist in favor of relying on spark.sql.exchange.reuse — reuse is an
+    # optimizer heuristic, not a guarantee (round-6 ADVICE).
     order = [F.col("score").desc(), F.col(id_col).asc()]
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    parts = scored.repartitionByRange(nparts, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    parts = (
+        scored.repartitionByRange(nparts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     cnts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     off = (

@@ -195,3 +195,25 @@ def test_apply_bpe_duplicate_pair_keeps_first_rank(spark):
     merges = [("a", "b"), ("b", "c"), ("a", "b")]
     rows = apply_bpe(df, merges).select("bpe_tokens").collect()
     assert rows[0]["bpe_tokens"] == ["ab", "c", "</w>"]
+
+
+def test_learn_bpe_none_cap_still_enforces_budget(spark, monkeypatch):
+    """max_word_types=None is NOT an opt-out of the driver byte budget
+    (round-6 ADVICE): the word types are counted first and the same
+    refusal fires when the estimate exceeds MAX_DRIVER_COLLECT_BYTES."""
+    import pytest
+
+    from landlensdb_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # 42 word types; shrink the budget so the None path must refuse
+    monkeypatch.setattr(bpe, "MAX_DRIVER_COLLECT_BYTES", 10 * bpe.BYTES_PER_WORD_TYPE)
+    with pytest.raises(ValueError, match="max_word_types=None"):
+        bpe.learn_bpe(df, 2, max_word_types=None)
+    # and under the budget the unbounded path still learns normally
+    monkeypatch.setattr(bpe, "MAX_DRIVER_COLLECT_BYTES", 4 * 1024**3)
+    merges = bpe.learn_bpe(df, 1, max_word_types=None)
+    assert merges and merges[0][0] == 1

@@ -93,6 +93,27 @@ def test_compact_grouped_isolates_groups(spark):
     assert got[2] == sorted(kids[:3])
 
 
+def test_compact_global_merges_across_prefix_groups(spark):
+    """group=None is the two-phase global compact (round-6 verdict #5):
+    phase 1 compacts within res-5 prefix groups in parallel, phase 2
+    merges the bounded res<=5 residue across groups. A complete 4^3 block
+    at res 7 under ONE res-4 cell spans 4 distinct res-5 prefix groups,
+    so the final res5->res4 collapse can only happen in phase 2."""
+    base4 = _mk(4, 3, 6)
+    cells = [
+        _mk(7, (3 << 3) + dx, (6 << 3) + dy) for dx in range(8) for dy in range(8)
+    ]
+    out = compact_cells(_cells_df(spark, cells)).collect()
+    assert [r["cell"] for r in out] == [base4]
+    # mixed coarse input: three res-3 siblings + the fourth arriving as
+    # its complete res-4 block -> everything collapses to the res-2 parent
+    sibs3 = [_mk(3, 2 * 5 + dx, 2 * 9 + dy) for dx, dy in ((0, 0), (0, 1), (1, 0))]
+    fourth = [_mk(4, 2 * (2 * 5 + 1) + dx, 2 * (2 * 9 + 1) + dy)
+              for dx in (0, 1) for dy in (0, 1)]
+    out2 = compact_cells(_cells_df(spark, sibs3 + fourth)).collect()
+    assert sorted(r["cell"] for r in out2) == [_mk(2, 5, 9)]
+
+
 def test_uncompact_rejects_finer_input(spark):
     df = _cells_df(spark, [_mk(9, 5, 5)])
     with pytest.raises(Exception, match="finer"):

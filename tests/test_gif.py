@@ -230,3 +230,34 @@ def test_sub_rectangle_composites_onto_logical_screen():
     struct.pack_into("<HHHH", bad, ipos + 1, 7, 5, 3, 2)  # 7+3 > 8
     with pytest.raises(ValueError):
         decode_gif_indexed(bytes(bad))
+
+
+def test_sub_rectangle_local_palette_ignores_gct_background():
+    """When a sub-rectangle image block carries its own LOCAL color table,
+    the LSD background index (defined against the GLOBAL table) may map to
+    an arbitrary color there — the composite must fill with index 0
+    instead (round-6 ADVICE)."""
+    sub = _rand_idx(2, 3, 4, 22)
+    gct_pal = _rand_palette(4, 22)
+    lct_pal = _rand_palette(4, 23)
+    data = _lzw_encode(sub.tobytes(), 2)
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HH", 8, 6)
+    blob.append(0x80 | 0x01)  # GCT present, 4 entries
+    blob.append(3)  # background color index (GCT-defined)
+    blob.append(0)
+    blob += gct_pal.tobytes()
+    blob.append(0x2C)
+    blob += struct.pack("<HHHH", 4, 1, 3, 2)
+    blob.append(0x80 | 0x01)  # LOCAL color table, 4 entries
+    blob += lct_pal.tobytes()
+    blob.append(2)
+    blob.append(len(data))
+    blob += data
+    blob += b"\x00\x3b"
+    out, out_pal = decode_gif_indexed(bytes(blob))
+    assert (out_pal == lct_pal).all()  # block decodes via its local table
+    assert (out[1:3, 4:7] == sub).all()
+    mask = np.ones((6, 8), bool)
+    mask[1:3, 4:7] = False
+    assert (out[mask] == 0).all()  # NOT the GCT's index 3

@@ -77,3 +77,79 @@ def test_pip_keep_polygon_cols(spark):
     assert "name" in out.columns
     row = out.limit(1).collect()[0]
     assert row["name"].startswith("admin_")
+
+
+def test_compact_cover_np_merges_same_flag_blocks():
+    """Flag-aware cover compaction (round-6 verdict #7): complete
+    same-flag 4-sibling blocks collapse recursively; mixed-flag blocks do
+    NOT merge."""
+    from landlensdb_spark.geo.cells import _RES_SHIFT, _X_SHIFT
+    from landlensdb_spark.operators.pip_join import _compact_cover_np
+
+    def mk(res, x, y):
+        return (res << _RES_SHIFT) | (x << _X_SHIFT) | y
+
+    # aligned 4x4 block at res 8, all full=True -> single res-6 cell
+    cells = np.array(
+        [mk(8, 16 + dx, 32 + dy) for dx in range(4) for dy in range(4)],
+        dtype=np.int64,
+    )
+    cc, cf = _compact_cover_np(cells, np.ones(16, dtype=bool))
+    assert list(cc) == [mk(6, 4, 8)] and list(cf) == [True]
+
+    # same block but one corner cell is boundary (full=False): its 2x2
+    # sibling block must NOT merge; the other three 2x2 blocks do, and the
+    # res-7 level then stays unmerged (mixed flags / incomplete)
+    flags = np.ones(16, dtype=bool)
+    flags[0] = False
+    cc2, cf2 = _compact_cover_np(cells, flags)
+    assert len(cc2) == 3 + 4  # 3 merged res-7 parents + 4 res-8 leftovers
+    assert sorted(cf2) == [False] + [True] * 6
+    # footprint preserved: uncompact back to res 8 equals the input set
+    back = set()
+    for c in cc2:
+        res = int(c) >> _RES_SHIFT
+        x = (int(c) >> _X_SHIFT) & ((1 << _X_SHIFT) - 1)
+        y = int(c) & ((1 << _X_SHIFT) - 1)
+        d = 8 - res
+        for dx in range(1 << d):
+            for dy in range(1 << d):
+                back.add(mk(8, (x << d) + dx, (y << d) + dy))
+    assert back == set(int(c) for c in cells)
+
+
+def test_pip_compacted_cover_shrinks_and_stays_exact(spark):
+    """A polygon whose bbox cover is a large aligned grid: the broadcast
+    cover table must shrink under compaction while pip_join results stay
+    exactly the brute-force ray-cast's."""
+    from landlensdb_spark.operators.pip_join import _collect_polygons
+
+    # square covering res-6 cells 32..37 per axis (6x6 bbox cover, 5.625
+    # deg/cell from lon/lat 0 = cell 32): the full=True interior 33..36
+    # contains the aligned even-start sibling pair (34,35) on both axes,
+    # so exactly that 2x2 block merges. (An UNALIGNED cover may
+    # legitimately compact to nothing — merging is alignment-dependent;
+    # see test_compact_cover_np_merges_same_flag_blocks for the
+    # kernel-level contract.)
+    sq = [[0.1, 0.1], [33.7, 0.1], [33.7, 33.7], [0.1, 33.7], [0.1, 0.1]]
+    polys = spark.createDataFrame(
+        [(0, [sq])], "admin_id long, ring array<array<array<double>>>"
+    )
+    _, cover_rows, res_set = _collect_polygons(polys, "admin_id", "ring")
+    assert len(res_set) > 1, "compaction should produce mixed resolutions"
+    # footprint bookkeeping: expanding every compacted cell back to the
+    # finest res recovers the original solid-rectangle cell count, and the
+    # compacted table is strictly smaller than that rectangle
+    finest = max(int(r) for r in res_set)
+    uncompacted = sum(4 ** (finest - r) for r, *_ in cover_rows)
+    assert len(cover_rows) < uncompacted
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-1, 24, 2500)
+    py = rng.uniform(-1, 24, 2500)
+    pts = spark.createDataFrame(
+        [(int(k), float(a), float(b)) for k, (a, b) in enumerate(zip(px, py))],
+        "id long, lon double, lat double",
+    )
+    out = pip_join(pts, polys, rings_col="ring").select("id").toPandas()
+    want = set(np.where(points_in_polygon(px, py, [np.asarray(sq)]))[0])
+    assert set(out["id"]) == want

@@ -407,12 +407,18 @@ def test_hex_distance_pairs_driver_query_plan(spark, sf_dir):
 
 
 def test_compact_cover_driver_query_plan(spark, sf_dir):
-    """compact_cover: exactly one FlatMapGroupsInPandas (the per-group
-    compaction kernel) and no cartesian anywhere; the cover expansion is
-    column math (explode of sequence), not Python."""
+    """compact_cover (global compact, round-6 verdict #5): exactly the
+    two-phase shape — phase 1's PARALLEL per-prefix-group kernel (ONE
+    physical instance, persisted and shared by both union branches via
+    InMemoryRelation) plus phase 2's bounded (<= 1365-row) residual
+    kernel = exactly two distinct FlatMapGroupsInPandas nodes — and no
+    cartesian anywhere; the cover expansion is column math (explode of
+    sequence), not Python."""
     from landlensdb_spark.entry_queries import QUERIES
 
     plan = _plan(QUERIES["compact_cover"](spark, sf_dir))
-    assert _n_nodes(plan, "FlatMapGroupsInPandas") == 1, plan
+    assert _n_nodes(plan, "FlatMapGroupsInPandas") == 2, plan
+    # the persist pin: phase 1 must NOT execute once per union branch
+    assert "InMemoryRelation" in plan, plan
     assert _n_nodes(plan, "CartesianProduct") == 0, plan
     assert _n_nodes(plan, "ArrowEvalPython") == 0, plan
