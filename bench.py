@@ -78,6 +78,27 @@ def main() -> None:
         tables.pages(spark, n_pages, clustered=True, num_partitions=128).write.mode(
             "overwrite"
         ).parquet(pages_path)
+    # corpus_prep input scales with the multiplier too (round-6 verdict #2:
+    # a mult-FIXED input measures stage latency, not data scaling, and had
+    # to be excluded from the scalable subtotal). The sf-dir documents table
+    # is replicated mult x with distinct doc_ids and replica-tagged text —
+    # the tag keeps per-doc work identical while preserving the original
+    # duplicate structure WITHIN each replica, so the dedup stage's
+    # selectivity is unchanged. Fixed 32-partition layout, byte-identical
+    # across parallelism levels (same rationale as pages above).
+    docs_path = None
+    if mult > 1:
+        imult = int(mult)
+        docs_base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs_path = f"/tmp/llb_docs_{docs_base.count() * imult}.parquet"
+        if not os.path.exists(f"{docs_path}/_SUCCESS"):
+            reps = spark.range(imult).select(F.col("id").alias("_rep"))
+            docs_base.crossJoin(F.broadcast(reps)).select(
+                (F.col("doc_id") * imult + F.col("_rep")).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" r"), F.col("_rep").cast("string")
+                ).alias("text"),
+            ).repartition(32).write.mode("overwrite").parquet(docs_path)
     if os.environ.get("SPARK_GRAFT_SETUP_ONLY"):
         # scaling runs pre-generate the input in a separate process so the
         # (heavy, untimed) write does not drain the VM's CPU burst credits
@@ -151,7 +172,11 @@ def main() -> None:
             synth.probe_lon_col(k).alias("lon"),
             synth.probe_lat_col(k).alias("lat"),
         )
-        prb = spark.range(2000).select(
+        # probe count scales with the multiplier (round-6 verdict #2) — a
+        # constant 2,000-probe set is latency-bound past mult 1 and says
+        # nothing about data scaling
+        n_probes = int(2000 * mult)
+        prb = spark.range(n_probes).select(
             (k * 13 + 7).alias("pk"),
         ).select(
             F.col("pk").alias("probe_id"),
@@ -163,7 +188,12 @@ def main() -> None:
         # points/cell, ~250 candidates/probe) instead of trusting a caller
         # constant — res 16 here holds ~1300 points/cell and floods the
         # top-k window with ~60M candidate rows.
-        return knn_join(prb, pts, k=10).count()
+        # broadcast_probes only while the probe side is genuinely small:
+        # past ~10k probes the exploded-box broadcast build (49 cells/probe
+        # -> millions of build rows, serialized through the driver) becomes
+        # the job's serial term and caps scaling — the operator's own
+        # documented big-probe guidance is the shuffled-join shape.
+        return knn_join(prb, pts, k=10, broadcast_probes=n_probes <= 10_000).count()
 
     timed("knn", q_knn)
 
@@ -180,9 +210,13 @@ def main() -> None:
     # ---- q5: LLM corpus prep (quality gate -> PII -> dedup -> shards) ------
     def q_corpus():
         # the registered driver query: makes dedup/PII/shard-path
-        # regressions visible round over round (round-3 VERDICT #7)
-        from landlensdb_spark.entry_queries import QUERIES
+        # regressions visible round over round (round-3 VERDICT #7).
+        # At mult > 1 the identical composition runs over the replicated
+        # documents parquet so the input grows with the multiplier.
+        from landlensdb_spark.entry_queries import QUERIES, corpus_prep_over
 
+        if docs_path is not None:
+            return corpus_prep_over(spark.read.parquet(docs_path)).count()
         return QUERIES["corpus_prep"](spark, sf_dir).count()
 
     timed("corpus_prep", q_corpus)
@@ -235,7 +269,12 @@ def main() -> None:
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             child = json.loads(line)
             pinned_twin = {
-                "protocol": "taskset 0-7, local[8], interleaved x2, median",
+                # the PRIMARY round-over-round comparator (round-6 verdict
+                # #3): a fixed 8-core taskset budget is a reproducible
+                # resource envelope; the unpinned local[N] medians above are
+                # hostage to burst-credit state (spreads up to 4x)
+                "comparator": "primary",
+                "protocol": "taskset 0-7, local[8], interleaved x3, median",
                 "queries": child["queries"],
                 "spread": child["spread"],
                 "value": child["value"],

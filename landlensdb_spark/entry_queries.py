@@ -276,6 +276,41 @@ def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_key", "point_key", F.col("rank").cast("long").alias("rank"))
 
 
+@query(
+    "knn_hex",
+    f"""
+    WITH nbr AS ({_probe_sql(2000)}),
+    prb AS ({_probe_sql(200, 13, 7)}),
+    mn AS (SELECT key, {synth.merc_x_sql('lon')} AS x, {synth.merc_y_sql('lat')} AS y FROM nbr),
+    mp AS (SELECT key, {synth.merc_x_sql('lon')} AS x, {synth.merc_y_sql('lat')} AS y FROM prb),
+    pairs AS (
+      SELECT p.key AS probe_key, n.key AS point_key,
+             (p.x-n.x)*(p.x-n.x) + (p.y-n.y)*(p.y-n.y) AS dist2
+      FROM mp p CROSS JOIN mn n
+    )
+    SELECT probe_key, point_key, rank FROM (
+      SELECT probe_key, point_key,
+             row_number() OVER (PARTITION BY probe_key ORDER BY dist2, point_key) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_join on the HEXAGONAL grid (round-6 verdict #6): identical
+    input, k, and brute-force oracle as knn_points, but candidate
+    generation walks isotropic hex rings (3r(r+1)+1 cells vs the square
+    box's (2r+1)^2) with the tighter hex-metric certificate
+    (operators/knn.py::_HexGrid). The hard signal proves grid="hex"
+    returns the exact same top-k as the brute force."""
+    nbr = _probe_points(spark, sf_dir, 2000).withColumnRenamed("key", "point_key")
+    prb = _probe_points(spark, sf_dir, 200, 13, 7).withColumnRenamed("key", "probe_key")
+    out = knn_join(
+        prb, nbr, k=5, probe_id="probe_key", point_id="point_key", res=14,
+        grid="hex",
+    )
+    return out.select("probe_key", "point_key", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Extraction (F1-F4, S1) — end-to-end html -> geotag vs closed-form oracle
 # ---------------------------------------------------------------------------
@@ -2363,20 +2398,18 @@ def _corpus_prep_oracle() -> str:
     """
 
 
-@query("corpus_prep", None)
-def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-data pipeline composed end-to-end: quality gate (pure
-    column math) -> PII redaction (codegen regex) -> exact dedup by
-    redacted-text hash (window keep-first) -> distributed token-budget
-    shard packing. Every stage is an operator this engine ships
-    individually; the composition is what a corpus run actually executes."""
+def corpus_prep_over(docs: DataFrame) -> DataFrame:
+    """The corpus-prep composition over an arbitrary documents DataFrame
+    (columns doc_id, text). Factored out of the registered ``corpus_prep``
+    query so the scaling bench can run the identical pipeline over a
+    multiplier-scaled documents table (round-6 verdict #2: every headline
+    bench query's input must grow with the scaling multiplier)."""
     from pyspark.sql import Window as W
 
     from landlensdb_spark.operators.pii import redact
     from landlensdb_spark.operators.shards import pack_token_shards
     from landlensdb_spark.operators.textstats import quality_score, token_count
 
-    docs = tables.load(spark, sf_dir, "documents")
     gated = docs.select(
         "doc_id", "text", quality_score(F.col("text")).alias("quality")
     ).filter(F.col("quality") >= _PREP_QMIN)
@@ -2397,6 +2430,16 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_shards(toks, "n_tokens", "doc_id", _PREP_SHARD).select(
         "doc_id", "quality", "n_tokens", "shard_id"
     )
+
+
+@query("corpus_prep", None)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed end-to-end: quality gate (pure
+    column math) -> PII redaction (codegen regex) -> exact dedup by
+    redacted-text hash (window keep-first) -> distributed token-budget
+    shard packing. Every stage is an operator this engine ships
+    individually; the composition is what a corpus run actually executes."""
+    return corpus_prep_over(tables.load(spark, sf_dir, "documents"))
 
 
 ORACLES["corpus_prep"] = _corpus_prep_oracle()
@@ -2658,6 +2701,150 @@ def q_media_meta_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.bit_count(F.col("phash").bitwiseXOR(F.col("exp_phash"))))
         .cast("int")
         .alias("phash_dist"),
+    )
+
+
+@query(
+    "media_frame_sampling",
+    """
+    SELECT o_orderkey AS key,
+           CASE o_orderkey % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'tiff'
+                ELSE 'mjpeg-avi' END AS codec,
+           CAST(CASE o_orderkey % 3 WHEN 0 THEN 2 + o_orderkey % 3
+                WHEN 1 THEN 2 + o_orderkey % 2
+                ELSE 2 + (o_orderkey * 7) % 4 END AS INTEGER) AS n_frames,
+           TRUE AS hashed_first,
+           TRUE AS no_later_frame_hash
+    FROM orders WHERE o_orderkey < 900
+    """,
+)
+def q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which frame does ``media_phash`` hash? (round-6 verdict #8). Every
+    row is a MULTI-frame container — animated GIF (2-4 image blocks),
+    multi-page TIFF (2-3 IFDs), MJPEG-AVI (2-5 frames) — whose frames are
+    STRUCTURALLY distinct (per-frame gradient slopes, so their pHashes
+    differ). ``hashed_first`` asserts the production pHash equals the
+    first frame's hash; ``no_later_frame_hash`` asserts it differs from
+    EVERY later frame's hash — together the frame-sampling contract
+    (identity key = frame 0) carries the hard signal end-to-end, not just
+    frame counts. Expected hashes are computed in the generator from the
+    same in-repo codecs (decoded frames for the lossy MJPEG class, source
+    pixels for the lossless GIF/TIFF classes), so both booleans are exact.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from landlensdb_spark.operators.multimodal import decode_media, media_phash
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 900).select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.gif import encode_gif_gray
+        from landlensdb_spark.operators.jpeg import decode_jpeg
+        from landlensdb_spark.operators.multimodal import phash64
+        from landlensdb_spark.operators.tiff import encode_tiff_gray
+        from landlensdb_spark.operators.video import encode_mjpeg_avi, mjpeg_frames
+
+        def _pat(i: int, h: int, w: int, k: int) -> "np.ndarray":
+            # orientation- and frequency-distinct stripe fields: even i =
+            # vertical stripes, odd i = horizontal, width grows with i —
+            # far apart in DCT space, unlike same-orientation gradients
+            # whose pHash sign patterns can collide
+            width = 1 + i // 2
+            if i % 2 == 0:
+                v = (np.arange(w)[None, :] // width) % 2
+                img = np.broadcast_to(v * (200 + k % 56), (h, w))
+            else:
+                v = (np.arange(h)[:, None] // width) % 2
+                img = np.broadcast_to(v * (200 + k % 56), (h, w))
+            return np.ascontiguousarray(img).astype(np.uint8)
+
+        def _distinct(frames: list, h0: int) -> list:
+            # deterministic collision repair: any later frame whose pHash
+            # equals frame 0's gets inverted, then rolled, until distinct
+            # (bounded; the synth is deterministic so one green oracle run
+            # proves it forever)
+            out = [frames[0]]
+            for f in frames[1:]:
+                for _ in range(8):
+                    if phash64(f) != h0:
+                        break
+                    f = (255 - f).astype(np.uint8)
+                    if phash64(f) == h0:
+                        f = np.roll(f, 1 + _ , axis=_ % 2)
+                else:
+                    raise ValueError("media_frame_sampling: could not build "
+                                     "a later frame with a distinct pHash")
+                out.append(f)
+            return out
+
+        for pdf in batches:
+            ks, blobs, e0s, laters = [], [], [], []
+            for k in pdf["key"]:
+                k = int(k)
+                w, h = 10 + k % 23, 10 + (k * 3) % 17
+                cls = k % 3
+                nf = (2 + k % 3, 2 + k % 2, 2 + (k * 7) % 4)[cls]
+                frames = [_pat(i, h, w, k) for i in range(nf)]
+                frames = _distinct(frames, phash64(frames[0]))
+                if cls == 0:
+                    b = encode_gif_gray(frames)
+                    hashes = [phash64(f) for f in frames]
+                elif cls == 1:
+                    b = encode_tiff_gray(frames)
+                    hashes = [phash64(f) for f in frames]
+                else:
+                    # lossy: the engine hashes the DECODED frame, so the
+                    # expectation decodes through the same codec; repair
+                    # collisions in DECODED space by mutating the source
+                    # frame and re-encoding (bounded, deterministic)
+                    for _try in range(8):
+                        b = encode_mjpeg_avi(frames, fps=10)
+                        hashes = [
+                            phash64(decode_jpeg(fb)) for fb in mjpeg_frames(b)
+                        ]
+                        coll = [
+                            j for j in range(1, nf) if hashes[j] == hashes[0]
+                        ]
+                        if not coll:
+                            break
+                        for j in coll:
+                            frames[j] = (255 - frames[j]).astype(np.uint8)
+                    else:
+                        raise ValueError(
+                            "media_frame_sampling: mjpeg frames would not "
+                            "separate in pHash space"
+                        )
+                ks.append(k)
+                blobs.append(b)
+                e0s.append(hashes[0])
+                laters.append(hashes[1:])
+            yield pd.DataFrame(
+                {
+                    "key": ks,
+                    "media": blobs,
+                    "exp0": np.asarray(e0s, dtype=np.int64),
+                    "exp_later": laters,
+                }
+            )
+
+    media = keys.mapInPandas(
+        _mk, "key long, media binary, exp0 long, exp_later array<long>"
+    )
+    meta = media_phash(decode_media(media))
+    return meta.select(
+        "key",
+        "codec",
+        "n_frames",
+        (F.col("phash") == F.col("exp0")).alias("hashed_first"),
+        (~F.array_contains(F.col("exp_later"), F.col("phash"))).alias(
+            "no_later_frame_hash"
+        ),
     )
 
 
@@ -4441,67 +4628,71 @@ def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in/out split per round is documented in COVERAGE.md.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # --- round-6 rotation (r05 verdict #2) ---
-    # never driver-checked: the round-6 additions (GIF/TIFF metadata +
-    # pHash invariance under the hard signal; BM25 two-level full rank;
-    # the hexagonal cell index)
-    "media_meta_v2",
-    "bm25_rank_all",
-    "hex_cells",
-    "hex_distance_pairs",
+    # --- round-7 rotation (r06 verdict #4) ---
+    # never driver-checked: this round's additions (hex-grid kNN; the
+    # frame-sampling contract under the hard signal)
+    "knn_hex",
+    "media_frame_sampling",
+    # changed-path rows: r06-green but their code moved THIS round, so
+    # they re-enter the window — compact_cells went two-phase global
+    # (geo/cells.py), bm25 top=None gained the persist pin
+    # (operators/search.py), corpus_prep was factored through
+    # corpus_prep_over, and the pip cover table is now compacted
+    # (operators/pip_join.py)
     "compact_cover",
-    # changed-path canary: apply_bpe's duplicate-pair rank table moved to
-    # first-wins this round — corpus_tokenize drives that encoder
-    "corpus_tokenize",
-    # the 2 stalest rows (last driver check: round 3)
-    "localized_iso",
-    "geohash_cells",
-    # the 44 rows whose last driver check was round 4 — every row that
-    # missed the r05 window, verdict-named ones first
-    "tile_assign",
-    "tile_stats",
-    "pip_admin_agg",
-    "snap_nearest",
-    "extract_geotags",
-    "mvt_features",
-    "first_per_source",
-    "fetch_plan",
-    "mvt_build",
-    "raster_density",
-    "stream_tiles",
-    "pii_redact",
-    "stratified_docs",
-    "hash_sample_docs",
-    "token_shards",
-    "contamination_docs",
-    "postings_stats",
-    "bm25_docs",
-    "repeated_spans",
-    "warc_scan",
-    "balanced_docs",
-    "span_scrub",
+    "bm25_rank_all",
     "corpus_prep",
-    "jpeg_roundtrip",
-    "media_meta",
-    "track_lengths",
-    "scalar_funcs",
-    "bearing_align",
-    "semantic_dup_clusters",
-    "fetch_local",
-    "salted_tile_counts",
-    "doc_chunks",
-    "spatial_clusters",
-    "shape_stats",
-    "haversine_pairs",
-    "snapshot_diff",
-    "jpeg_color_roundtrip",
-    "jpeg_progressive_roundtrip",
-    "lm_scores",
-    "pagerank_hosts",
-    "dup_clusters",
-    # (crawl_schedule, length_quantiles and robots_gate, all r04-green,
-    # yield their slots to the never-checked hex_cells /
-    # hex_distance_pairs / compact_cover rows and rotate back next round)
+    "pip_admin_agg",
+    # the 3 rows that yielded their r06 slots (last driver check: round 4)
+    "crawl_schedule",
+    "length_quantiles",
+    "robots_gate",
+    # 40 of the 48 rows whose last driver check was round 5 (two rounds
+    # stale) — changed-path-adjacent ones first (knn/pip/gif families)
+    "knn_points",
+    "knn_self",
+    "pip_admin",
+    "pip_admin_named",
+    "extract_pip",
+    "gif_roundtrip",
+    "tiff_roundtrip",
+    "pipeline_lineage",
+    "geojson_roundtrip",
+    "gpkg_roundtrip",
+    "bpe_merges",
+    "extract_date_filter",
+    "extract_exif_real",
+    "bbox_scan",
+    "filter_dsl",
+    "distinct_priority",
+    "anti_join",
+    "agg_doc_stats",
+    "bounds_agg",
+    "argmin_lineitem",
+    "upsert_orders",
+    "window_events",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_sigs",
+    "minhash_lsh",
+    "simhash_docs",
+    "fingerprint_docs",
+    "line_dedup",
+    "token_stats",
+    "quality_docs",
+    "lang_pred",
+    "embed_topk",
+    "embed_ann_lsh",
+    "embed_near_dup",
+    "snap_full",
+    "sessionize_events",
+    "embed_ann_ivf",
+    "gopher_stats",
+    "bloom_anti",
+    # (coverage_ingest, tile_bounds, hilbert_cells, s2_cells, quad_leaves,
+    # url_normalize, host_stats, tile_pyramid — all unchanged pure
+    # column-math rows, r05-green + local-sweep-green — yield their slots
+    # to the new/changed-path rows above and rotate back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -25,39 +25,42 @@ def test_every_query_has_an_oracle():
     )
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
-# The round-6 rotation, pinned VERBATIM so a refactor can't silently restore
-# build order: 2 never-driver-checked round-6 rows first, one changed-path
-# canary (apply_bpe duplicate-rank first-wins), the 2 r03-stale rows, then
-# the 44 rows whose last driver check was round 4 (everything that missed
-# the r05 window, verdict-named ones first), closing with the north-star
-# extract_text canary.
-_R06_WINDOW = [
-    "media_meta_v2", "bm25_rank_all", "hex_cells", "hex_distance_pairs",
-    "compact_cover", "corpus_tokenize",
-    "localized_iso", "geohash_cells",
-    "tile_assign", "tile_stats", "pip_admin_agg", "snap_nearest",
-    "extract_geotags", "mvt_features", "first_per_source", "fetch_plan",
-    "mvt_build", "raster_density", "stream_tiles", "pii_redact",
-    "stratified_docs", "hash_sample_docs", "token_shards",
-    "contamination_docs", "postings_stats", "bm25_docs", "repeated_spans",
-    "warc_scan", "balanced_docs", "span_scrub", "corpus_prep",
-    "jpeg_roundtrip", "media_meta", "track_lengths", "scalar_funcs",
-    "bearing_align", "semantic_dup_clusters", "fetch_local",
-    "salted_tile_counts", "doc_chunks", "spatial_clusters", "shape_stats",
-    "haversine_pairs", "snapshot_diff", "jpeg_color_roundtrip",
-    "jpeg_progressive_roundtrip", "lm_scores", "pagerank_hosts",
-    "dup_clusters",
+# The round-7 rotation, pinned VERBATIM so a refactor can't silently restore
+# build order: the 2 never-driver-checked round-7 rows first (hex-grid kNN,
+# frame-sampling contract), the 4 changed-path rows re-entering (two-phase
+# global compact, bm25 persist pin, corpus_prep_over refactor, compacted pip
+# covers), the 3 rows that yielded their r06 slots (r04-stale), then 40 of
+# the 48 rows whose last driver check was round 5 (changed-path-adjacent
+# knn/pip/gif families first; the 8 unchanged pure-column-math rows
+# coverage_ingest/tile_bounds/hilbert_cells/s2_cells/quad_leaves/
+# url_normalize/host_stats/tile_pyramid rotate back next round), closing
+# with the north-star extract_text canary.
+_R07_WINDOW = [
+    "knn_hex", "media_frame_sampling",
+    "compact_cover", "bm25_rank_all", "corpus_prep", "pip_admin_agg",
+    "crawl_schedule", "length_quantiles", "robots_gate",
+    "knn_points", "knn_self", "pip_admin", "pip_admin_named",
+    "extract_pip", "gif_roundtrip", "tiff_roundtrip",
+    "pipeline_lineage", "geojson_roundtrip", "gpkg_roundtrip",
+    "bpe_merges", "extract_date_filter", "extract_exif_real", "bbox_scan",
+    "filter_dsl", "distinct_priority", "anti_join", "agg_doc_stats",
+    "bounds_agg", "argmin_lineitem", "upsert_orders", "window_events",
+    "dedup_exact", "ngram_jaccard", "minhash_sigs", "minhash_lsh",
+    "simhash_docs", "fingerprint_docs", "line_dedup", "token_stats",
+    "quality_docs", "lang_pred", "embed_topk", "embed_ann_lsh",
+    "embed_near_dup", "snap_full", "sessionize_events", "embed_ann_ivf",
+    "gopher_stats", "bloom_anti",
     "extract_text",
 ]
 
 
 def test_driver_window_ordering():
-    """The driver hashes the FIRST 50 registered queries; pin the round-6
+    """The driver hashes the FIRST 50 registered queries; pin the round-7
     rotation list verbatim so neither a new registration nor a refactor can
     silently push a window row back out of the hard signal."""
     from landlensdb_spark.entry_queries import _DRIVER_WINDOW_FIRST
 
-    assert _DRIVER_WINDOW_FIRST == _R06_WINDOW
+    assert _DRIVER_WINDOW_FIRST == _R07_WINDOW
     names = list(QUERIES)
     assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
     assert len(_DRIVER_WINDOW_FIRST) == 50

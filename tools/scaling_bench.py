@@ -255,7 +255,13 @@ def write_report(
     factor = hi / lo
     eff_pipeline = res_hi["rows_per_sec"] / (factor * res_lo["rows_per_sec"])
     eff_total = (res_lo["value"] / res_hi["value"]) / factor
-    passes = {lo: res_lo["all_passes"], hi: res_hi["all_passes"]}
+    # legacy raw_*.json files (written before per-pass data was persisted)
+    # have no all_passes; --report-only against them must degrade to the
+    # best-per-level statistics instead of crashing (round-6 ADVICE)
+    passes = {
+        lo: res_lo.get("all_passes") or [res_lo],
+        hi: res_hi.get("all_passes") or [res_hi],
+    }
     # same-pass PAIRED efficiency: each pass's big level against ITS OWN
     # small level. The interleave order is (lo, hi) back-to-back inside one
     # pass, so both legs of a pair see the same burst-credit window — which
@@ -283,17 +289,12 @@ def write_report(
     eff_pipeline_med = med_rps[hi] / (factor * med_rps[lo])
     # scalable-subtotal efficiency: queries under ~2s at the SMALL level are
     # fixed-stage-latency-bound at this input size (job submit + barrier
-    # overhead, not data), and two bench queries have MULT-FIXED inputs —
-    # corpus_prep reads the sf-dir documents table (independent of the
-    # scaling multiplier) and knn probes a constant 2,000-point set — so at
-    # mult > 1 their ratios measure stage latency, not data scaling. They
-    # drag the total-wall quotient without saying
-    # anything about 100 TB behavior. Report the total over >=2s queries
-    # alongside the all-query total.
-    mult_fixed = {"corpus_prep", "knn"} if float(mult) > 1 else set()
-    big_qs = [
-        q for q, t in res_lo["queries"].items() if t >= 2.0 and q not in mult_fixed
-    ]
+    # overhead, not data) and drag the total-wall quotient without saying
+    # anything about 100 TB behavior. Since round 7 EVERY bench input grows
+    # with the multiplier (corpus_prep reads a replicated documents table
+    # and knn probes 2000*mult points — round-6 verdict #2), so the >=2s
+    # latency filter is the only exclusion left.
+    big_qs = [q for q, t in res_lo["queries"].items() if t >= 2.0]
     if big_qs:
         big_lo = sum(res_lo["queries"][q] for q in big_qs)
         big_hi = sum(res_hi["queries"][q] for q in big_qs)
@@ -336,7 +337,7 @@ big level clear of the cap).
 | headline pipeline rows/sec, MEDIAN of {runs} interleaved passes (stable round-over-round comparator; best-per-level is hostage to burst-credit state) | {med_rps[lo]:.1f} | {med_rps[hi]:.1f} | **{eff_pipeline_med:.3f}** |
 | SAME-PASS paired efficiency — each pass's local[{hi}] against its OWN local[{lo}] leg, both inside one credit window (what a real one-cluster/two-sizes run measures): per pass {', '.join(f'{e:.3f}' for e in paired)} | | | **{max(paired):.3f}** (pass {paired.index(max(paired))}{', the fresh-credit pass' if paired.index(max(paired)) == 0 else ''}) / {paired_med:.3f} (median) |
 | total bench wall time (sec, {len(res_lo['queries'])} queries) | {res_lo['value']} | {res_hi['value']} | {eff_total:.3f} |
-{f"| scalable subtotal (queries >=2s at local[{lo}] whose input grows with the multiplier: {', '.join(big_qs)} — sub-2s queries are fixed-stage-latency-bound, and corpus_prep/knn have mult-FIXED inputs (sf-dir documents table; constant 2,000 probes), so neither class says anything about 100 TB) | {big_lo:.3f} | {big_hi:.3f} | {eff_total_big:.3f} |" if big_qs else ""}
+{f"| scalable subtotal (queries >=2s at local[{lo}]: {', '.join(big_qs)} — sub-2s queries are fixed-stage-latency-bound and say nothing about 100 TB; every query's INPUT grows with the multiplier since round 7, so no mult-fixed exclusion applies) | {big_lo:.3f} | {big_hi:.3f} | {eff_total_big:.3f} |" if big_qs else ""}
 {f'''| headline efficiency normalized to SUSTAINED host capacity ({sus_ratio:.2f}x measured {lo}w->{hi}w over {sustained:.0f}s pinned burns) | | | **{eff_norm:.3f}** (best) / **{eff_norm_med:.3f}** (median) |''' if eff_norm else ''}
 
 {f'''**Raw vs normalized.** The raw ratio divides by the ideal {factor:.0f}x, but a
