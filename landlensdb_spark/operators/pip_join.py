@@ -75,7 +75,10 @@ def _compact_cover_np(
             (np.int64(res - 1) << _RES_SHIFT) | ((x >> 1) << _X_SHIFT) | (y >> 1)
         )
         # a parent has exactly 4 children, so (parent, flag) reaching count
-        # 4 means all 4 children are present WITH that flag
+        # 4 means all 4 children are present WITH that flag. parent*2 only
+        # fits int64 because CELL_RES <= 15 keeps cell ids under 2^62; the
+        # bit layout allows res up to 31, where this would silently wrap
+        assert res <= 16, "compact key would overflow int64 past res 16"
         key = parent * 2 + lf.astype(np.int64)
         uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
         complete = counts[inv] == 4
