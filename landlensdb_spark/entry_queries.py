@@ -4587,9 +4587,11 @@ ORACLES["crawl_schedule"] = _crawl_schedule_oracle()
 )
 def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-kNN over one point set (k=3, self-pairs excluded): the
-    ``broadcast_probes=False`` path — both joins shuffle and AQE picks
-    the strategy, the shape for probe sets too big to broadcast. The
-    oracle brute-forces all pairs."""
+    ``broadcast_probes=False`` path — both joins are pinned to
+    shuffle_hash (AQE may NOT re-broadcast: the driver-side build of the
+    exploded probe cells is a probe-proportional serial term), the shape
+    for probe sets too big to broadcast. The oracle brute-forces all
+    pairs."""
     from landlensdb_spark.operators.knn import knn_join
 
     o = tables.load(spark, sf_dir, "orders")

@@ -36,9 +36,10 @@ data-sized shuffle is the histogram's map-side-combined aggregation. The
 points lineage is evaluated up to three times in the single action
 (histogram, candidate join, fallback) — pass ``persist_points=True`` to
 cache it when the point side is an expensive scan rather than cheap
-column math. ``broadcast_probes=False``
-switches the two joins to plain equi-joins for large probe sets (self-kNN),
-where AQE picks the strategy from runtime stats.
+column math. ``broadcast_probes=False`` pins the joins to SHUFFLE_HASH for
+large probe sets (self-kNN): merely leaving the strategy to AQE lets it
+re-broadcast the exploded probe-cells side under the byte threshold, whose
+driver-side hash-relation build is a probe-count-proportional serial term.
 
 Distances are squared EPSG:3857 meters (monotonic — avoids sqrt entirely);
 coords are pre-rounded to 1e-3 m for cross-engine float parity (synth.py).
@@ -393,7 +394,11 @@ def knn_join(
     ``start_ring``/``max_rounds`` bound the histogram search to ring
     ``start_ring << (max_rounds - 1)`` before brute-force fallback.
     ``broadcast_probes=False`` for probe sets too big to broadcast
-    (e.g. self-kNN); the joins then shuffle both sides and AQE re-plans.
+    (e.g. self-kNN); the joins are then PINNED to shuffle_hash — both sides
+    shuffle on the cell key and AQE only re-plans partition counts/skew,
+    never back to a broadcast whose driver-side build would serialize the
+    exploded probe boxes (see the maybe_bc comment below for the measured
+    cost).
 
     ``fixed_ring``: skip the adaptive histogram/ring-selection stages and
     certify every probe at the CONSTANT box radius ``fixed_ring`` instead —
@@ -440,7 +445,21 @@ def knn_join(
     )
     if persist_points:
         pts = pts.persist()
-    maybe_bc = F.broadcast if broadcast_probes else (lambda df: df)
+    if broadcast_probes:
+        maybe_bc = F.broadcast
+    else:
+        # broadcast_probes=False must actually FORCE the shuffled shape, not
+        # merely omit the broadcast hint: AQE re-broadcasts the exploded
+        # probe-cells side whenever its runtime bytes land under
+        # autoBroadcastJoinThreshold, and the driver-side hash-relation
+        # build of millions of exploded rows is then a serial term that
+        # grows linearly with the probe count (measured at bench shape,
+        # mult 64 / 128k probes: Amdahl serial 5.7s -> 2.4s and 2->8-core
+        # paired efficiency 0.57 -> 0.76 once the joins are pinned to
+        # shuffle_hash). shuffle_hash (not merge) keeps the build-side hash
+        # semantics without sorting either side.
+        def maybe_bc(df: DataFrame) -> DataFrame:
+            return df.hint("shuffle_hash")
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_nid").asc())
 
     if fixed_ring is not None:
