@@ -2972,6 +2972,104 @@ def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gif_anim_render",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               doc_id % 256 AS v0,
+               ((doc_id % 256) + 1 + (doc_id // 7) % 255) % 256 AS v1,
+               (doc_id * 3 + 5) % 256 AS bg,
+               (doc_id * 5 + 11) % 256 AS v2,
+               4 + (doc_id // 11) % 5 AS w1,
+               3 + (doc_id // 13) % 4 AS h1,
+               3 + (doc_id // 17) % 5 AS w2,
+               4 + (doc_id // 19) % 5 AS h2
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           3 AS n_frames,
+           CAST(v0 * 384 AS BIGINT) AS s0,
+           CAST(v0 * (384 - w1 * h1 + (w1 - 2) * (h1 - 2))
+                + v1 * (w1 * h1 - (w1 - 2) * (h1 - 2)) AS BIGINT) AS s1,
+           CAST(v0 * (384 - w1 * h1 - w2 * h2)
+                + bg * w1 * h1 + v2 * w2 * h2 AS BIGINT) AS s2,
+           TRUE AS ok
+    FROM p
+    """,
+)
+def q_gif_anim_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a ANIMATION semantics under the hard signal: per document,
+    assemble a 3-block delta-frame animation with ``encode_gif_anim`` —
+    (B0) a full 24x16 canvas at gray v0; (B1) a sub-rectangle at gray v1
+    whose 1px-inset interior is a TRANSPARENT filler index (so the
+    accumulated v0 canvas must show through), disposal 2; (B2) a disjoint
+    right-half rectangle at gray v2, drawn after B1's region reverts to
+    the LSD BACKGROUND color — then render with ``render_gif`` and report
+    each rendered frame's R-channel pixel sum. The oracle states the
+    three sums in CLOSED FORM from the same doc_id-derived parameters, so
+    any compositing defect — transparency punched wrong, disposal-2
+    restoring the wrong rect or color, offsets misplaced, GCE leaking
+    onto a second block — lands on different pixels and breaks the hash.
+    Parity target: reference handlers/image.py:95-138 (PIL renders
+    animations the same way before thumbnailing); closes the round-6
+    delta-frame compositing limitation as a FEATURE rather than a
+    documented gap."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = tables.load(spark, sf_dir, "documents")
+    keys = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.gif import encode_gif_anim, render_gif
+
+        W, H = 24, 16
+        ramp = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v0 = d % 256
+                v1 = (v0 + 1 + (d // 7) % 255) % 256
+                t = (v1 + 1) % 256
+                bg = (d * 3 + 5) % 256
+                v2 = (d * 5 + 11) % 256
+                l1, t1 = d % 4, (d // 4) % 5
+                w1, h1 = 4 + (d // 11) % 5, 3 + (d // 13) % 4
+                l2, t2 = 12 + (d // 3) % 4, (d // 5) % 6
+                w2, h2 = 3 + (d // 17) % 5, 4 + (d // 19) % 5
+                b1 = np.full((h1, w1), v1, dtype=np.uint8)
+                b1[1:-1, 1:-1] = t
+                blocks = [
+                    {"idx": np.full((H, W), v0, dtype=np.uint8), "disposal": 1},
+                    {"idx": b1, "left": l1, "top": t1, "transparent": t,
+                     "disposal": 2, "delay_cs": 4},
+                    {"idx": np.full((h2, w2), v2, dtype=np.uint8),
+                     "left": l2, "top": t2},
+                ]
+                blob = encode_gif_anim(blocks, ramp, size=(W, H), bg_index=bg)
+                frames = render_gif(blob)
+                ok = len(frames) == 3 and all(
+                    f.shape == (H, W, 3)
+                    and (f[:, :, 0] == f[:, :, 1]).all()
+                    and (f[:, :, 1] == f[:, :, 2]).all()
+                    for f in frames
+                )
+                s = [int(f[:, :, 0].sum(dtype=np.int64)) for f in frames]
+                rows.append((d, len(frames), s[0], s[1], s[2], bool(ok)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "s0", "s1", "s2", "ok"]
+            )
+
+    return keys.mapInPandas(
+        _render,
+        "doc_id long, n_frames int, s0 long, s1 long, s2 long, ok boolean",
+    )
+
+
+@query(
     "tiff_roundtrip",
     """
     SELECT o_orderkey AS key,
@@ -4635,6 +4733,7 @@ _DRIVER_WINDOW_FIRST = [
     # frame-sampling contract under the hard signal)
     "knn_hex",
     "media_frame_sampling",
+    "gif_anim_render",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -4690,11 +4789,10 @@ _DRIVER_WINDOW_FIRST = [
     "sessionize_events",
     "embed_ann_ivf",
     "gopher_stats",
-    "bloom_anti",
     # (coverage_ingest, tile_bounds, hilbert_cells, s2_cells, quad_leaves,
-    # url_normalize, host_stats, tile_pyramid — all unchanged pure
-    # column-math rows, r05-green + local-sweep-green — yield their slots
-    # to the new/changed-path rows above and rotate back next round)
+    # url_normalize, host_stats, tile_pyramid, and bloom_anti — which
+    # yielded its slot to the new gif_anim_render row — all unchanged,
+    # r05-green + local-sweep-green — rotate back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -261,3 +261,182 @@ def test_sub_rectangle_local_palette_ignores_gct_background():
     mask = np.ones((6, 8), bool)
     mask[1:3, 4:7] = False
     assert (out[mask] == 0).all()  # NOT the GCT's index 3
+
+
+# ---------------------------------------------------------------------------
+# render_gif / encode_gif_anim: full GIF89a animation semantics
+# ---------------------------------------------------------------------------
+def _render(blocks, **kw):
+    from landlensdb_spark.operators.gif import encode_gif_anim, render_gif
+
+    pal = kw.pop("palette", None)
+    if pal is None:
+        pal = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    return render_gif(encode_gif_anim(blocks, pal, **kw))
+
+
+def test_anim_full_frames_match_plain_decode():
+    # full-canvas opaque blocks: render_gif == per-frame palette lookup
+    f0 = _rand_idx(11, 17, 256, 5)
+    f1 = _rand_idx(11, 17, 256, 6)
+    frames = _render([{"idx": f0}, {"idx": f1}])
+    assert len(frames) == 2
+    assert (frames[0][:, :, 0] == f0).all() and (frames[0][:, :, 1] == f0).all()
+    assert (frames[1][:, :, 0] == f1).all()
+
+
+def test_anim_delta_block_composites_over_previous():
+    # frame 1 is a sub-rectangle: pixels outside it must keep frame 0
+    f0 = np.full((10, 12), 7, dtype=np.uint8)
+    delta = np.full((4, 5), 200, dtype=np.uint8)
+    frames = _render(
+        [{"idx": f0, "disposal": 1}, {"idx": delta, "left": 3, "top": 2}]
+    )
+    expect = f0.copy()
+    expect[2:6, 3:8] = 200
+    assert (frames[1][:, :, 0] == expect).all()
+
+
+def test_anim_transparency_shows_accumulated_canvas():
+    f0 = np.full((8, 8), 50, dtype=np.uint8)
+    delta = np.full((4, 4), 90, dtype=np.uint8)
+    delta[1:3, 1:3] = 13  # transparent filler
+    frames = _render(
+        [{"idx": f0, "disposal": 1},
+         {"idx": delta, "left": 2, "top": 2, "transparent": 13}]
+    )
+    expect = f0.copy()
+    expect[2:6, 2:6] = 90
+    expect[3:5, 3:5] = 50  # shows through to frame 0, NOT bg / index 13
+    assert (frames[1][:, :, 0] == expect).all()
+
+
+def test_anim_disposal_2_restores_rect_to_background():
+    f0 = np.full((8, 10), 30, dtype=np.uint8)
+    d1 = np.full((3, 4), 99, dtype=np.uint8)
+    d2 = np.full((2, 2), 77, dtype=np.uint8)
+    frames = _render(
+        [{"idx": f0, "disposal": 1},
+         {"idx": d1, "left": 1, "top": 1, "disposal": 2},
+         {"idx": d2, "left": 7, "top": 5}],
+        bg_index=5,
+    )
+    # frame 2: d1's rect reverted to bg color 5, d2 drawn, rest stays f0
+    expect = f0.copy()
+    expect[1:4, 1:5] = 5
+    expect[5:7, 7:9] = 77
+    assert (frames[2][:, :, 0] == expect).all()
+
+
+def test_anim_disposal_3_restores_previous_canvas():
+    f0 = np.full((6, 6), 10, dtype=np.uint8)
+    d1 = np.full((3, 3), 200, dtype=np.uint8)
+    d2 = np.full((2, 2), 150, dtype=np.uint8)
+    frames = _render(
+        [{"idx": f0, "disposal": 1},
+         {"idx": d1, "left": 2, "top": 2, "disposal": 3},
+         {"idx": d2, "left": 0, "top": 0}]
+    )
+    # d1 vanished entirely; d2 drawn over the restored frame-0 canvas
+    expect = f0.copy()
+    expect[0:2, 0:2] = 150
+    assert (frames[2][:, :, 0] == expect).all()
+    # while shown, frame 1 did contain d1
+    assert (frames[1][2:5, 2:5, 0] == 200).all()
+
+
+def test_anim_interlaced_delta_block():
+    rng = np.random.default_rng(9)
+    f0 = rng.integers(0, 256, (13, 9), dtype=np.uint8)
+    delta = rng.integers(0, 256, (8, 5), dtype=np.uint8)
+    frames = _render(
+        [{"idx": f0, "disposal": 1},
+         {"idx": delta, "left": 2, "top": 3, "interlace": True}]
+    )
+    expect = f0.copy()
+    expect[3:11, 2:7] = delta
+    assert (frames[1][:, :, 0] == expect).all()
+
+
+def test_anim_local_palette_block():
+    from landlensdb_spark.operators.gif import encode_gif_anim, render_gif
+
+    gpal = np.zeros((4, 3), dtype=np.uint8)
+    gpal[1] = (10, 20, 30)
+    lpal = np.zeros((2, 3), dtype=np.uint8)
+    lpal[1] = (200, 100, 50)
+    blob = encode_gif_anim(
+        [{"idx": np.full((4, 4), 1, dtype=np.uint8), "disposal": 1},
+         {"idx": np.full((2, 2), 1, dtype=np.uint8), "left": 1, "top": 1,
+          "palette": lpal}],
+        gpal,
+    )
+    frames = render_gif(blob)
+    assert tuple(frames[0][0, 0]) == (10, 20, 30)
+    assert tuple(frames[1][1, 1]) == (200, 100, 50)  # local table wins
+    assert tuple(frames[1][0, 0]) == (10, 20, 30)
+
+
+def test_anim_uncovered_first_frame_is_background_color():
+    pal = np.zeros((8, 3), dtype=np.uint8)
+    pal[3] = (9, 9, 9)
+    pal[6] = (60, 61, 62)
+    from landlensdb_spark.operators.gif import encode_gif_anim, render_gif
+
+    blob = encode_gif_anim(
+        [{"idx": np.full((2, 2), 6, dtype=np.uint8), "left": 1, "top": 1}],
+        pal,
+        size=(5, 4),
+        bg_index=3,
+    )
+    frames = render_gif(blob)
+    assert tuple(frames[0][0, 0]) == (9, 9, 9)
+    assert tuple(frames[0][2, 2]) == (60, 61, 62)
+
+
+def test_anim_gce_governs_exactly_one_block():
+    # block 1 has transparency; block 2 (no GCE) must be fully opaque
+    f0 = np.full((5, 5), 20, dtype=np.uint8)
+    d1 = np.full((2, 2), 0, dtype=np.uint8)  # all-transparent block
+    d2 = np.full((2, 2), 0, dtype=np.uint8)  # same indices, opaque block
+    frames = _render(
+        [{"idx": f0, "disposal": 1},
+         {"idx": d1, "left": 0, "top": 0, "transparent": 0, "disposal": 1},
+         {"idx": d2, "left": 3, "top": 3}]
+    )
+    assert (frames[1][:, :, 0] == 20).all()  # transparency left f0 intact
+    expect = f0.copy()
+    expect[3:5, 3:5] = 0
+    assert (frames[2][:, :, 0] == expect).all()
+
+
+def test_anim_encoder_validation():
+    from landlensdb_spark.operators.gif import encode_gif_anim
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="at least one block"):
+        encode_gif_anim([], pal)
+    with pytest.raises(ValueError, match="beyond palette"):
+        encode_gif_anim([{"idx": np.full((2, 2), 9, dtype=np.uint8)}], pal)
+    with pytest.raises(ValueError, match="overruns the logical screen"):
+        encode_gif_anim(
+            [{"idx": np.zeros((4, 4), dtype=np.uint8), "left": 3}],
+            pal, size=(5, 5),
+        )
+    with pytest.raises(ValueError, match="disposal"):
+        encode_gif_anim(
+            [{"idx": np.zeros((2, 2), dtype=np.uint8), "disposal": 4}], pal
+        )
+
+
+def test_render_gif_plain_multi_image_gif87a():
+    # render_gif on the 87a encoder's output (no GCEs at all)
+    f0 = _rand_idx(9, 9, 256, 42)
+    f1 = _rand_idx(9, 9, 256, 43)
+    blob = encode_gif_gray([f0, f1])
+    from landlensdb_spark.operators.gif import render_gif
+
+    frames = render_gif(blob)
+    assert len(frames) == 2
+    assert (frames[0][:, :, 0] == f0).all()
+    assert (frames[1][:, :, 0] == f1).all()
