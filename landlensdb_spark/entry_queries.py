@@ -3070,6 +3070,131 @@ def q_gif_anim_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webp_roundtrip",
+    """
+    SELECT o_orderkey AS key,
+           CAST(8 + o_orderkey % 21 AS INTEGER) AS width,
+           CAST(8 + (o_orderkey * 5) % 19 AS INTEGER) AS height,
+           'webp' AS codec,
+           TRUE AS ok,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'palette'
+                WHEN o_orderkey % 3 = 1 THEN 'subtract_green'
+                ELSE 'color_cache' END AS mode,
+           CAST(CASE WHEN o_orderkey % 3 = 0
+                THEN (o_orderkey * 11 + (o_orderkey % (2 + o_orderkey % 15)) * 29) % 256
+                ELSE o_orderkey % 256 END AS INTEGER) AS intensity,
+           CAST(GREATEST(FLOOR((8 + o_orderkey % 21)
+                * LEAST(8.0 / (8 + o_orderkey % 21),
+                        8.0 / (8 + (o_orderkey * 5) % 19), 1.0)), 1)
+                AS INTEGER) AS thumb_w,
+           CAST(GREATEST(FLOOR((8 + (o_orderkey * 5) % 19)
+                * LEAST(8.0 / (8 + o_orderkey % 21),
+                        8.0 / (8 + (o_orderkey * 5) % 19), 1.0)), 1)
+                AS INTEGER) AS thumb_h
+    FROM orders WHERE o_orderkey < 600
+    """,
+)
+def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch WebP-lossless (VP8L) codec (operators/webp.py)
+    through REAL wire bytes: per key, build a deterministic image and
+    encode it down one of three paths by key residue — the color-indexing
+    transform with a (2 + k%15)-color palette (exercising every sub-byte
+    bundling width), the subtract-green transform, or a 6-bit color
+    cache + greedy LZ77 — then (a) run the production ``default_decode``
+    dispatch for (width, height, codec, ok), (b) decode back and verify
+    EXACT pixel equality in-UDF (lossless by construction: any
+    bit-packing / prefix-code / transform-inverse bug breaks equality and
+    therefore the hash), and (c) shrink through ``webp_thumbnail`` and
+    report the re-decoded thumbnail dims (same IEEE-double floor
+    arithmetic as the oracle). Extends the F25 media family (reference
+    handlers/image.py:95-138 thumbnails anything PIL decodes, and PIL
+    reads WebP) with the WebP-lossless slice of the round-6 remaining-
+    codecs gap; parity target reference landlensdb/handlers/image.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    o = tables.load(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderkey") < 600).select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from landlensdb_spark.operators.multimodal import default_decode
+        from landlensdb_spark.operators.webp import (
+            decode_webp,
+            encode_webp,
+            webp_dims,
+            webp_thumbnail,
+        )
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["key"]:
+                k = int(k)
+                w, h = 8 + k % 21, 8 + (k * 5) % 19
+                variant = k % 3
+                if variant == 0:
+                    n = 2 + k % 15
+                    pal = np.zeros((n, 4), dtype=np.uint8)
+                    for i in range(n):
+                        pal[i] = (
+                            (k * 11 + i * 29) % 256,
+                            (k * 3 + i * 7) % 256,
+                            (k * 5 + i * 13) % 256,
+                            255,
+                        )
+                    idx = (
+                        np.arange(h, dtype=np.int64)[:, None]
+                        + np.arange(w, dtype=np.int64)[None, :]
+                        + k
+                    ) % n
+                    img = pal[idx]
+                    blob = encode_webp(img, use_palette=True)
+                    mode = "palette"
+                else:
+                    rr = (
+                        np.arange(h, dtype=np.int64)[:, None] * 7
+                        + np.arange(w, dtype=np.int64)[None, :] * 13
+                        + k
+                    )
+                    img = np.stack(
+                        [rr % 256, (rr * 3 + 1) % 256, (rr * 5 + 2) % 256,
+                         np.full((h, w), 255, dtype=np.int64)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    if variant == 1:
+                        blob = encode_webp(
+                            img, use_palette=False, subtract_green=True
+                        )
+                        mode = "subtract_green"
+                    else:
+                        blob = encode_webp(img, use_palette=False, cache_bits=6)
+                        mode = "color_cache"
+                mw, mh, _nf, codec, ok = default_decode(blob)
+                back = decode_webp(blob)
+                if not (back == img).all():
+                    raise ValueError(f"webp round-trip not exact for key={k}")
+                tdims = webp_dims(webp_thumbnail(blob, 8, 8))
+                rows.append(
+                    (k, mw, mh, codec, ok, mode, int(back[0, 0, 0]),
+                     tdims[0], tdims[1])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "width", "height", "codec", "ok", "mode",
+                         "intensity", "thumb_w", "thumb_h"],
+            )
+
+    return keys.mapInPandas(
+        _rt,
+        "key long, width int, height int, codec string, ok boolean, "
+        "mode string, intensity int, thumb_w int, thumb_h int",
+    )
+
+
+@query(
     "tiff_roundtrip",
     """
     SELECT o_orderkey AS key,
@@ -4734,6 +4859,7 @@ _DRIVER_WINDOW_FIRST = [
     "knn_hex",
     "media_frame_sampling",
     "gif_anim_render",
+    "webp_roundtrip",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -4788,11 +4914,11 @@ _DRIVER_WINDOW_FIRST = [
     "snap_full",
     "sessionize_events",
     "embed_ann_ivf",
-    "gopher_stats",
     # (coverage_ingest, tile_bounds, hilbert_cells, s2_cells, quad_leaves,
-    # url_normalize, host_stats, tile_pyramid, and bloom_anti — which
-    # yielded its slot to the new gif_anim_render row — all unchanged,
-    # r05-green + local-sweep-green — rotate back next round)
+    # url_normalize, host_stats, tile_pyramid, plus bloom_anti and
+    # gopher_stats — which yielded their slots to the new gif_anim_render
+    # and webp_roundtrip rows — all unchanged, r05-green +
+    # local-sweep-green — rotate back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

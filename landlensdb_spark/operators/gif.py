@@ -627,6 +627,13 @@ def encode_gif_anim(
         n_colors = n_global
         if lpal is not None:
             lpal_bytes, lf, n_colors = _pack_palette(lpal)
+        # render_gif accepts indices up to the STORED (power-of-two padded)
+        # table size; a transparent filler may use a padded slot, but never
+        # one past it, or the encoder would emit payloads its own renderer
+        # rejects
+        stored = 2 << (lf if lf is not None else f)
+        if trans is not None and not (0 <= int(trans) < stored):
+            raise ValueError("gif: transparent index beyond the stored color table")
         limit = max(n_colors, (int(trans) + 1) if trans is not None else 0)
         if idx.size and int(idx.max()) >= limit:
             raise ValueError("gif: block index beyond palette")

@@ -69,10 +69,10 @@ def _guard_long_precision(pdf: pd.DataFrame, long_cols: list[str]) -> None:
 
 def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     """Metadata decode, REAL for every in-scope format: PNG (IHDR parse),
-    JPEG (SOFn parse — any color/progressive variant), GIF87a/89a (block
-    walk, n_frames = image-block count), baseline TIFF (IFD chain walk,
-    n_frames = page count) and MJPEG-AVI video ('avih' header) via the
-    in-repo codecs. Formats this container cannot parse (non-MJPEG video
+    JPEG (SOFn parse — any color/progressive variant), WebP-lossless
+    (RIFF walk + VP8L header), GIF87a/89a (block walk, n_frames =
+    image-block count), baseline TIFF (IFD chain walk, n_frames = page
+    count) and MJPEG-AVI video ('avih' header) via the in-repo codecs. Formats this container cannot parse (non-MJPEG video
     needs ffmpeg) report ``ok=False`` honestly instead of synthetic
     dimensions; a GIF/TIFF signature with corrupt framing reports
     ``(codec, ok=False)`` rather than crashing the Arrow stage."""
@@ -85,6 +85,7 @@ def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     from landlensdb_spark.operators.raster import png_dims
     from landlensdb_spark.operators.tiff import tiff_meta
     from landlensdb_spark.operators.video import avi_meta
+    from landlensdb_spark.operators.webp import webp_dims
 
     b = bytes(payload)
     dims = png_dims(b)
@@ -93,6 +94,9 @@ def default_decode(payload: bytes) -> tuple[int, int, int, str, bool]:
     dims = jpeg_dims(b)
     if dims is not None:
         return (dims[0], dims[1], 1, "jpeg", True)
+    dims = webp_dims(b)
+    if dims is not None:
+        return (dims[0], dims[1], 1, "webp", True)
     try:
         gmeta = gif_meta(b)
     except (ValueError, struct.error):
@@ -136,7 +140,8 @@ def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
     """REAL thumbnails via the in-repo codecs: gray-8 PNG (decode ->
     box/nearest resize -> PNG) and JPEG — baseline AND progressive,
     grayscale AND interleaved YCbCr color (decode -> per-plane resize ->
-    JPEG, format+colorspace-preserving), GIF (palette-preserving
+    JPEG, format+colorspace-preserving), WebP-lossless (decode ->
+    nearest-neighbor -> lossless re-encode), GIF (palette-preserving
     nearest-neighbor on the index plane) and baseline TIFF (box-filter
     shrink, colorspace-preserving LZW re-encode). None (null column) for
     payloads outside codec scope — the seam is now video only."""
@@ -162,6 +167,12 @@ def _default_thumbnail(payload: bytes, max_w: int, max_h: int) -> bytes | None:
     try:
         return png_thumbnail(b, max_w, max_h)
     except (ValueError, zlib.error, struct.error):
+        pass
+    try:
+        from landlensdb_spark.operators.webp import webp_thumbnail
+
+        return webp_thumbnail(b, max_w, max_h)
+    except (ValueError, struct.error):
         pass
     try:
         return gif_thumbnail(b, max_w, max_h)
@@ -414,6 +425,11 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
             img = decode_tiff(b)
             return rgb_luma(img) if img.ndim == 3 else img
 
+        def _webp_luma(b: bytes):
+            from landlensdb_spark.operators.webp import decode_webp
+
+            return rgb_luma(decode_webp(b)[:, :, :3])
+
         for pdf in batches:
             _guard_long_precision(pdf, long_cols)
             out = pdf[keep].copy()
@@ -424,6 +440,7 @@ def media_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
                     for dec in (
                         decode_png_gray,
                         _jpeg_luma,
+                        _webp_luma,
                         _gif_luma,
                         _tiff_luma,
                         _video_luma,

@@ -440,3 +440,25 @@ def test_render_gif_plain_multi_image_gif87a():
     assert len(frames) == 2
     assert (frames[0][:, :, 0] == f0).all()
     assert (frames[1][:, :, 0] == f1).all()
+
+
+def test_anim_transparent_index_bounded_by_stored_table():
+    from landlensdb_spark.operators.gif import encode_gif_anim, render_gif
+
+    pal = np.zeros((3, 3), dtype=np.uint8)  # stored table pads to 4
+    pal[1] = (100, 100, 100)
+    # a transparent filler in the PADDED slot (index 3) is fine: the
+    # renderer accepts indices up to the stored size
+    blob = encode_gif_anim(
+        [{"idx": np.full((2, 2), 1, dtype=np.uint8), "disposal": 1},
+         {"idx": np.full((1, 1), 3, dtype=np.uint8), "transparent": 3}],
+        pal,
+    )
+    frames = render_gif(blob)
+    assert tuple(frames[1][0, 0]) == (100, 100, 100)
+    # but past the stored table the encoder refuses up front
+    with pytest.raises(ValueError, match="stored color table"):
+        encode_gif_anim(
+            [{"idx": np.full((1, 1), 1, dtype=np.uint8), "transparent": 4}],
+            pal,
+        )
