@@ -1664,6 +1664,28 @@ def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hex_polyfill_parcels", oracles.hex_polyfill_sql(6, 50, 35))
+def q_hex_polyfill_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style polygon_to_cells (operators/polyfill.py): every parcel
+    polygon exploded into the res-6 hex cells whose center it contains,
+    via the generic bbox-cover -> vectorized ray-cast path (the engine
+    does NOT know the rings are rectangles). The 384 block-tiling
+    rectangles make the oracle total: their half-open union is the block
+    rect, so the DuckDB side can enumerate a superset (q, r) rectangle
+    and closed-open-bin the centers — any dropped, duplicated or
+    misassigned cell on either side breaks the hash. (The parcel grid,
+    not the admin grid, on purpose: admin boundaries coincide EXACTLY
+    with hex center meridians — see synth.py — making the half-open bin
+    float-rounding-ambiguous.) At 100 TB this output is the PIP
+    equi-join build side (points join on their own hex_encode cell).
+    Parity target: the reference's PostGIS ST_Contains-backed polygon
+    store (landlensdb/geoclasses)."""
+    from landlensdb_spark.operators.polyfill import hex_polyfill
+
+    polys = synth.parcel_polygons(spark)
+    return hex_polyfill(polys, res=6).select("parcel_id", "cell")
+
+
 @query(
     "first_per_source",
     """
@@ -4860,6 +4882,7 @@ _DRIVER_WINDOW_FIRST = [
     "media_frame_sampling",
     "gif_anim_render",
     "webp_roundtrip",
+    "hex_polyfill_parcels",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -4913,12 +4936,12 @@ _DRIVER_WINDOW_FIRST = [
     "embed_near_dup",
     "snap_full",
     "sessionize_events",
-    "embed_ann_ivf",
     # (coverage_ingest, tile_bounds, hilbert_cells, s2_cells, quad_leaves,
-    # url_normalize, host_stats, tile_pyramid, plus bloom_anti and
-    # gopher_stats — which yielded their slots to the new gif_anim_render
-    # and webp_roundtrip rows — all unchanged, r05-green +
-    # local-sweep-green — rotate back next round)
+    # url_normalize, host_stats, tile_pyramid, plus bloom_anti,
+    # gopher_stats and embed_ann_ivf — which yielded their slots to the
+    # new gif_anim_render, webp_roundtrip and hex_polyfill_parcels rows —
+    # all unchanged, r05-green + local-sweep-green — rotate back next
+    # round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -360,6 +360,57 @@ FROM a
 """
 
 
+def hex_polyfill_sql(res: int, q_span: int, r_span: int) -> str:
+    """DuckDB twin of ``hex_polyfill`` over the synthetic 24x16 PARCEL grid
+    (``synth.parcel_polygons`` — offset so no hex center sits on a
+    boundary; the admin grid is commensurate with the hex center lattice
+    and therefore rounding-ambiguous, see synth.py): enumerate a superset
+    (q, r) rectangle of res-``res`` axial coordinates, compute each cell
+    center with the SAME double formulas as ``np_hex_center_xy`` +
+    ``np_inv_merc`` (constants pre-multiplied in Python so both engines
+    see identical IEEE operands), keep centers in the half-open parcel
+    block, and bin them with the closed-open ``parcel_bin_sql`` floor —
+    which is exactly what the engine's half-open even-odd ray-cast
+    computes for axis-aligned rectangle rings (proven in
+    tests/test_geometry.py). ``q_span``/``r_span`` must enclose every
+    center in the parcel block (res 6 needs |q| <= 40, |r| <= 25; callers
+    pass a margin)."""
+    import math
+
+    from landlensdb_spark import synth
+    from landlensdb_spark.geo.hex import (
+        SQRT3,
+        _BIAS,
+        _Q_SHIFT,
+        _RES_SHIFT,
+        hex_edge_m,
+    )
+    from landlensdb_spark.geo.mercator import R
+
+    e = hex_edge_m(res)
+    return f"""
+WITH qr AS (
+  SELECT qq.q AS q, rr.r AS r
+  FROM (SELECT unnest(generate_series({-q_span}, {q_span})) AS q) qq
+  CROSS JOIN (SELECT unnest(generate_series({-r_span}, {r_span})) AS r) rr
+),
+c AS (SELECT q, r,
+        {e!r} * ({SQRT3!r} * q + {SQRT3 / 2.0!r} * r) AS cx,
+        {e * 1.5!r} * r AS cy
+      FROM qr),
+g AS (SELECT q, r,
+        degrees(cx / {R!r}) AS lon,
+        degrees(2.0 * atan(exp(cy / {R!r})) - {math.pi / 2.0!r}) AS lat
+      FROM c)
+SELECT CAST({synth.parcel_bin_sql('lon', 'lat')} AS BIGINT) AS parcel_id,
+       CAST({res} AS BIGINT) * {1 << _RES_SHIFT} + (q + {_BIAS}) * {1 << _Q_SHIFT}
+         + (r + {_BIAS}) AS cell
+FROM g
+WHERE lon >= {synth.PARCEL_X0!r} AND lon < {synth.PARCEL_X1!r}
+  AND lat >= {synth.PARCEL_Y0!r} AND lat < {synth.PARCEL_Y1!r}
+"""
+
+
 # --------------------------------------------------------------------------
 # Cell-cover compaction (geo/cells.py compact_cells), levels unrolled
 # --------------------------------------------------------------------------

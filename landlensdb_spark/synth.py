@@ -145,6 +145,45 @@ def grid_admin_sql(lon: str, lat: str) -> str:
     return f"({gx} * {GRID_NY} + {gy})"
 
 
+# Parcel grid for the hex POLYFILL oracle. The admin grid above is unusable
+# there: its boundaries and the hex CENTER meridians both derive from
+# WORLD / 2^k, so res-6 cell centers fall EXACTLY on admin boundary lines in
+# exact arithmetic (centers at multiples of 2.8125 deg lon, boundaries at
+# 11.25 = 4 x 2.8125) and the half-open bin becomes float-rounding-dependent
+# (numpy and DuckDB round -157.5 +/- 1 ulp to opposite sides). These parcel
+# constants are deliberately NON-commensurate with the center lattice: every
+# res-6 center keeps >= 0.039 deg of clearance from every parcel boundary
+# (verified in tests/test_polyfill.py), so both engines agree bit-for-bit.
+PARCEL_NX, PARCEL_NY = 24, 16
+PARCEL_X0, PARCEL_DX = -137.19, 9.37
+PARCEL_Y0, PARCEL_DY = -63.44, 6.73
+PARCEL_X1 = PARCEL_X0 + PARCEL_NX * PARCEL_DX
+PARCEL_Y1 = PARCEL_Y0 + PARCEL_NY * PARCEL_DY
+
+
+def parcel_polygons(spark: SparkSession) -> DataFrame:
+    """24x16 rectangular land parcels as explicit ring coordinate arrays —
+    same generic shape as :func:`admin_polygons` (the engine does not know
+    they are rectangles), offset so no hex center sits on a boundary."""
+    rows = []
+    for gx in range(PARCEL_NX):
+        for gy in range(PARCEL_NY):
+            x0 = PARCEL_X0 + gx * PARCEL_DX
+            x1 = PARCEL_X0 + (gx + 1) * PARCEL_DX
+            y0 = PARCEL_Y0 + gy * PARCEL_DY
+            y1 = PARCEL_Y0 + (gy + 1) * PARCEL_DY
+            ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+            rows.append((gx * PARCEL_NY + gy, ring))
+    return spark.createDataFrame(rows, "parcel_id long, ring array<array<double>>")
+
+
+def parcel_bin_sql(lon: str, lat: str) -> str:
+    """Closed-open parcel bin — the ray-cast's half-open rectangle rule."""
+    gx = f"cast(floor(({lon} - ({PARCEL_X0!r})) / {PARCEL_DX!r}) as bigint)"
+    gy = f"cast(floor(({lat} - ({PARCEL_Y0!r})) / {PARCEL_DY!r}) as bigint)"
+    return f"({gx} * {PARCEL_NY} + {gy})"
+
+
 # ---------------------------------------------------------------------------
 # numpy twins (pytest oracles)
 # ---------------------------------------------------------------------------
