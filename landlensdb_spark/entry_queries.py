@@ -927,6 +927,39 @@ def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _group_split_oracle() -> str:
+    from landlensdb_spark.operators.sampling import group_split_sql, str_mix_sql
+
+    return (
+        f"SELECT doc_id, source, {str_mix_sql('source')} AS bucket, "
+        f"{group_split_sql('source', _SPLITS)} AS split "
+        "FROM documents"
+    )
+
+
+@query("group_split_docs", _group_split_oracle())
+def q_group_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free corpus split (operators/sampling.py group_split): the
+    train/val/test label is a pure function of the SOURCE string, so
+    near-duplicates within one site can never straddle the eval boundary
+    — doc-level random splits leak. Zero shuffle, zero Python: the string
+    fold is a JVM-side higher-order ``aggregate`` and the oracle
+    reproduces it bit-for-bit (``list_reduce`` over codepoints). The raw
+    ``bucket`` rides along so the hard signal pins the FULL 30-bit fold
+    per source, not only its side of the split thresholds (the sf-dir
+    corpus has few distinct sources). The per-group invariant (one
+    source -> one split) is pinned in pytest."""
+    from landlensdb_spark.operators.sampling import group_split, str_mix
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return group_split(docs, "source", _SPLITS).select(
+        "doc_id", "source", str_mix("source").alias("bucket"), "split"
+    )
+
+
 def _lang_scores_sql() -> str:
     from landlensdb_spark.operators.textstats import LANG_MARKERS
 
@@ -4883,6 +4916,7 @@ _DRIVER_WINDOW_FIRST = [
     "gif_anim_render",
     "webp_roundtrip",
     "hex_polyfill_parcels",
+    "group_split_docs",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -4935,13 +4969,12 @@ _DRIVER_WINDOW_FIRST = [
     "embed_ann_lsh",
     "embed_near_dup",
     "snap_full",
-    "sessionize_events",
     # (coverage_ingest, tile_bounds, hilbert_cells, s2_cells, quad_leaves,
     # url_normalize, host_stats, tile_pyramid, plus bloom_anti,
-    # gopher_stats and embed_ann_ivf — which yielded their slots to the
-    # new gif_anim_render, webp_roundtrip and hex_polyfill_parcels rows —
-    # all unchanged, r05-green + local-sweep-green — rotate back next
-    # round)
+    # gopher_stats, embed_ann_ivf and sessionize_events — which yielded
+    # their slots to the new gif_anim_render, webp_roundtrip,
+    # hex_polyfill_parcels and group_split_docs rows — all unchanged,
+    # r05-green + local-sweep-green — rotate back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

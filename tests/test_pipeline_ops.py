@@ -3,6 +3,7 @@ shard packing, contamination scan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -56,6 +57,62 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
     assert a == b and len(a) > 0
     # ~10% +- 2% on 10k uniform keys
     assert 800 <= len(a) <= 1200
+
+
+def test_group_split_leakage_free_and_proportional(spark):
+    from landlensdb_spark.operators.sampling import group_split
+
+    # 2000 groups x 5 docs; group strings are realistic host-ish keys
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host-"), (F.col("id") % 2000).cast("string"),
+                 F.lit(".example")).alias("host"),
+    )
+    out = group_split(
+        df.repartition(7), "host", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = out.collect()
+    # leakage-free: one host -> exactly one split
+    by_host: dict[str, set] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_host.values())
+    # proportions hold at GROUP granularity (binomial, 2000 groups)
+    import collections
+
+    host_split = {r["host"]: r["split"] for r in rows}
+    g = collections.Counter(host_split.values())
+    assert 1500 <= g["train"] <= 1700 and 120 <= g["val"] <= 280
+    # deterministic across repartitioning/reruns
+    again = {r["doc_id"]: r["split"] for r in group_split(
+        df.repartition(3), "host", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_group_split_plan_is_pure_jvm(spark):
+    """The split column is codegen'd expression math: no Python stage, no
+    shuffle — the 100 TB contract (a free column on the scan)."""
+    from landlensdb_spark.operators.sampling import group_split
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("h").alias("host")
+    )
+    plan = group_split(df, "host", {"a": 0.5, "b": 0.5})._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEval", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_group_split_validation(spark):
+    from landlensdb_spark.operators.sampling import group_split
+
+    df = spark.range(3).select(F.col("id").cast("string").alias("g"))
+    with pytest.raises(ValueError, match="non-empty"):
+        group_split(df, "g", {})
+    with pytest.raises(ValueError, match="sum"):
+        group_split(df, "g", {"a": 0.9, "b": 0.2})
 
 
 def test_stratified_sample_exact_counts_and_rank(spark):
