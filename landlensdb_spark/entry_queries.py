@@ -927,6 +927,39 @@ def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def _hll_docs_oracle() -> str:
+    from landlensdb_spark.operators.sketch import hll_distinct_sql
+
+    a = hll_distinct_sql("documents", "doc_id", "lang", p=4, out="hll_p4")
+    b = hll_distinct_sql("documents", "doc_id", "lang", p=6, out="hll_p6")
+    return f"""
+WITH a AS ({a}), b AS ({b}),
+t AS (SELECT lang AS g, count(DISTINCT doc_id) AS n_true FROM documents GROUP BY lang)
+SELECT t.g AS lang, a.hll_p4, b.hll_p6, t.n_true
+FROM t JOIN a USING (g) JOIN b USING (g)
+"""
+
+
+@query("hll_lang_docs", _hll_docs_oracle())
+def q_hll_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (operators/sketch.py) per language at two
+    precisions, next to the exact distinct count: p=4 exercises the raw
+    harmonic estimate (2.5m = 40 < docs/lang), p=6 the linear-counting
+    branch — both bit-identical to the DuckDB twin (integer register sum,
+    portable bitlen-rho, one rounded ln). Unlike approx_count_distinct,
+    the estimate is stable across engines/reruns/cluster sizes, so it can
+    sit under the driver's value-hash."""
+    from landlensdb_spark.operators.sketch import hll_distinct
+
+    docs = tables.load(spark, sf_dir, "documents")
+    a = hll_distinct(docs, "doc_id", group="lang", p=4, out="hll_p4")
+    b = hll_distinct(docs, "doc_id", group="lang", p=6, out="hll_p6")
+    t = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_true"))
+    return t.join(a, "lang").join(b, "lang").select(
+        "lang", "hll_p4", "hll_p6", "n_true"
+    )
+
+
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -4917,6 +4950,7 @@ _DRIVER_WINDOW_FIRST = [
     "webp_roundtrip",
     "hex_polyfill_parcels",
     "group_split_docs",
+    "hll_lang_docs",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -4968,13 +5002,15 @@ _DRIVER_WINDOW_FIRST = [
     "embed_topk",
     "embed_ann_lsh",
     "embed_near_dup",
-    "snap_full",
     # (coverage_ingest, tile_bounds, hilbert_cells, s2_cells, quad_leaves,
     # url_normalize, host_stats, tile_pyramid, plus bloom_anti,
-    # gopher_stats, embed_ann_ivf and sessionize_events — which yielded
+    # gopher_stats, embed_ann_ivf, sessionize_events — which yielded
     # their slots to the new gif_anim_render, webp_roundtrip,
-    # hex_polyfill_parcels and group_split_docs rows — all unchanged,
-    # r05-green + local-sweep-green — rotate back next round)
+    # hex_polyfill_parcels and group_split_docs rows — and snap_full,
+    # which yielded its slot to the new hll_lang_docs row (its shared
+    # code path stays hard-checked via the r06-green snap_nearest) —
+    # all unchanged, r05-green + local-sweep-green — rotate back next
+    # round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]
