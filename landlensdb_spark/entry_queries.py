@@ -960,6 +960,188 @@ def q_hll_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cm_users_oracle() -> str:
+    from landlensdb_spark.operators.sketch import cm_counts_sql
+
+    cm = cm_counts_sql(
+        "events",
+        "user_id",
+        "SELECT DISTINCT user_id FROM events",
+        d=4,
+        w=64,
+        out="cm_count",
+        key_out="user_id",
+    )
+    return f"""
+WITH cm AS ({cm}),
+t AS (SELECT user_id, count(*) AS n_true FROM events GROUP BY user_id)
+SELECT t.user_id, cm.cm_count, t.n_true
+FROM t JOIN cm USING (user_id)
+"""
+
+
+@query("cm_user_counts", _cm_users_oracle())
+def q_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min (operators/sketch.py) per-user event-frequency estimates
+    next to the exact counts: d=4, w=64 is deliberately under-sized for
+    the ~150 users so collisions are EXERCISED (cm_count >= n_true, strict
+    for collided keys) — integer counters, so the DuckDB twin is
+    bit-identical. This is the pre-join skew profile: one map-side-
+    combined pass bounds the shuffle at d*w rows per partition at ANY
+    input size, and the d*w-row sketch broadcasts to score candidate
+    keys for salting (ARCHITECTURE.md skew notes)."""
+    from landlensdb_spark.operators.sketch import cm_counts
+
+    ev = tables.load(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct()
+    est = cm_counts(ev, "user_id", probes, d=4, w=64, out="cm_count")
+    t = ev.groupBy("user_id").agg(F.count("*").alias("n_true"))
+    return t.join(est, "user_id").select("user_id", "cm_count", "n_true")
+
+
+@query(
+    "asof_purchase_click",
+    """
+WITH p AS (SELECT event_id, user_id, ts, value
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts AS click_ts,
+             value AS click_value
+      FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.click_ts, c.click_id, c.click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase picks the user's
+    latest click at or before it (nulls when none). The oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent implementation of
+    the semantics, not a transcription of the engine's union-and-carry
+    window plan. (user_id, ts) is unique per type in the synthetic events
+    table, satisfying the operator's determinism contract; the sliced
+    scale path is pinned row-identical to this default path in
+    tests/test_asof.py."""
+    from landlensdb_spark.operators.asof import asof_join
+
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    return asof_join(
+        p, c, key="user_id", left_ts="ts", right_ts="click_ts",
+        values=["click_id", "click_value"],
+    )
+
+
+#: adjacent raw-split token pairs, both sides non-empty — bigrams give a
+#: ~900-key space at sf0.01 (unigram vocab is only 31), so the k=64
+#: sketch actually exercises the (k-1)*MOD/h_k truncation estimator in
+#: the driver check, not just the exact below-k path.
+_KMV_TOKPOS_SQL = """(
+  SELECT doc_id, lang,
+         unnest(string_split_regex(text, '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i
+  FROM documents
+)"""
+_KMV_BIGRAMS_SQL = f"""(
+  SELECT a.lang, a.tok || ' ' || b.tok AS tok
+  FROM {_KMV_TOKPOS_SQL} a JOIN {_KMV_TOKPOS_SQL} b
+    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok <> '' AND b.tok <> ''
+)"""
+
+
+def _kmv_vocab_oracle() -> str:
+    from landlensdb_spark.operators.sketch import kmv_overlap_sql
+
+    est = kmv_overlap_sql(_KMV_BIGRAMS_SQL, "tok", "lang", k=64, key_kind="string")
+    return f"""
+WITH est AS ({est}),
+v AS (SELECT DISTINCT lang, tok FROM {_KMV_BIGRAMS_SQL}),
+n AS (SELECT lang, count(*) AS nv FROM v GROUP BY lang),
+i AS (SELECT x.lang AS g_a, y.lang AS g_b, count(*) AS ni
+      FROM v x JOIN v y ON x.tok = y.tok AND x.lang < y.lang
+      GROUP BY x.lang, y.lang)
+SELECT est.g_a, est.g_b, est.jaccard_est, est.union_est, est.inter_est,
+       round(CAST(i.ni AS DOUBLE) / (na.nv + nb.nv - i.ni), 6) AS jaccard_true
+FROM est
+JOIN i ON i.g_a = est.g_a AND i.g_b = est.g_b
+JOIN n na ON na.lang = est.g_a
+JOIN n nb ON nb.lang = est.g_b
+"""
+
+
+@query("kmv_vocab_overlap", _kmv_vocab_oracle())
+def q_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch (operators/sketch.py) pairwise BIGRAM-
+    vocabulary overlap between languages — jaccard/union/intersection
+    estimates from 64-value sketches next to the exact jaccard, all
+    bit-identical to the DuckDB twin. Bigrams (adjacent raw-split pairs,
+    both non-empty) give ~900 distinct keys at sf0.01 where unigrams give
+    31, so the TRUNCATION estimator — not just the exact below-k path —
+    sits under the driver's value hash. Sketches are the scale path (k
+    rows per group through every stage); the exact columns are the
+    vocab-sized (not corpus-sized) ground truth."""
+    from landlensdb_spark.operators.sketch import kmv_overlap
+
+    docs = tables.load(spark, sf_dir, "documents")
+    arr = F.split("text", r"\s+")
+    pairs = F.expr(
+        "zip_with(slice(_arr, 1, size(_arr) - 1),"
+        " slice(_arr, 2, size(_arr) - 1), (x, y) -> struct(x, y))"
+    )
+    toks = (
+        docs.select("lang", arr.alias("_arr"))
+        .select("lang", F.explode(pairs).alias("_p"))
+        .filter((F.col("_p.x") != "") & (F.col("_p.y") != ""))
+        .select(
+            "lang", F.concat_ws(" ", F.col("_p.x"), F.col("_p.y")).alias("tok")
+        )
+    )
+    est = kmv_overlap(toks, "tok", "lang", k=64, key_kind="string")
+    v = toks.select("lang", "tok").distinct()
+    n = v.groupBy("lang").agg(F.count("*").alias("nv"))
+    i = (
+        v.alias("x")
+        .join(
+            v.alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(
+            F.col("x.lang").alias("g_a"), F.col("y.lang").alias("g_b")
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        est.join(i, ["g_a", "g_b"])
+        .join(F.broadcast(n).withColumnRenamed("lang", "g_a"), "g_a")
+        .withColumnRenamed("nv", "na")
+        .join(F.broadcast(n).withColumnRenamed("lang", "g_b"), "g_b")
+        .withColumnRenamed("nv", "nb")
+        .select(
+            "g_a",
+            "g_b",
+            "jaccard_est",
+            "union_est",
+            "inter_est",
+            F.round(
+                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 6
+            ).alias("jaccard_true"),
+        )
+    )
+
+
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -4951,6 +5133,9 @@ _DRIVER_WINDOW_FIRST = [
     "hex_polyfill_parcels",
     "group_split_docs",
     "hll_lang_docs",
+    "cm_user_counts",
+    "kmv_vocab_overlap",
+    "asof_purchase_click",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -4999,18 +5184,17 @@ _DRIVER_WINDOW_FIRST = [
     "token_stats",
     "quality_docs",
     "lang_pred",
-    "embed_topk",
-    "embed_ann_lsh",
-    "embed_near_dup",
     # (coverage_ingest, tile_bounds, hilbert_cells, s2_cells, quad_leaves,
     # url_normalize, host_stats, tile_pyramid, plus bloom_anti,
     # gopher_stats, embed_ann_ivf, sessionize_events — which yielded
     # their slots to the new gif_anim_render, webp_roundtrip,
-    # hex_polyfill_parcels and group_split_docs rows — and snap_full,
-    # which yielded its slot to the new hll_lang_docs row (its shared
-    # code path stays hard-checked via the r06-green snap_nearest) —
-    # all unchanged, r05-green + local-sweep-green — rotate back next
-    # round)
+    # hex_polyfill_parcels and group_split_docs rows — snap_full, which
+    # yielded its slot to the new hll_lang_docs row (its shared code path
+    # stays hard-checked via the r06-green snap_nearest) — and the
+    # embed_topk / embed_ann_lsh / embed_near_dup family, which yielded
+    # to the new cm_user_counts / kmv_vocab_overlap / asof_purchase_click
+    # rows — all unchanged, r05-green + local-sweep-green — rotate back
+    # next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

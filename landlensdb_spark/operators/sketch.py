@@ -1,4 +1,7 @@
-"""HyperLogLog distinct-count sketch — deterministic, engine-exact.
+"""Deterministic, engine-exact sketches: HyperLogLog (distinct count),
+Count-Min (frequency / heavy hitters) and KMV (distinct count + set
+overlap). All three share the repo's arithmetic hash family so Spark and
+the DuckDB oracle produce bit-identical sketch values.
 
 ``approx_count_distinct`` exists in both Spark and DuckDB but their
 sketches differ (different hashes, different register layouts), so their
@@ -46,7 +49,7 @@ count), then ``m``-row register folds per group. No Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from landlensdb_spark.operators.sampling import (
@@ -202,4 +205,301 @@ SELECT {g_out}round(
        ELSE {num!r} / CAST(_s + ({m} - _n) * {1 << _SHIFT} AS DOUBLE)
   END, 6) AS {out}
 FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode-Muthukrishnan 2005, public): d x w counter
+# matrix; est(key) = min over depths of counter[d][bucket_d(key)]. Never
+# underestimates (every counter the key touches holds its true count plus
+# non-negative collision mass); overestimate is bounded by the collision
+# mass in the key's LEAST loaded row. Counters are plain integer counts,
+# so Spark and the oracle agree EXACTLY, not just approximately.
+#
+# Scale: the build is one groupBy((depth, bucket)) with map-side combine —
+# at most d*w counter rows leave each partition REGARDLESS of input rows,
+# and the finished sketch (d*w rows) is broadcast to probe. This is the
+# standard pre-join skew profile: estimate candidate-key frequencies in
+# one cheap pass, then salt/isolate the heavy keys (cf. the bench's urban
+# tile cells and ARCHITECTURE.md's salting notes).
+# ---------------------------------------------------------------------------
+
+#: per-depth input-stream separation for the Count-Min bucket hashes (the
+#: same additive construction that separates HLL's hash B from hash A).
+_CM_STEP = 514_229_017
+
+
+def _cm_bucket(base: Column, depth: int, w: int) -> Column:
+    return F.pmod(
+        _fin(F.pmod(base + F.lit(depth * _CM_STEP), F.lit(MIX_MOD)), _FIN_B),
+        F.lit(w),
+    )
+
+
+def _cm_bucket_sql(base_expr: str, depth: int, w: int) -> str:
+    return f"({_fin_sql(f'(({base_expr}) + {depth * _CM_STEP}) % {MIX_MOD}', _FIN_B)}) % {w}"
+
+
+def cm_counts(
+    df: DataFrame,
+    key: str,
+    probes: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    key_kind: str = "long",
+    out: str = "cm_count",
+) -> DataFrame:
+    """Count-Min frequency estimate of each ``probes`` row's ``key`` over
+    ``df``. Returns ``probes``' key column plus ``out`` (bigint; >= the
+    true count, exactly equal when no depth collides). ``probes`` must be
+    small enough to broadcast — it is the candidate-key list (heavy-hitter
+    suspects, join keys to salt), not the data."""
+    if not 1 <= d <= 8:
+        raise ValueError(f"cm: d must be in [1, 8], got {d}")
+    if w < 2:
+        raise ValueError(f"cm: w must be >= 2, got {w}")
+    base = _base(key, key_kind)
+    sk = (
+        df.select(
+            F.posexplode(
+                F.array(*[_cm_bucket(base, i, w) for i in range(d)])
+            ).alias("_d", "_b")
+        )
+        .groupBy("_d", "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    pbase = _base(key, key_kind)
+    pe = probes.select(
+        key,
+        F.posexplode(F.array(*[_cm_bucket(pbase, i, w) for i in range(d)])).alias(
+            "_d", "_b"
+        ),
+    )
+    return (
+        pe.join(F.broadcast(sk), ["_d", "_b"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("_c"), F.lit(0))).alias(out))
+    )
+
+
+def cm_counts_sql(
+    table_sql: str,
+    key_expr: str,
+    probes_sql: str,
+    d: int = 4,
+    w: int = 1024,
+    key_kind: str = "long",
+    out: str = "cm_count",
+    key_out: str = "key",
+) -> str:
+    """Exact DuckDB twin of :func:`cm_counts`. ``probes_sql`` must yield
+    one column named ``key_out`` holding the probe keys; ``key_expr`` is
+    evaluated against ``table_sql`` rows (and ``key_out`` against the
+    probe rows) before hashing."""
+    if not 1 <= d <= 8:
+        raise ValueError(f"cm: d must be in [1, 8], got {d}")
+    if w < 2:
+        raise ValueError(f"cm: w must be >= 2, got {w}")
+    base = _base_sql(key_expr, key_kind)
+    pbase = _base_sql(key_out, key_kind)
+    build_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS _d, {_cm_bucket_sql('h0', i, w)} AS _b FROM based"
+        for i in range(d)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT {key_out}, {i} AS _d, {_cm_bucket_sql('p0', i, w)} AS _b FROM pbased"
+        for i in range(d)
+    )
+    return f"""
+WITH based AS (SELECT CAST(({base}) AS BIGINT) AS h0 FROM {table_sql}),
+sk AS (SELECT _d, _b, count(*) AS _c FROM ({build_rows}) GROUP BY _d, _b),
+pbased AS (SELECT {key_out}, CAST(({pbase}) AS BIGINT) AS p0 FROM ({probes_sql})),
+pe AS ({probe_rows})
+SELECT pe.{key_out}, min(coalesce(sk._c, 0)) AS {out}
+FROM pe LEFT JOIN sk USING (_d, _b)
+GROUP BY pe.{key_out}
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketch (Bar-Yossef et al. 2002 "Counting distinct
+# elements in a data stream"; Beyer et al. 2007 for the set-operation
+# estimators — both public): keep the k SMALLEST distinct hash values;
+# with hashes uniform on [0, MIX_MOD) the k-th smallest is around
+# k*MOD/n, so est = (k-1) * MOD / h_(k). Unlike HLL, the sketch retains
+# actual hash values, so two sketches support UNION / INTERSECTION /
+# Jaccard estimates: merge-then-truncate is again a KMV sketch of the
+# union, and the fraction of its survivors present in both input sketches
+# estimates the Jaccard coefficient.
+#
+# Scale: dedup is a map-side-combined groupBy on (group, hash); the
+# top-k selection is TWO bounded windows — first within (group,
+# hash % buckets) so at most buckets*k rows per group reach the final
+# per-group window — never a global sort, never a single task.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str,
+    group: str | None = None,
+    k: int = 64,
+    key_kind: str = "long",
+    buckets: int = 8,
+) -> DataFrame:
+    """The k smallest distinct key-hash values (per ``group`` if given):
+    rows ``(group?, _h)`` with ``_h`` ascending-dense in [0, MIX_MOD)."""
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2, got {k}")
+    gcols = [group] if group is not None else []
+    h = _fin(_base(key, key_kind), _FIN_A)
+    dedup = df.select(*gcols, h.alias("_h")).distinct()
+    w1 = Window.partitionBy(
+        *gcols, F.pmod(F.col("_h"), F.lit(buckets))
+    ).orderBy("_h")
+    w2 = Window.partitionBy(*gcols).orderBy("_h")
+    return (
+        dedup.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select(*gcols, "_h")
+    )
+
+
+def _kmv_est(n: Column, hk: Column, k: int) -> Column:
+    # fewer than k distinct hashes -> the sketch IS the full set (exact);
+    # the estimate is rounded to 6 decimals (one double divide in both
+    # engines, but rounding also absorbs any future estimator tweak).
+    return F.round(
+        F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float((k - 1) * MIX_MOD)) / hk.cast("double")
+        ),
+        6,
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key: str,
+    group: str | None = None,
+    k: int = 64,
+    key_kind: str = "long",
+    out: str = "kmv_distinct",
+) -> DataFrame:
+    """Estimated distinct ``key`` count per ``group`` from a KMV sketch
+    (exact below k distinct values)."""
+    gcols = [group] if group is not None else []
+    sk = kmv_sketch(df, key, group, k, key_kind)
+    return sk.groupBy(*gcols).agg(
+        _kmv_est(F.count("*"), F.max("_h"), k).alias(out)
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    key: str,
+    group: str,
+    k: int = 64,
+    key_kind: str = "long",
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two ``group`` values
+    (g_a < g_b): ``jaccard_est`` (fraction of the merged sketch's
+    survivors present in both sides), ``union_est`` (KMV estimate on the
+    merged sketch) and ``inter_est = round(jaccard * union, 6)``. The
+    number of groups is assumed small (it is the comparison axis, not the
+    data axis); each pair's merge handles at most 2k sketch rows."""
+    sk = kmv_sketch(df, key, group, k, key_kind)
+    # pair table: tiny (groups x groups), broadcast into two equi-joins —
+    # no OR-condition nested-loop join anywhere.
+    gs = sk.select(F.col(group).alias("_g")).distinct()
+    pairs = (
+        gs.select(F.col("_g").alias("g_a"))
+        .crossJoin(gs.select(F.col("_g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    side_a = sk.withColumnRenamed(group, "g_a").join(
+        F.broadcast(pairs), "g_a"
+    ).select("g_a", "g_b", "_h")
+    side_b = sk.withColumnRenamed(group, "g_b").join(
+        F.broadcast(pairs), "g_b"
+    ).select("g_a", "g_b", "_h")
+    merged = (
+        side_a.union(side_b)
+        .groupBy("g_a", "g_b", "_h")
+        .agg(F.count("*").alias("_sides"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("g_a", "g_b").orderBy("_h")
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+    )
+    agg = merged.groupBy("g_a", "g_b").agg(
+        F.count("*").alias("_n"),
+        F.max("_h").alias("_hk"),
+        F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0)).alias("_hits"),
+    )
+    union_est = _kmv_est(F.col("_n"), F.col("_hk"), k)
+    jacc = F.round(F.col("_hits") / F.col("_n"), 6)
+    return agg.select(
+        "g_a",
+        "g_b",
+        jacc.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        F.round(jacc * union_est, 6).alias("inter_est"),
+    )
+
+
+def kmv_overlap_sql(
+    table_sql: str,
+    key_expr: str,
+    group_expr: str,
+    k: int = 64,
+    key_kind: str = "long",
+) -> str:
+    """Exact DuckDB twin of :func:`kmv_overlap` (same hash, same merge,
+    same rounding). The two-level bucket window is a Spark-side
+    scale tactic only — the k survivors are identical, so the twin uses
+    one window per group/pair."""
+    h = _fin_sql(f"CAST(({_base_sql(key_expr, key_kind)}) AS BIGINT)", _FIN_A)
+    return f"""
+WITH dedup AS (
+  SELECT DISTINCT {group_expr} AS g, CAST(({h}) AS BIGINT) AS _h FROM {table_sql}
+),
+sk AS (
+  SELECT g, _h FROM (
+    SELECT g, _h, row_number() OVER (PARTITION BY g ORDER BY _h) AS _rn
+    FROM dedup
+  ) WHERE _rn <= {k}
+),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b
+  FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+  WHERE a.g < b.g
+),
+merged AS (
+  SELECT g_a, g_b, _h, _sides FROM (
+    SELECT p.g_a, p.g_b, s._h, count(*) AS _sides,
+           row_number() OVER (PARTITION BY p.g_a, p.g_b ORDER BY s._h) AS _rn
+    FROM pairs p JOIN sk s ON s.g = p.g_a OR s.g = p.g_b
+    GROUP BY p.g_a, p.g_b, s._h
+  ) WHERE _rn <= {k}
+),
+agg AS (
+  SELECT g_a, g_b, count(*) AS _n, max(_h) AS _hk,
+         sum(CASE WHEN _sides = 2 THEN 1 ELSE 0 END) AS _hits
+  FROM merged GROUP BY g_a, g_b
+)
+SELECT g_a, g_b,
+  round(CAST(_hits AS DOUBLE) / _n, 6) AS jaccard_est,
+  round(CASE WHEN _n < {k} THEN CAST(_n AS DOUBLE)
+             ELSE {float((k - 1) * MIX_MOD)!r} / CAST(_hk AS DOUBLE) END, 6)
+    AS union_est,
+  round(round(CAST(_hits AS DOUBLE) / _n, 6) *
+        round(CASE WHEN _n < {k} THEN CAST(_n AS DOUBLE)
+                   ELSE {float((k - 1) * MIX_MOD)!r} / CAST(_hk AS DOUBLE) END, 6), 6)
+    AS inter_est
+FROM agg
 """

@@ -1,9 +1,10 @@
-"""Deterministic HyperLogLog (operators/sketch.py).
+"""Deterministic sketches (operators/sketch.py): HLL, Count-Min, KMV.
 
-Covers: exact Spark<->DuckDB twin equality (both branches, both key
-kinds), determinism across partitionings, the accuracy envelope the
-module docstring claims, the bin()-minimality assumption both engines'
-rho computation rests on, and argument validation.
+Covers: exact Spark<->DuckDB twin equality (both HLL branches, both key
+kinds, CM counters, KMV merges), determinism across partitionings, the
+accuracy envelopes the module docstring claims (plus CM's
+never-underestimates guarantee and KMV's exact-below-k property), the
+bin()-minimality assumption HLL's rho rests on, and argument validation.
 """
 
 from __future__ import annotations
@@ -110,3 +111,109 @@ def test_p_validation(spark):
         hll_distinct_sql("t", "k", p=13)
     with pytest.raises(ValueError, match="key_kind"):
         hll_distinct(df, "k", key_kind="float")
+
+
+# --- Count-Min ---
+
+
+def _duck_cm(rows, probes, **kw):
+    import duckdb
+
+    from landlensdb_spark.operators.sketch import cm_counts_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    con.execute("CREATE TABLE p (k BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?)", probes)
+    return sorted(
+        con.execute(
+            cm_counts_sql("t", "k", "SELECT k FROM p", key_out="k", **kw)
+        ).fetchall()
+    )
+
+
+def test_cm_twin_exact_and_never_underestimates(spark):
+    from landlensdb_spark.operators.sketch import cm_counts
+
+    rows = [(k % 7,) for k in range(210)] + [(10 + k % 97,) for k in range(300)]
+    probes = [(i,) for i in range(0, 120)]
+    df = spark.createDataFrame(rows, "k long")
+    pr = spark.createDataFrame(probes, "k long")
+    got = sorted(
+        tuple(r) for r in cm_counts(df, "k", pr, d=4, w=32).collect()
+    )
+    assert got == _duck_cm(rows, probes, d=4, w=32)
+    true = {}
+    for (k,) in rows:
+        true[k] = true.get(k, 0) + 1
+    assert all(est >= true.get(k, 0) for k, est in got)
+    # with a wide-enough sketch the estimates are EXACT for these keys
+    from landlensdb_spark.operators.sketch import cm_counts as cm
+
+    wide = sorted(tuple(r) for r in cm(df, "k", pr, d=4, w=4096).collect())
+    assert all(est == true.get(k, 0) for k, est in wide)
+
+
+def test_cm_validation(spark):
+    from landlensdb_spark.operators.sketch import cm_counts, cm_counts_sql
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="d must be"):
+        cm_counts(df, "k", df, d=0)
+    with pytest.raises(ValueError, match="w must be"):
+        cm_counts_sql("t", "k", "SELECT k FROM p", w=1)
+
+
+# --- KMV ---
+
+
+def test_kmv_distinct_accuracy_and_exact_below_k(spark):
+    from landlensdb_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(0, 40).select(F.col("id").alias("k"))
+    est = kmv_distinct(df, "k", k=64).collect()[0][0]
+    assert est == 40.0  # below k -> sketch holds the full set, exact
+    big = spark.range(0, 20000).select(F.col("id").alias("k"))
+    est2 = kmv_distinct(big, "k", k=256).collect()[0][0]
+    assert abs(est2 - 20000) / 20000 < 0.2
+
+
+def test_kmv_partitioning_invariance(spark):
+    from landlensdb_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    a = kmv_distinct(df.coalesce(1), "k", k=64).collect()[0][0]
+    b = kmv_distinct(df.repartition(13), "k", k=64).collect()[0][0]
+    assert a == b
+
+
+def test_kmv_overlap_twin_exact(spark):
+    from landlensdb_spark.operators.sketch import kmv_overlap, kmv_overlap_sql
+
+    rows = (
+        [(k, "a") for k in range(1000)]
+        + [(k, "b") for k in range(500, 1500)]
+        + [(k, "c") for k in range(2000, 2100)]
+    )
+    df = spark.createDataFrame(rows, "k long, g string")
+    got = sorted(tuple(r) for r in kmv_overlap(df, "k", "g", k=64).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, g VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(con.execute(kmv_overlap_sql("t", "k", "g", k=64)).fetchall())
+    assert got == want
+    by_pair = {(a, b): (j, u, i) for a, b, j, u, i in got}
+    # a/b truly overlap (jaccard 1/3); c is disjoint from both
+    assert 0.15 < by_pair[("a", "b")][0] < 0.55
+    assert by_pair[("a", "c")][0] == 0.0 and by_pair[("b", "c")][0] == 0.0
+    # disjoint pairs: intersection estimate exactly 0
+    assert by_pair[("a", "c")][2] == 0.0
+
+
+def test_kmv_validation(spark):
+    from landlensdb_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, "k", k=1)
