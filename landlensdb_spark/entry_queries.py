@@ -960,6 +960,101 @@ def q_hll_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "clicks_before_purchase",
+    """
+WITH p AS (SELECT event_id AS purchase_id, user_id,
+                  epoch_us(ts) AS purchase_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us,
+             value AS click_value
+      FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, p.purchase_us,
+       c.click_id, c.click_us, c.click_value
+FROM p JOIN c ON c.user_id = p.user_id
+  AND c.click_us BETWEEN p.purchase_us - 86400000000 AND p.purchase_us
+""",
+)
+def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join (operators/interval.py): every click in
+    the 24h before (and including) each purchase, per user — the
+    attribution-window join. The engine quantizes each 24h window into
+    <= 2 day-wide buckets and hash-joins on (user_id, bucket) + exact
+    refine; the oracle is the naive BETWEEN range join, which DuckDB can
+    afford at sf0.01 and a 1000-executor cluster cannot at 10^12 rows.
+    Timestamps compare as epoch MICROSECONDS (exact integers in both
+    engines)."""
+    from landlensdb_spark.operators.interval import interval_join
+
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+    )
+    day_us = 86_400_000_000
+    iv = p.withColumn("start_us", F.col("purchase_us") - day_us)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.col("value").alias("click_value"),
+    )
+    return interval_join(
+        c, iv, point_col="click_us", start_col="start_us",
+        end_col="purchase_us", bucket_width=day_us, key="user_id",
+    ).select(
+        "purchase_id", "user_id", "purchase_us",
+        "click_id", "click_us", "click_value",
+    )
+
+
+@query(
+    "user_triangles",
+    """
+WITH ub AS (SELECT DISTINCT user_id AS u,
+                   CAST(floor(epoch(ts) / 300) AS BIGINT) AS b
+            FROM events),
+e AS (SELECT DISTINCT a.u AS u, b.u AS v
+      FROM ub a JOIN ub b ON a.b = b.b AND a.u < b.u),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+m AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t),
+nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e)
+SELECT nodes.node, count(m.node) AS n_triangles
+FROM nodes LEFT JOIN m USING (node)
+GROUP BY nodes.node
+""",
+)
+def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (operators/graph.py
+    triangle_counts) on the 5-minute co-activity graph (users sharing an
+    events time bucket). The engine orients edges low-rank -> high-rank
+    so the wedge self-join is bounded by |E|*sqrt(|E|) and hub skew can't
+    emit quadratic wedges; the ORACLE is the independent naive
+    node-ordered triple self-join — same answer, different algorithm —
+    so the orientation machinery is checked against plain set
+    semantics."""
+    from landlensdb_spark.operators.graph import triangle_counts
+
+    ev = tables.load(spark, sf_dir, "events")
+    ub = ev.select(
+        F.col("user_id").alias("u"),
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 300
+        ).alias("b"),
+    ).distinct()
+    e = (
+        ub.alias("a")
+        .join(ub.alias("bb"), (F.col("a.b") == F.col("bb.b")) & (F.col("a.u") < F.col("bb.u")))
+        .select(F.col("a.u").alias("src"), F.col("bb.u").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(e)
+
+
 def _cm_users_oracle() -> str:
     from landlensdb_spark.operators.sketch import cm_counts_sql
 
@@ -5136,6 +5231,8 @@ _DRIVER_WINDOW_FIRST = [
     "cm_user_counts",
     "kmv_vocab_overlap",
     "asof_purchase_click",
+    "clicks_before_purchase",
+    "user_triangles",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -5153,9 +5250,7 @@ _DRIVER_WINDOW_FIRST = [
     # 40 of the 48 rows whose last driver check was round 5 (two rounds
     # stale) — changed-path-adjacent ones first (knn/pip/gif families)
     "knn_points",
-    "knn_self",
     "pip_admin",
-    "pip_admin_named",
     "extract_pip",
     "gif_roundtrip",
     "tiff_roundtrip",
@@ -5193,8 +5288,11 @@ _DRIVER_WINDOW_FIRST = [
     # stays hard-checked via the r06-green snap_nearest) — and the
     # embed_topk / embed_ann_lsh / embed_near_dup family, which yielded
     # to the new cm_user_counts / kmv_vocab_overlap / asof_purchase_click
-    # rows — all unchanged, r05-green + local-sweep-green — rotate back
-    # next round)
+    # rows — and knn_self / pip_admin_named, which yielded to the new
+    # clicks_before_purchase / user_triangles rows (their families keep
+    # knn_points/knn_hex and pip_admin/pip_admin_agg/extract_pip under
+    # the hard signal) — all unchanged, r05-green + local-sweep-green —
+    # rotate back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -97,3 +97,91 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph:
+    rows ``(node, n_triangles)`` for every node of ``edges`` (0 when the
+    node closes no triangle). Input direction/duplication is irrelevant —
+    edges canonicalize to unordered distinct pairs; self-loops drop.
+
+    Degree-oriented enumeration (Cohen's MapReduce formulation / Suri &
+    Vassilvitskii WWW'11, public): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one — an acyclic
+    orientation whose max out-degree is O(sqrt(|E|)) on ANY graph, so the
+    wedge self-join (the quadratic step in naive triangle counting, and
+    the skew bomb on power-law webgraphs: a degree-10^7 hub emits 10^14
+    wedges undirected) emits at most sum(outdeg^2) <= |E|*sqrt(|E|)
+    candidates, evenly spread across low-degree sources. Each triangle is
+    then found exactly once (its unique orientation-source), and per-node
+    counts are one explode + map-side-combined groupBy.
+
+    Every step is an equi-join / groupBy on ids — AQE-splittable, no
+    windows, no Python. The driver oracle counts triangles with the
+    INDEPENDENT naive node-ordered triple self-join (affordable at
+    sf0.01, not at web scale), so the orientation machinery is verified
+    against plain set semantics, not against itself.
+    """
+    u, v = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(u != v)
+        .select(
+            F.least(u, v).alias("_u"), F.greatest(u, v).alias("_v")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("_u").alias("node"))
+        .unionAll(canon.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+    )
+    # orient by (degree, id): rank both endpoints, flip edges whose source
+    # outranks its destination
+    ranked = (
+        canon.join(deg.withColumnRenamed("node", "_u"), "_u")
+        .withColumnRenamed("_deg", "_du")
+        .join(deg.withColumnRenamed("node", "_v"), "_v")
+        .withColumnRenamed("_deg", "_dv")
+    )
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("_d"),
+        F.when(fwd, F.col("_du")).otherwise(F.col("_dv")).alias("_ds"),
+        F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("_dd"),
+    )
+    # wedges from a common source x -> {y, z} with rank(y) < rank(z); the
+    # closing edge {y, z}, if present, is oriented y -> z by transitivity
+    e1 = oriented.select(
+        F.col("_s").alias("_x"), F.col("_d").alias("_y"),
+        F.col("_dd").alias("_dy"),
+    )
+    e2 = oriented.select(
+        F.col("_s").alias("_x"), F.col("_d").alias("_z"),
+        F.col("_dd").alias("_dz"),
+    )
+    wedges = e1.join(e2, "_x").filter(
+        (F.col("_dy") < F.col("_dz"))
+        | ((F.col("_dy") == F.col("_dz")) & (F.col("_y") < F.col("_z")))
+    )
+    closing = oriented.select(
+        F.col("_s").alias("_y"), F.col("_d").alias("_z")
+    )
+    tri = wedges.join(closing, ["_y", "_z"]).select("_x", "_y", "_z")
+    members = (
+        tri.select(F.explode(F.array("_x", "_y", "_z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(members, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""Bucketized interval join (operators/interval.py) and degree-oriented
+triangle counting (operators/graph.py triangle_counts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import SparkRuntimeException
+from pyspark.sql import functions as F
+
+from landlensdb_spark.operators.graph import triangle_counts
+from landlensdb_spark.operators.interval import interval_join
+
+
+def _pts(spark, vals):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "pid long, p long")
+
+
+def _ivs(spark, rows):
+    return spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(rows)], "iid long, s long, e long"
+    )
+
+
+def test_interval_semantics(spark):
+    pts = _pts(spark, [5, 10, 20, 99, 1000])
+    ivs = _ivs(spark, [(10, 20), (15, 30), (50, 40)])  # last is inverted -> empty
+    out = interval_join(pts, ivs, "p", "s", "e", bucket_width=7)
+    got = sorted((r.p, r.iid) for r in out.collect())
+    # closed interval: 10 and 20 both match [10,20]; 20 also matches [15,30]
+    assert got == [(10, 0), (20, 0), (20, 1)]
+
+
+@pytest.mark.parametrize("bw", [1, 3, 10, 1000, 10**9])
+def test_interval_bucket_width_invariance(spark, bw):
+    pts = _pts(spark, list(range(0, 200, 7)))
+    ivs = _ivs(spark, [(10, 40), (40, 40), (100, 163), (150, 151)])
+    out = interval_join(pts, ivs, "p", "s", "e", bucket_width=bw)
+    got = sorted((r.p, r.iid) for r in out.collect())
+    want = sorted(
+        (p, i)
+        for p in range(0, 200, 7)
+        for i, (s, e) in enumerate([(10, 40), (40, 40), (100, 163), (150, 151)])
+        if s <= p <= e
+    )
+    assert got == want
+
+
+def test_interval_key_scoping(spark):
+    pts = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "pid long, p long, k string")
+    ivs = spark.createDataFrame([(7, 0, 100, "a")], "iid long, s long, e long, k string")
+    out = interval_join(pts, ivs, "p", "s", "e", bucket_width=50, key="k")
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 7)]
+
+
+def test_interval_fanout_guard(spark):
+    pts = _pts(spark, [5])
+    ivs = _ivs(spark, [(0, 10**9)])
+    bad = interval_join(pts, ivs, "p", "s", "e", bucket_width=10, max_fanout=100)
+    with pytest.raises(SparkRuntimeException, match="spans > 100 buckets"):
+        bad.collect()
+
+
+def test_interval_validation(spark):
+    pts = _pts(spark, [1])
+    ivs = _ivs(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(pts, ivs, "p", "s", "e", bucket_width=0)
+    with pytest.raises(ValueError, match="colliding"):
+        interval_join(pts, ivs.withColumnRenamed("iid", "pid"), "p", "s", "e", 10)
+
+
+def test_interval_plan_shape(spark):
+    pts = _pts(spark, [1, 2, 3])
+    ivs = _ivs(spark, [(0, 1)])
+    plan = (
+        interval_join(pts, ivs, "p", "s", "e", bucket_width=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- triangles ---
+
+
+def _tri(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+
+def test_triangles_known_graphs(spark):
+    # K4: every node sits in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # path and star: triangle-free
+    assert _tri(spark, [(0, 1), (1, 2), (2, 3)]) == {0: 0, 1: 0, 2: 0, 3: 0}
+    assert _tri(spark, [(0, i) for i in range(1, 5)]) == {i: 0 for i in range(5)}
+    # two triangles sharing edge (1,2)
+    bowtie = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    assert _tri(spark, bowtie) == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_triangles_input_canonicalization(spark):
+    base = [(0, 1), (0, 2), (1, 2)]
+    messy = base + [(b, a) for a, b in base] + base + [(1, 1), (2, 2)]
+    assert _tri(spark, messy) == _tri(spark, base) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_vs_naive_random_graph(spark):
+    # deterministic irregular graph: ~20% of pairs over 30 nodes, picked
+    # by a quadratic residue rule (degree-diverse, many triangles)
+    pairs = [
+        (a, b)
+        for a in range(30)
+        for b in range(30)
+        if a < b and (a * a + b * b + a * b) % 5 == 0
+    ]
+    got = _tri(spark, pairs)
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = {n for e in edges for n in e}
+    naive = dict.fromkeys(nodes, 0)
+    es = sorted(edges)
+    for a, b in es:
+        for c in nodes:
+            if c > b and (a, c) in edges and (b, c) in edges:
+                for n in (a, b, c):
+                    naive[n] += 1
+    assert got == naive
+    assert sum(naive.values()) > 0  # the graph actually has triangles
+
+
+def test_triangles_plan_shape(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
