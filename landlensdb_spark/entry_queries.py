@@ -1055,6 +1055,74 @@ def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(e)
 
 
+def _hist_len_oracle() -> str:
+    from landlensdb_spark.operators.sketch import hist_quantiles_sql
+
+    est = hist_quantiles_sql(
+        "documents", "n_chars", 0.0, 640.0, 64, [0.5, 0.9, 0.99], "lang"
+    )
+    return f"""
+WITH est AS ({est}),
+ranked AS (
+  SELECT lang AS g, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+qq AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                    CAST(0.99 AS DOUBLE)]) AS t(q)),
+exact AS (
+  SELECT g, q, min(n_chars) AS exact_q
+  FROM ranked, qq
+  WHERE rn >= ceil(q * n)
+  GROUP BY g, q
+)
+SELECT est.g AS lang, est.q, est.est, exact.exact_q
+FROM est JOIN exact ON exact.g = est.g AND exact.q = est.q
+"""
+
+
+@query("hist_len_quantiles", _hist_len_oracle())
+def q_hist_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid histogram quantiles (operators/sketch.py
+    hist_quantiles) of document length per language at q50/q90/q99, next
+    to the exact type-1 quantile — the estimate is within one 10-char bin
+    of truth, bit-identical across engines (IEEE mul/div/floor only,
+    unlike approx_percentile whose GK/t-digest sketches are
+    merge-order-dependent). 64 histogram rows per group through the
+    shuffle at ANY corpus size; the exact column needs the full sort the
+    sketch exists to avoid."""
+    from pyspark.sql import Window
+
+    from landlensdb_spark.operators.sketch import hist_quantiles
+
+    docs = tables.load(spark, sf_dir, "documents")
+    est = hist_quantiles(
+        docs, "n_chars", 0.0, 640.0, 64, [0.5, 0.9, 0.99], group="lang"
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    qq = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    exact = (
+        ranked.crossJoin(F.broadcast(qq))
+        .filter(F.col("rn") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("lang", "q")
+        .agg(F.min("n_chars").alias("exact_q"))
+    )
+    return est.join(exact, ["lang", "q"]).select(
+        "lang", "q", "est", "exact_q"
+    )
+
+
 def _cm_users_oracle() -> str:
     from landlensdb_spark.operators.sketch import cm_counts_sql
 
@@ -5233,6 +5301,7 @@ _DRIVER_WINDOW_FIRST = [
     "asof_purchase_click",
     "clicks_before_purchase",
     "user_triangles",
+    "hist_len_quantiles",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -5272,7 +5341,6 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_exact",
     "ngram_jaccard",
     "minhash_sigs",
-    "minhash_lsh",
     "simhash_docs",
     "fingerprint_docs",
     "line_dedup",
@@ -5288,11 +5356,12 @@ _DRIVER_WINDOW_FIRST = [
     # stays hard-checked via the r06-green snap_nearest) — and the
     # embed_topk / embed_ann_lsh / embed_near_dup family, which yielded
     # to the new cm_user_counts / kmv_vocab_overlap / asof_purchase_click
-    # rows — and knn_self / pip_admin_named, which yielded to the new
+    # rows — knn_self / pip_admin_named, which yielded to the new
     # clicks_before_purchase / user_triangles rows (their families keep
     # knn_points/knn_hex and pip_admin/pip_admin_agg/extract_pip under
-    # the hard signal) — all unchanged, r05-green + local-sweep-green —
-    # rotate back next round)
+    # the hard signal) — and minhash_lsh, which yielded to the new
+    # hist_len_quantiles row (minhash_sigs stays in-window) — all
+    # unchanged, r05-green + local-sweep-green — rotate back next round)
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -503,3 +503,116 @@ SELECT g_a, g_b,
     AS inter_est
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantiles: the mergeable, deterministic quantile
+# estimate. approx_percentile (Greenwald-Khanna in Spark, t-digest in
+# DuckDB) is merge-order-dependent and engine-specific, so its output can
+# never sit under a cross-engine value hash; a fixed [lo, hi) grid makes
+# the sketch a plain integer histogram — bins rows per group through a
+# map-side-combined shuffle at ANY input size, trivially mergeable across
+# partitions/days/tables, and identical in both engines. Error is bounded
+# by one bin width (plus the clamp at the grid edges); exact quantiles
+# need a full sort, this is the 100 TB path.
+# ---------------------------------------------------------------------------
+
+
+def hist_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+    group: str | None = None,
+) -> DataFrame:
+    """Histogram-estimated quantiles of ``col`` (per ``group`` if given):
+    rows ``(group?, q, est)`` where ``est`` is the UPPER EDGE of the first
+    bin whose cumulative count reaches ``ceil(q * n)`` (type-1 quantile at
+    bin granularity; true quantile <= est < true + bin width when in
+    range). Values outside [lo, hi) clamp into the edge bins — pick the
+    grid from domain knowledge or a prior min/max pass. The bucket math is
+    IEEE mul/div/floor only (no libm), so Spark and the DuckDB twin agree
+    bit-for-bit."""
+    if not bins >= 2:
+        raise ValueError(f"hist_quantiles: bins must be >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"hist_quantiles: need hi > lo, got [{lo}, {hi})")
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"hist_quantiles: qs must be in (0, 1], got {qs}")
+    gcols = [group] if group is not None else []
+    width = (hi - lo) / bins
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    hist = (
+        df.select(*gcols, b.alias("_b"))
+        .groupBy(*gcols, "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*gcols)
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(wtot)
+    )
+    qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = (
+        cum.select(*gcols, "_b", "_cum", "_n")
+        .select(*gcols, "_b", "_cum", "_n", qdf)
+        .filter(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
+        .groupBy(*gcols, "q")
+        .agg(F.min("_b").alias("_qb"))
+    )
+    est = F.round(F.lit(lo) + (F.col("_qb") + 1) * F.lit(width), 6)
+    return hit.select(*gcols, "q", est.alias("est"))
+
+
+def hist_quantiles_sql(
+    table_sql: str,
+    col_expr: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+    group_expr: str | None = None,
+) -> str:
+    """Exact DuckDB twin of :func:`hist_quantiles` (same grid, same
+    clamp, same type-1 rule, same rounding)."""
+    if not bins >= 2:
+        raise ValueError(f"hist_quantiles: bins must be >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"hist_quantiles: need hi > lo, got [{lo}, {hi})")
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"hist_quantiles: qs must be in (0, 1], got {qs}")
+    width = (hi - lo) / bins
+    g_sel = f"{group_expr} AS g, " if group_expr is not None else ""
+    g_cols = "g, " if group_expr is not None else ""
+    g_part = "PARTITION BY g" if group_expr is not None else ""
+    g_by = "GROUP BY g, _b" if group_expr is not None else "GROUP BY _b"
+    g_by_q = "GROUP BY g, q" if group_expr is not None else "GROUP BY q"
+    # bare 0.5 parses as DECIMAL in DuckDB; the engine emits double
+    qvals = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+WITH raw AS (
+  SELECT {g_sel}least(greatest(
+           floor((CAST(({col_expr}) AS DOUBLE) - {lo!r}) / {width!r}), 0),
+           {bins - 1}) AS _b
+  FROM {table_sql}
+),
+hist AS (SELECT {g_cols}_b, count(*) AS _c FROM raw {g_by}),
+cum AS (
+  SELECT {g_cols}_b,
+         sum(_c) OVER ({g_part} ORDER BY _b
+                       ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(_c) OVER ({g_part}) AS _n
+  FROM hist
+)
+SELECT {g_cols}q, round({lo!r} + (min(_b) + 1) * {width!r}, 6) AS est
+FROM cum, unnest([{qvals}]) AS t(q)
+WHERE _cum >= ceil(q * _n)
+{g_by_q}
+"""

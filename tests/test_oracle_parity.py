@@ -26,29 +26,30 @@ def test_every_query_has_an_oracle():
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
 # The round-7 rotation, pinned VERBATIM so a refactor can't silently restore
-# build order: the 12 never-driver-checked round-7 rows first (hex-grid kNN,
+# build order: the 13 never-driver-checked round-7 rows first (hex-grid kNN,
 # frame-sampling contract, GIF89a animation compositing, WebP-lossless
 # roundtrip, hex polyfill, leakage-free group split, deterministic HLL,
 # Count-Min skew profile, KMV vocabulary overlap, as-of join, bucketized
-# interval join, degree-oriented triangles), the 4
+# interval join, degree-oriented triangles, histogram quantiles), the 4
 # changed-path rows re-entering (two-phase global compact, bm25 persist
 # pin, corpus_prep_over refactor, compacted pip covers), the 3 rows that
-# yielded their r06 slots (r04-stale), then 30 of the 48 rows whose last
+# yielded their r06 slots (r04-stale), then 29 of the 48 rows whose last
 # driver check was round 5 (changed-path-adjacent knn/pip/gif families
 # first; the unchanged rows coverage_ingest/tile_bounds/hilbert_cells/
 # s2_cells/quad_leaves/url_normalize/host_stats/tile_pyramid, plus
 # bloom_anti, gopher_stats, embed_ann_ivf, sessionize_events, snap_full,
-# the embed_topk/embed_ann_lsh/embed_near_dup family, knn_self and
-# pip_admin_named — which yielded their slots to gif_anim_render,
+# the embed_topk/embed_ann_lsh/embed_near_dup family, knn_self,
+# pip_admin_named and minhash_lsh — which yielded their slots to gif_anim_render,
 # webp_roundtrip, hex_polyfill_parcels, group_split_docs, hll_lang_docs,
 # cm_user_counts, kmv_vocab_overlap, asof_purchase_click,
-# clicks_before_purchase and user_triangles — rotate back next round),
+# clicks_before_purchase, user_triangles and hist_len_quantiles —
+# rotate back next round),
 # closing with the north-star extract_text canary.
 _R07_WINDOW = [
     "knn_hex", "media_frame_sampling", "gif_anim_render", "webp_roundtrip",
     "hex_polyfill_parcels", "group_split_docs", "hll_lang_docs",
     "cm_user_counts", "kmv_vocab_overlap", "asof_purchase_click",
-    "clicks_before_purchase", "user_triangles",
+    "clicks_before_purchase", "user_triangles", "hist_len_quantiles",
     "compact_cover", "bm25_rank_all", "corpus_prep", "pip_admin_agg",
     "crawl_schedule", "length_quantiles", "robots_gate",
     "knn_points", "pip_admin",
@@ -57,7 +58,7 @@ _R07_WINDOW = [
     "bpe_merges", "extract_date_filter", "extract_exif_real", "bbox_scan",
     "filter_dsl", "distinct_priority", "anti_join", "agg_doc_stats",
     "bounds_agg", "argmin_lineitem", "upsert_orders", "window_events",
-    "dedup_exact", "ngram_jaccard", "minhash_sigs", "minhash_lsh",
+    "dedup_exact", "ngram_jaccard", "minhash_sigs",
     "simhash_docs", "fingerprint_docs", "line_dedup", "token_stats",
     "quality_docs", "lang_pred",
     "extract_text",

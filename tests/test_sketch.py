@@ -217,3 +217,73 @@ def test_kmv_validation(spark):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(df, "k", k=1)
+
+
+# --- histogram quantiles ---
+
+
+def test_hist_quantiles_twin_and_error_bound(spark):
+    from landlensdb_spark.operators.sketch import (
+        hist_quantiles,
+        hist_quantiles_sql,
+    )
+
+    rows = [((k * k * 7) % 1000, f"g{k % 2}") for k in range(5000)]
+    df = spark.createDataFrame(rows, "x long, g string")
+    got = sorted(
+        tuple(r)
+        for r in hist_quantiles(
+            df, "x", 0.0, 1000.0, 100, [0.5, 0.9, 0.99], group="g"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT, g VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        con.execute(
+            hist_quantiles_sql("t", "x", 0.0, 1000.0, 100, [0.5, 0.9, 0.99], "g")
+        ).fetchall()
+    )
+    assert got == want
+    # error bound: est within one bin width ABOVE the exact type-1 quantile
+    import math
+
+    for gname in ("g0", "g1"):
+        xs = sorted(x for x, g in rows if g == gname)
+        for q in (0.5, 0.9, 0.99):
+            exact = xs[math.ceil(q * len(xs)) - 1]
+            est = next(v for g2, q2, v in got if g2 == gname and q2 == q)
+            assert exact <= est <= exact + 10.0, (gname, q, exact, est)
+
+
+def test_hist_quantiles_clamp_and_partitioning(spark):
+    from landlensdb_spark.operators.sketch import hist_quantiles
+
+    # values outside [lo, hi) clamp into edge bins instead of vanishing
+    df = spark.createDataFrame([(v,) for v in (-50, 1, 2, 3, 999)], "x long")
+    out = {
+        (r.q): r.est
+        for r in hist_quantiles(df, "x", 0.0, 10.0, 10, [0.2, 1.0]).collect()
+    }
+    assert out[0.2] == 1.0  # the clamped -50 lands in bin 0 -> upper edge 1
+    assert out[1.0] == 10.0  # the clamped 999 lands in the top bin
+    # partitioning invariance
+    big = spark.range(0, 4000).selectExpr("(id * 37) % 512 as x")
+    a = sorted(map(tuple, hist_quantiles(big.coalesce(1), "x", 0.0, 512.0, 64, [0.5]).collect()))
+    b = sorted(map(tuple, hist_quantiles(big.repartition(11), "x", 0.0, 512.0, 64, [0.5]).collect()))
+    assert a == b
+
+
+def test_hist_quantiles_validation(spark):
+    from landlensdb_spark.operators.sketch import (
+        hist_quantiles,
+        hist_quantiles_sql,
+    )
+
+    df = spark.range(3).selectExpr("id as x")
+    with pytest.raises(ValueError, match="bins"):
+        hist_quantiles(df, "x", 0.0, 1.0, 1, [0.5])
+    with pytest.raises(ValueError, match="hi > lo"):
+        hist_quantiles(df, "x", 1.0, 1.0, 4, [0.5])
+    with pytest.raises(ValueError, match="qs"):
+        hist_quantiles_sql("t", "x", 0.0, 1.0, 4, [0.0])
