@@ -2055,6 +2055,31 @@ def q_hex_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hex_distance_join(probes, sites, _HEX_JOIN_RADIUS)
 
 
+@query("hull_extremes", oracles.hull_sql(128, 4))
+def q_hull_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull (operators/hull.py): the extreme points of
+    each group's point cloud — the tighter per-source footprint next to
+    A5's min/max bounds (reference: geopandas ``unary_union.convex_hull``
+    over `geoimageframe` point sets). One shuffle, one vectorized
+    monotone-chain kernel per group inside a single applyInPandas stage.
+    Points are integer-lattice (coords < 2^10, every cross product exact
+    in IEEE doubles on both engines), so the ORACLE can be Caratheodory's
+    theorem verbatim — p is extreme iff no closed triangle of three other
+    points and no closed segment of two other points contains it — an
+    O(n^4) characterization with no hull algorithm in it, proving the
+    vertex SET, not just reproducing the chain."""
+    from landlensdb_spark.operators.hull import convex_hull
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    pts = o.filter(k < 128).select(
+        (k % 4).alias("g"),
+        ((k * F.lit(2654435761)) % 1009).cast("double").alias("x"),
+        (((k + 13) * F.lit(2246822519)) % 1013).cast("double").alias("y"),
+    )
+    return convex_hull(pts, group="g")
+
+
 @query("hex_cells", oracles.hex_sql(_PTS_SQL, 17))
 def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hexagonal cell ids (geo/hex.py) — fourth index family next to
@@ -5302,6 +5327,7 @@ _DRIVER_WINDOW_FIRST = [
     "clicks_before_purchase",
     "user_triangles",
     "hist_len_quantiles",
+    "hull_extremes",
     # changed-path rows: r06-green but their code moved THIS round, so
     # they re-enter the window — compact_cells went two-phase global
     # (geo/cells.py), bm25 top=None gained the persist pin
@@ -5346,8 +5372,10 @@ _DRIVER_WINDOW_FIRST = [
     "line_dedup",
     "token_stats",
     "quality_docs",
-    "lang_pred",
-    # (coverage_ingest, tile_bounds, hilbert_cells, s2_cells, quad_leaves,
+    # (lang_pred yielded its slot to the new hull_extremes row — it stays
+    # under the per-pytest parity SUBSET in test_oracle_parity.py and the
+    # full sweep; coverage_ingest, tile_bounds, hilbert_cells, s2_cells,
+    # quad_leaves,
     # url_normalize, host_stats, tile_pyramid, plus bloom_anti,
     # gopher_stats, embed_ann_ivf, sessionize_events — which yielded
     # their slots to the new gif_anim_render, webp_roundtrip,

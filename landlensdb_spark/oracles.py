@@ -460,3 +460,47 @@ SELECT res * {1 << _RES_SHIFT} + x * {1 << _X_SHIFT} + y AS cell
 FROM ({union})
 """
     )
+
+
+def hull_sql(limit_key: int = 128, groups: int = 4) -> str:
+    """Caratheodory extreme-point oracle for :func:`operators.hull.
+    convex_hull` — deliberately NOT a SQL transcription of the monotone
+    chain. In the plane, p lies in conv(S \\ {p}) iff some closed
+    NON-degenerate triangle of three other points contains it, or it lies
+    on a closed segment between two other points (the affinely-dependent
+    case); p is extreme iff neither witness exists. Both witness tests
+    are pure sign arithmetic on integer-lattice coordinates (< 2^10), so
+    every product is exact in IEEE doubles in BOTH engines regardless of
+    expression-evaluation order — no epsilon anywhere. O(n^4) per group,
+    which is exactly why it lives in the oracle (32 points/group here)
+    and the engine runs Andrew's chain instead."""
+    pts = (
+        f"SELECT DISTINCT (o_orderkey % {groups}) AS g,"
+        " CAST((o_orderkey * 2654435761) % 1009 AS DOUBLE) AS x,"
+        " CAST(((o_orderkey + 13) * 2246822519) % 1013 AS DOUBLE) AS y"
+        f" FROM orders WHERE o_orderkey < {limit_key}"
+    )
+    return f"""
+WITH pts AS ({pts})
+SELECT p.g, p.x, p.y
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts a, pts b, pts c
+  WHERE a.g = p.g AND b.g = p.g AND c.g = p.g
+    AND NOT (a.x = p.x AND a.y = p.y)
+    AND NOT (b.x = p.x AND b.y = p.y)
+    AND NOT (c.x = p.x AND c.y = p.y)
+    AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+    AND (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) >= 0
+    AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) >= 0
+    AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) >= 0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM pts a, pts b
+  WHERE a.g = p.g AND b.g = p.g
+    AND NOT (a.x = p.x AND a.y = p.y)
+    AND NOT (b.x = p.x AND b.y = p.y)
+    AND (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+    AND (a.x - p.x) * (b.x - p.x) + (a.y - p.y) * (b.y - p.y) <= 0
+)
+"""

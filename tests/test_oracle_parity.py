@@ -50,6 +50,7 @@ _R07_WINDOW = [
     "hex_polyfill_parcels", "group_split_docs", "hll_lang_docs",
     "cm_user_counts", "kmv_vocab_overlap", "asof_purchase_click",
     "clicks_before_purchase", "user_triangles", "hist_len_quantiles",
+    "hull_extremes",
     "compact_cover", "bm25_rank_all", "corpus_prep", "pip_admin_agg",
     "crawl_schedule", "length_quantiles", "robots_gate",
     "knn_points", "pip_admin",
@@ -60,7 +61,9 @@ _R07_WINDOW = [
     "bounds_agg", "argmin_lineitem", "upsert_orders", "window_events",
     "dedup_exact", "ngram_jaccard", "minhash_sigs",
     "simhash_docs", "fingerprint_docs", "line_dedup", "token_stats",
-    "quality_docs", "lang_pred",
+    "quality_docs",
+    # lang_pred yielded its slot to the new hull_extremes row; it stays
+    # under SUBSET below and the full sweep
     "extract_text",
 ]
 
