@@ -10,6 +10,7 @@ compute bit-identical doubles; transcendental projections are rounded to
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -2080,6 +2081,87 @@ def q_hull_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_hull(pts, group="g")
 
 
+@query("hull_diameter", oracles.hull_diameter_sql(512, 4))
+def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group farthest-pair squared distance via hull pruning
+    (operators/hull.py group_diameter): the max pairwise distance is
+    attained at extreme points, so the kernel runs Andrew's chain first
+    and the O(n^2) pairwise max only over the h hull vertices — O(n log
+    n + h^2) per group where the ORACLE pays the full O(n^2) brute
+    force (affordable in DuckDB at 128 points/group, the exact cost the
+    engine's pruning removes at scale). Integer-lattice squared
+    distances are exact doubles, so the match is bit-for-bit."""
+    from landlensdb_spark.operators.hull import group_diameter
+
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    pts = o.filter(k < 512).select(
+        (k % 4).alias("g"),
+        ((k * F.lit(2654435761)) % 1009).cast("double").alias("x"),
+        (((k + 13) * F.lit(2246822519)) % 1013).cast("double").alias("y"),
+    )
+    return group_diameter(pts, group="g")
+
+
+_CLUSTER_PTS_SQL = """
+SELECT o_orderkey AS key,
+ CAST(CASE WHEN o_orderkey % 4 = 0 THEN (o_orderkey * 2654435761) % 1009
+      ELSE ((o_orderkey % 32) * 2654435761) % 1009
+           + (o_orderkey * 48271) % 29 END AS DOUBLE) AS x,
+ CAST(CASE WHEN o_orderkey % 4 = 0 THEN ((o_orderkey + 13) * 2246822519) % 1013
+      ELSE (((o_orderkey % 32) + 13) * 2246822519) % 1013
+           + ((o_orderkey + 7) * 16807) % 31 END AS DOUBLE) AS y
+FROM orders WHERE o_orderkey < 2048
+"""
+
+
+def _cluster_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob+noise point field (SQL-parity with _CLUSTER_PTS_SQL): 3 of 4
+    keys gather into 32 tight integer-lattice blobs (spread 29x31), the
+    rest scatter quasi-uniformly — real density contrast, so the grid
+    clustering yields multi-cell clusters AND noise at every sf."""
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2048)
+    k = F.col("o_orderkey").cast("long")
+    g = k % 32
+    x = F.when(k % 4 == 0, (k * F.lit(2654435761)) % 1009).otherwise(
+        (g * F.lit(2654435761)) % 1009 + (k * 48271) % 29
+    )
+    y = F.when(k % 4 == 0, ((k + 13) * F.lit(2246822519)) % 1013).otherwise(
+        ((g + 13) * F.lit(2246822519)) % 1013 + ((k + 7) * 16807) % 31
+    )
+    return o.select(
+        k.alias("key"), x.cast("double").alias("x"), y.cast("double").alias("y")
+    )
+
+
+def _grid_cluster_oracle() -> str:
+    from landlensdb_spark.operators.cluster import grid_cluster_sql
+
+    return grid_cluster_sql(_CLUSTER_PTS_SQL, 16, 3)
+
+
+@query("grid_cluster_pts", _grid_cluster_oracle())
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (operators/cluster.py): DBSCAN's
+    scale-safe grid cousin — points -> populated-cell counts -> core
+    cells (>= 3 points at cell size 16) -> 8-neighborhood cell
+    adjacency (constant 5-offset explode + equi-join, never a range
+    join) -> connected components via the dedup min-label propagation
+    with its convergence guard -> per-point labels (NULL = noise). The
+    working set after one aggregation is CELLS, not points, which is
+    what survives 10^12 rows. The ORACLE recomputes the clustering with
+    a DuckDB RECURSIVE-CTE reachability closure — no fixed round count,
+    so a non-converged engine run cannot hash-match. Reference parity:
+    sklearn-DBSCAN-over-geoimageframe workflows (landlensdb mapping
+    docs); exact integer semantics instead of eps-ball scans."""
+    from landlensdb_spark.operators.cluster import grid_cluster
+
+    pts = _cluster_pts(spark, sf_dir)
+    return grid_cluster(pts, cell_size=16, min_count=3, iterations=12).select(
+        "key", "cluster"
+    )
+
+
 @query("hex_cells", oracles.hex_sql(_PTS_SQL, 17))
 def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hexagonal cell ids (geo/hex.py) — fourth index family next to
@@ -2237,6 +2319,135 @@ def q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = tile_density_raster(pts, zoom=5, grid=16, cap=64)
     return raster_to_pixels(tiles).select(
         "tile_x", "tile_y", "px", "py", "intensity"
+    )
+
+
+def _gpx_sql(lon: str) -> str:
+    """Global pixel column (zoom 5, 16px tiles) — the raster writer's
+    binning transcribed, tile*16 + in-tile pixel."""
+    tx = synth.tile_x_sql(lon, 5)
+    return (
+        f"({tx}) * 16 + least(greatest(cast(floor((({lon} + 180.0)/360.0*32"
+        f" - ({tx})) * 16) as bigint), 0), 15)"
+    )
+
+
+def _gpy_sql(lat: str) -> str:
+    v = f"tan(radians({lat}))"
+    asinh = f"ln({v} + sqrt({v}*{v} + 1.0))"
+    ty = synth.tile_y_sql(lat, 5)
+    return (
+        f"({ty}) * 16 + least(greatest(cast(floor(((1.0 - {asinh}/pi())/2.0*32"
+        f" - ({ty})) * 16) as bigint), 0), 15)"
+    )
+
+
+_ZONAL_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT {synth.tile_x_sql('lon', 5)} AS tile_x,
+         {synth.tile_y_sql('lat', 5)} AS tile_y,
+         least(greatest(cast(floor(((lon + 180.0)/360.0*32 - {synth.tile_x_sql('lon', 5)}) * 16) as bigint), 0), 15) AS px,
+         least(greatest(cast(floor(((1.0 - ({_MVT_ASINH})/pi())/2.0*32 - {synth.tile_y_sql('lat', 5)}) * 16) as bigint), 0), 15) AS py
+  FROM pts
+),
+inten AS (
+  SELECT tile_x * 16 + px AS gx, tile_y * 16 + py AS gy,
+         least(count(*) * 255 // 64, 255) AS intensity
+  FROM t GROUP BY 1, 2
+),
+parcels AS (
+  SELECT gx * {synth.PARCEL_NY} + gy AS parcel_id,
+         {synth.PARCEL_X0!r} + gx * {synth.PARCEL_DX!r} AS x0,
+         {synth.PARCEL_X0!r} + (gx + 1) * {synth.PARCEL_DX!r} AS x1,
+         {synth.PARCEL_Y0!r} + gy * {synth.PARCEL_DY!r} AS y0,
+         {synth.PARCEL_Y0!r} + (gy + 1) * {synth.PARCEL_DY!r} AS y1
+  FROM (SELECT unnest(generate_series(0, {synth.PARCEL_NX - 1})) AS gx) a
+  CROSS JOIN (SELECT unnest(generate_series(0, {synth.PARCEL_NY - 1})) AS gy) b
+),
+bounds AS (
+  SELECT parcel_id, {_gpx_sql('x0')} AS gx0, {_gpx_sql('x1')} AS gx1,
+         {_gpy_sql('y1')} AS gy0, {_gpy_sql('y0')} AS gy1
+  FROM parcels
+)
+SELECT b.parcel_id, CAST(SUM(i.intensity) AS BIGINT) AS sum_val,
+       COUNT(*) AS n_pix
+FROM inten i JOIN bounds b
+  ON i.gx BETWEEN b.gx0 AND b.gx1 AND i.gy BETWEEN b.gy0 AND b.gy1
+GROUP BY b.parcel_id
+"""
+
+
+@query("zonal_stats", _ZONAL_SQL)
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the full raster->vector roundtrip: points ->
+    per-tile density PNGs through the REAL stdlib-zlib wire bytes ->
+    decoded pixels -> per-parcel aggregation (operators/raster.py
+    zonal_stats). Zones are the synth parcel rectangles forward-mapped
+    into global pixel coordinates with the writer's own binning
+    (corner-inclusive rasterization, documented); the join explodes
+    each zone into its covered TILES and equi-joins — the pixel table
+    (the data-sized side) never sees a nested-loop/range join. The
+    ORACLE recomputes bin counts, the intensity ramp and the zone
+    bounds in pure SQL — it never touches a PNG byte, so the hard
+    signal proves the codec roundtrip AND the zonal math. Reference
+    parity: rasterstats-style per-zone summaries over landlensdb's
+    coverage tile exports (cloud.py tiles + geoclasses polygons)."""
+    from landlensdb_spark.geo.tiles import tile_x, tile_y
+    from landlensdb_spark.operators.raster import (
+        raster_to_pixels,
+        tile_density_raster,
+        zonal_stats,
+    )
+
+    pts = _points(spark, sf_dir)
+    pix = raster_to_pixels(tile_density_raster(pts, zoom=5, grid=16, cap=64))
+
+    def gpx(c):
+        tx = tile_x(c, 5)
+        fx = (c + F.lit(180.0)) / F.lit(360.0) * F.lit(32.0)
+        return tx * 16 + F.least(
+            F.greatest(F.floor((fx - tx.cast("double")) * F.lit(16.0)), F.lit(0)),
+            F.lit(15),
+        )
+
+    def gpy(c):
+        ty = tile_y(c, 5)
+        fy = (
+            (F.lit(1.0) - F.asinh(F.tan(F.radians(c))) / F.lit(math.pi))
+            / F.lit(2.0)
+            * F.lit(32.0)
+        )
+        return ty * 16 + F.least(
+            F.greatest(F.floor((fy - ty.cast("double")) * F.lit(16.0)), F.lit(0)),
+            F.lit(15),
+        )
+
+    rows = []
+    for gx in range(synth.PARCEL_NX):
+        for gy in range(synth.PARCEL_NY):
+            rows.append(
+                (
+                    gx * synth.PARCEL_NY + gy,
+                    synth.PARCEL_X0 + gx * synth.PARCEL_DX,
+                    synth.PARCEL_X0 + (gx + 1) * synth.PARCEL_DX,
+                    synth.PARCEL_Y0 + gy * synth.PARCEL_DY,
+                    synth.PARCEL_Y0 + (gy + 1) * synth.PARCEL_DY,
+                )
+            )
+    zones = spark.createDataFrame(
+        rows, "parcel_id long, x0 double, x1 double, y0 double, y1 double"
+    ).select(
+        "parcel_id",
+        gpx(F.col("x0")).alias("gx0"),
+        gpx(F.col("x1")).alias("gx1"),
+        gpy(F.col("y1")).alias("gy0"),
+        gpy(F.col("y0")).alias("gy1"),
+    )
+    return zonal_stats(pix, zones, 16, zone_id="parcel_id").select(
+        "parcel_id",
+        F.col("sum_val").cast("long").alias("sum_val"),
+        F.col("n_pix").alias("n_pix"),
     )
 
 

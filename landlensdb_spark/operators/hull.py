@@ -106,3 +106,54 @@ def convex_hull(
     hull = pts.groupBy(gname).applyInPandas(_hull, out_fields)
     keep = [*gcols, F.col("_x").alias(x), F.col("_y").alias(y)]
     return hull.select(*keep)
+
+
+def group_diameter(
+    df: DataFrame, x: str = "x", y: str = "y", group: str | None = None
+) -> DataFrame:
+    """Per-group farthest-pair SQUARED distance (``group?, diam2``) —
+    the footprint diameter next to :func:`convex_hull`'s footprint
+    shape (reference parity: geopandas users take
+    ``hull.exterior`` / pairwise ``distance`` maxima over per-source
+    point sets).
+
+    The max pairwise distance of a point set is attained at two extreme
+    points, so the kernel computes the hull first (Andrew's chain) and
+    only then the pairwise max over the h hull vertices — O(n log n +
+    h^2) per group instead of O(n^2); h is tiny (~log n for random
+    sets, bounded by the hull's vertex count always). Same distribution
+    axis and size guard as :func:`convex_hull`: one shuffle, one
+    vectorized kernel per group.
+
+    Squared distance (not sqrt) so the result is EXACT integer
+    arithmetic on integer-lattice inputs — bit-identical to any other
+    engine's brute-force max, which is precisely what the driver oracle
+    runs. Groups with one distinct point report 0.0.
+    """
+    gcols = [group] if group is not None else []
+    gname = group or "_g"
+    src = df if group is not None else df.withColumn(gname, F.lit(0))
+    pts = src.select(gname, F.col(x).alias("_x"), F.col(y).alias("_y")).distinct()
+    gtype = dict(zip(pts.schema.names, (f.dataType.simpleString() for f in pts.schema.fields)))[gname]
+    out_fields = f"{gname} {gtype}, diam2 double"
+
+    def _diam(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > MAX_GROUP_POINTS:
+            raise ValueError(
+                f"group_diameter: group {pdf[gname].iloc[0]!r} has "
+                f"{len(pdf):,} points (> {MAX_GROUP_POINTS:,} single-task "
+                "budget) — thin with a cell/tile grid first"
+            )
+        xs = pdf["_x"].to_numpy(np.float64)
+        ys = pdf["_y"].to_numpy(np.float64)
+        if not (np.isfinite(xs).all() and np.isfinite(ys).all()):
+            raise ValueError("group_diameter: non-finite coordinates")
+        keep = np_hull(xs, ys)
+        hx, hy = xs[keep], ys[keep]
+        dx = hx[:, None] - hx[None, :]
+        dy = hy[:, None] - hy[None, :]
+        d2 = float((dx * dx + dy * dy).max())
+        return pd.DataFrame({gname: [pdf[gname].iloc[0]], "diam2": [d2]})
+
+    out = pts.groupBy(gname).applyInPandas(_diam, out_fields)
+    return out.select(*gcols, "diam2") if group is not None else out.select("diam2")

@@ -274,3 +274,59 @@ def raster_to_pixels(tiles: DataFrame, png_col: str = "png") -> DataFrame:
             )
 
     return tiles.mapInPandas(_run, schema)
+
+
+def zonal_stats(
+    pixels: DataFrame,
+    zones: DataFrame,
+    grid: int,
+    value: str = "intensity",
+    zone_id: str = "zone_id",
+) -> DataFrame:
+    """Zonal statistics over a decoded raster — the vector side of the
+    raster<->vector roundtrip (reference parity: rasterstats-style
+    per-zone aggregation over landlensdb's coverage tiles).
+
+    ``pixels``: (tile_x, tile_y, px, py, <value>) as produced by
+    :func:`raster_to_pixels`. ``zones``: (<zone_id>, gx0, gx1, gy0,
+    gy1) — CLOSED global-pixel-coordinate bounds (global coord =
+    tile * grid + pixel). Output: (<zone_id>, sum_val, n_pix).
+
+    Scale shape: each zone explodes into the TILES its bounds cover
+    (constant small fan-out — zone extent / tile extent), the
+    pixel<->zone match is a plain (tile_x, tile_y) equi-join with an
+    exact bounds refine, and the aggregate is map-side combined. Never
+    a nested-loop/range join against the pixel table, which is the
+    data-sized side. Zones sharing a boundary pixel both count it
+    (closed bounds, documented corner-inclusive rasterization)."""
+    p = pixels.select(
+        "tile_x",
+        "tile_y",
+        (F.col("tile_x") * grid + F.col("px")).alias("_gx"),
+        (F.col("tile_y") * grid + F.col("py")).alias("_gy"),
+        F.col(value).alias("_v"),
+    )
+    z = zones.select(
+        zone_id,
+        "gx0",
+        "gx1",
+        "gy0",
+        "gy1",
+        F.explode(
+            F.sequence(F.floor(F.col("gx0") / grid), F.floor(F.col("gx1") / grid))
+        ).alias("tile_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("gy0") / grid), F.floor(F.col("gy1") / grid))
+        ).alias("tile_y"),
+    )
+    return (
+        p.join(z, ["tile_x", "tile_y"])
+        .filter(
+            F.col("_gx").between(F.col("gx0"), F.col("gx1"))
+            & F.col("_gy").between(F.col("gy0"), F.col("gy1"))
+        )
+        .groupBy(zone_id)
+        .agg(F.sum("_v").alias("sum_val"), F.count("*").alias("n_pix"))
+    )

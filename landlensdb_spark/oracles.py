@@ -504,3 +504,24 @@ AND NOT EXISTS (
     AND (a.x - p.x) * (b.x - p.x) + (a.y - p.y) * (b.y - p.y) <= 0
 )
 """
+
+
+def hull_diameter_sql(limit_key: int = 512, groups: int = 4) -> str:
+    """Brute-force farthest-pair oracle for :func:`operators.hull.
+    group_diameter` — the O(n^2) max the engine's hull pruning avoids,
+    affordable in DuckDB at oracle scale. Squared distances on
+    integer-lattice coordinates are exact in IEEE doubles, so the
+    engine's hull-vertex pairwise max must match bit-for-bit."""
+    pts = (
+        f"SELECT DISTINCT (o_orderkey % {groups}) AS g,"
+        " CAST((o_orderkey * 2654435761) % 1009 AS DOUBLE) AS x,"
+        " CAST(((o_orderkey + 13) * 2246822519) % 1013 AS DOUBLE) AS y"
+        f" FROM orders WHERE o_orderkey < {limit_key}"
+    )
+    return f"""
+WITH pts AS ({pts})
+SELECT a.g,
+       MAX((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS diam2
+FROM pts a JOIN pts b ON a.g = b.g
+GROUP BY a.g
+"""

@@ -155,3 +155,29 @@ def test_convex_hull_guards(spark):
             H.convex_hull(big).collect()
     finally:
         H.MAX_GROUP_POINTS = old
+
+
+def test_group_diameter_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(6):
+        n = int(rng.integers(1, 40))
+        for _ in range(n):
+            rows.append((g, float(rng.integers(0, 50)), float(rng.integers(0, 50))))
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    got = {r["g"]: r["diam2"] for r in H.group_diameter(df, group="g").collect()}
+    pdf = pd.DataFrame(rows, columns=["g", "x", "y"])
+    for g, grp in pdf.groupby("g"):
+        p = grp[["x", "y"]].to_numpy(np.float64)
+        d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(-1).max()
+        assert got[g] == d2, g
+
+
+def test_group_diameter_ungrouped_and_degenerate(spark):
+    df = spark.createDataFrame([(3.0, 4.0)], "x double, y double")
+    assert H.group_diameter(df).collect()[0]["diam2"] == 0.0
+    df2 = spark.createDataFrame(
+        [(0.0, 0.0), (0.0, 0.0), (3.0, 4.0)], "x double, y double"
+    )
+    assert H.group_diameter(df2).collect()[0]["diam2"] == 25.0
+    assert H.group_diameter(df2).columns == ["diam2"]

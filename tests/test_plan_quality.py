@@ -422,3 +422,44 @@ def test_compact_cover_driver_query_plan(spark, sf_dir):
     assert "InMemoryRelation" in plan, plan
     assert _n_nodes(plan, "CartesianProduct") == 0, plan
     assert _n_nodes(plan, "ArrowEvalPython") == 0, plan
+
+
+def test_hull_driver_queries_plan(spark, sf_dir):
+    """hull_extremes / hull_diameter: exactly ONE FlatMapGroupsInPandas
+    (the per-group chain kernel) and no cartesian / nested-loop join —
+    the hull never degrades into a pairwise point join."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    for name in ("hull_extremes", "hull_diameter"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert _n_nodes(plan, "FlatMapGroupsInPandas") == 1, (name, plan)
+        assert _n_nodes(plan, "CartesianProduct") == 0, (name, plan)
+        assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, (name, plan)
+
+
+def test_grid_cluster_driver_query_plan(spark, sf_dir):
+    """grid_cluster_pts: the cell adjacency is a constant-fan-out
+    explode + EQUI-join (never a range/theta join materializing cell
+    pairs), the component propagation is equi-joins, and the whole
+    query is column math — no Python stage, no cartesian, no
+    nested-loop join anywhere."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["grid_cluster_pts"](spark, sf_dir))
+    assert _n_nodes(plan, "CartesianProduct") == 0, plan
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _n_nodes(plan, "ArrowEvalPython") == 0, plan
+    assert _n_nodes(plan, "BatchEvalPython") == 0, plan
+    assert _n_nodes(plan, "FlatMapGroupsInPandas") == 0, plan
+
+
+def test_zonal_stats_driver_query_plan(spark, sf_dir):
+    """zonal_stats: the zone<->pixel match must be the tile EQUI-join +
+    bounds refine — never a nested-loop/range join against the pixel
+    table (the data-sized side); the only Python stages are the two
+    codec boundaries (PNG render + decode)."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["zonal_stats"](spark, sf_dir))
+    assert _n_nodes(plan, "CartesianProduct") == 0, plan
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan

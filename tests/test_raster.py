@@ -182,3 +182,36 @@ def test_media_thumbnail_operator(spark):
     assert got["png"]["thumb"] is not None
     assert got["jpeg"]["thumb"] is None and got["jpeg"]["thumb_w"] is None
     assert got["empty"]["thumb"] is None
+
+
+def test_zonal_stats_operator(spark):
+    """Synthetic pixels/zones (no trig): closed-bounds membership, shared
+    boundary pixel counts in BOTH zones, empty zones absent, tile explode
+    covers zones spanning tile borders."""
+    from landlensdb_spark.operators.raster import zonal_stats
+
+    # grid=4: tiles are 4x4 pixel blocks. Pixels across two tiles.
+    pix = spark.createDataFrame(
+        [
+            # tile (0,0): global (0..3, 0..3)
+            (0, 0, 0, 0, 10),
+            (0, 0, 3, 3, 20),
+            # tile (1,0): global (4..7, 0..3)
+            (1, 0, 0, 1, 40),  # global (4,1)
+        ],
+        "tile_x long, tile_y long, px int, py int, intensity int",
+    )
+    zones = spark.createDataFrame(
+        [
+            (1, 0, 3, 0, 3),  # exactly tile (0,0) -> pixels 10+20
+            (2, 3, 4, 0, 2),  # spans the tile border: global x 3..4, y 0..2 -> 40 only... and (3,3)? y<=2 no
+            (3, 3, 3, 3, 3),  # single pixel (3,3) -> 20 (shared with zone 1)
+            (4, 6, 7, 0, 3),  # empty
+        ],
+        "zone_id long, gx0 long, gx1 long, gy0 long, gy1 long",
+    )
+    got = {
+        r["zone_id"]: (r["sum_val"], r["n_pix"])
+        for r in zonal_stats(pix, zones, 4).collect()
+    }
+    assert got == {1: (30, 2), 2: (40, 1), 3: (20, 1)}
