@@ -2378,6 +2378,61 @@ GROUP BY b.parcel_id
 """
 
 
+_FOCAL_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT {synth.tile_x_sql('lon', 5)} AS tile_x,
+         {synth.tile_y_sql('lat', 5)} AS tile_y,
+         least(greatest(cast(floor(((lon + 180.0)/360.0*32 - {synth.tile_x_sql('lon', 5)}) * 16) as bigint), 0), 15) AS px,
+         least(greatest(cast(floor(((1.0 - ({_MVT_ASINH})/pi())/2.0*32 - {synth.tile_y_sql('lat', 5)}) * 16) as bigint), 0), 15) AS py
+  FROM pts
+),
+inten AS (
+  SELECT tile_x * 16 + px AS gx, tile_y * 16 + py AS gy,
+         least(count(*) * 255 // 64, 255) AS intensity
+  FROM t GROUP BY 1, 2
+)
+SELECT c.gx // 16 AS tile_x, c.gy // 16 AS tile_y,
+       CAST(c.gx % 16 AS INT) AS px, CAST(c.gy % 16 AS INT) AS py,
+       CAST(SUM(n.intensity) AS BIGINT) AS focal_sum,
+       COUNT(*) AS n_nbrs
+FROM inten c JOIN inten n
+  ON abs(c.gx - n.gx) <= 1 AND abs(c.gy - n.gy) <= 1
+GROUP BY c.gx, c.gy
+"""
+
+
+@query("focal_hotspots", _FOCAL_SQL)
+def q_focal_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (moving-window) raster statistics (operators/raster.py
+    focal_sum): 3x3 Chebyshev-window sums over the decoded density
+    raster — heatmap smoothing / hotspot detection over coverage tiles,
+    windows reaching ACROSS tile borders via global pixel coordinates.
+    Engine shape: constant 9-offset explode + global-coordinate
+    equi-join through one shuffle (sparse convolution — never a dense
+    grid, never a range join); the ORACLE recomputes bin counts, the
+    intensity ramp and the windowed sums in pure SQL where the
+    Chebyshev theta-join is affordable. Like zonal_stats, the engine
+    path runs through REAL PNG wire bytes, so the hash also re-proves
+    the codec roundtrip."""
+    from landlensdb_spark.operators.raster import (
+        focal_sum,
+        raster_to_pixels,
+        tile_density_raster,
+    )
+
+    pts = _points(spark, sf_dir)
+    pix = raster_to_pixels(tile_density_raster(pts, zoom=5, grid=16, cap=64))
+    return focal_sum(pix, radius=1, grid=16).select(
+        "tile_x",
+        "tile_y",
+        "px",
+        "py",
+        F.col("focal_sum").cast("long").alias("focal_sum"),
+        F.col("n_nbrs").cast("long").alias("n_nbrs"),
+    )
+
+
 @query("zonal_stats", _ZONAL_SQL)
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — the full raster->vector roundtrip: points ->

@@ -463,3 +463,14 @@ def test_zonal_stats_driver_query_plan(spark, sf_dir):
     plan = _plan(QUERIES["zonal_stats"](spark, sf_dir))
     assert _n_nodes(plan, "CartesianProduct") == 0, plan
     assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_focal_hotspots_driver_query_plan(spark, sf_dir):
+    """focal_hotspots: the window match is the constant 9-offset explode
+    + global-coordinate EQUI-join — the Chebyshev theta-join lives only
+    in the oracle."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["focal_hotspots"](spark, sf_dir))
+    assert _n_nodes(plan, "CartesianProduct") == 0, plan
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan

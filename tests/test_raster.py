@@ -215,3 +215,38 @@ def test_zonal_stats_operator(spark):
         for r in zonal_stats(pix, zones, 4).collect()
     }
     assert got == {1: (30, 2), 2: (40, 1), 3: (20, 1)}
+
+
+def test_focal_sum_operator(spark):
+    """Chebyshev windows, cross-tile reach, sparse-zero semantics,
+    radius 0 = identity."""
+    from landlensdb_spark.operators.raster import focal_sum
+
+    pix = spark.createDataFrame(
+        [
+            (0, 0, 3, 3, 5),   # global (3,3)
+            (1, 0, 0, 3, 7),   # global (4,3) — adjacent ACROSS tile border
+            (0, 0, 0, 0, 11),  # global (0,0) — isolated
+        ],
+        "tile_x long, tile_y long, px int, py int, intensity int",
+    )
+    got = {
+        (r["tile_x"], r["tile_y"], r["px"], r["py"]): (r["focal_sum"], r["n_nbrs"])
+        for r in focal_sum(pix, radius=1, grid=4).collect()
+    }
+    assert got == {
+        (0, 0, 3, 3): (12, 2),
+        (1, 0, 0, 3): (12, 2),
+        (0, 0, 0, 0): (11, 1),
+    }
+    got0 = {
+        (r["tile_x"], r["tile_y"], r["px"], r["py"]): r["focal_sum"]
+        for r in focal_sum(pix, radius=0, grid=4).collect()
+    }
+    assert got0 == {(0, 0, 3, 3): 5, (1, 0, 0, 3): 7, (0, 0, 0, 0): 11}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="radius"):
+        focal_sum(pix, radius=-1, grid=4)
+    with _pt.raises(ValueError, match="grid"):
+        focal_sum(pix, radius=1)
