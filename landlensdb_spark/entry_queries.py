@@ -2378,6 +2378,58 @@ GROUP BY b.parcel_id
 """
 
 
+_TRENDS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+),
+c AS (
+  SELECT user_id, x - MIN(x) OVER (PARTITION BY user_id) AS xc, y FROM e
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(xc * y) AS BIGINT) AS sxy,
+         CAST(SUM(xc * xc) AS BIGINT) AS sxx
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) END AS intercept
+FROM s
+"""
+
+
+@query("user_trends", _TRENDS_SQL)
+def q_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (operators/stats.py group_trend) over
+    the events stream — value quantized to cents and ts to epoch
+    seconds so all five sufficient statistics are EXACT int64 sums
+    (order/partitioning-independent where float sums can never sit
+    under a cross-engine hash); only the final slope/intercept divide
+    those exact integers, one IEEE double expression on each side, so
+    the doubles are bit-identical. x centers on the per-user min first
+    (keeps n*Sxy far from the int64 boundary at epoch scale; ANSI mode
+    makes a real overflow loud, never a silent wrap); the intercept is
+    anchored at each user's earliest event (documented group_trend
+    semantics), not at epoch 1970."""
+    from landlensdb_spark.operators.stats import group_trend
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return group_trend(e, "x", "y", "user_id")
+
+
 _FOCAL_SQL = f"""
 WITH pts AS ({_PTS_SQL}),
 t AS (
