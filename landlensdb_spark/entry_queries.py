@@ -1583,6 +1583,61 @@ def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_ranges_oracle() -> str:
+    lvl = 12
+    x0 = synth.PARCEL_X0 + 5 * synth.PARCEL_DX
+    x1 = synth.PARCEL_X0 + 6 * synth.PARCEL_DX
+    y0 = synth.PARCEL_Y0 + 7 * synth.PARCEL_DY
+    y1 = synth.PARCEL_Y0 + 8 * synth.PARCEL_DY
+    pts = (
+        f"SELECT x * 100000 + y AS key, x, y FROM"
+        f" (SELECT unnest(generate_series({synth.tile_x_sql(repr(x0), lvl)},"
+        f" {synth.tile_x_sql(repr(x1), lvl)})) AS x) a CROSS JOIN"
+        f" (SELECT unnest(generate_series({synth.tile_y_sql(repr(y1), lvl)},"
+        f" {synth.tile_y_sql(repr(y0), lvl)})) AS y) b"
+    )
+    h = oracles.hilbert_sql(pts, "x", "y", lvl)
+    return f"""
+WITH h AS ({h}),
+r AS (
+  SELECT hilbert_cell AS k,
+         hilbert_cell - ROW_NUMBER() OVER (ORDER BY hilbert_cell) AS isl
+  FROM h
+)
+SELECT MIN(k) AS range_start, MAX(k) AS range_end, COUNT(*) AS n_cells
+FROM r GROUP BY isl
+"""
+
+
+@query("hilbert_scan_ranges", _hilbert_ranges_oracle())
+def q_hilbert_scan_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFC range decomposition (operators/ranges.py): a parcel bbox at
+    level 12 becomes the minimal set of contiguous Hilbert-key BETWEEN
+    ranges — the planner step that turns a spatial predicate into a few
+    sorted-key scans (Iceberg sort key / row-group pruning) instead of
+    a cover-table join at 10^12 rows. Engine: sequence-explode cover ->
+    one Arrow Hilbert kernel -> distinct-integer islands; ORACLE:
+    DuckDB enumerates the same cover, runs the 12 unrolled xy->d
+    rotation steps as integer CASE math, and compresses runs with the
+    same islands identity — both sides must produce the IDENTICAL
+    maximal-run set or the hash breaks."""
+    from landlensdb_spark.geo.tiles import tile_x, tile_y
+    from landlensdb_spark.operators.ranges import hilbert_ranges
+
+    lvl = 12
+    x0 = synth.PARCEL_X0 + 5 * synth.PARCEL_DX
+    x1 = synth.PARCEL_X0 + 6 * synth.PARCEL_DX
+    y0 = synth.PARCEL_Y0 + 7 * synth.PARCEL_DY
+    y1 = synth.PARCEL_Y0 + 8 * synth.PARCEL_DY
+    b = spark.range(1).select(
+        tile_x(F.lit(x0), lvl).alias("x0"),
+        tile_x(F.lit(x1), lvl).alias("x1"),
+        tile_y(F.lit(y1), lvl).alias("y0"),
+        tile_y(F.lit(y0), lvl).alias("y1"),
+    )
+    return hilbert_ranges(b, lvl)
+
+
 @query("s2_cells", oracles.s2_sql(_PTS_SQL, 13))
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CANONICAL S2 level-13 cell ids (geo/s2.py: real library bit layout;

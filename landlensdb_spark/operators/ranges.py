@@ -1,0 +1,95 @@
+"""Space-filling-curve RANGE DECOMPOSITION — the index-scan planner
+step for SFC-sorted tables: turn a tile bbox into the minimal set of
+contiguous Hilbert-key ranges, so a spatial predicate becomes a handful
+of ``key BETWEEN lo AND hi`` scans that push down to any sorted store
+(Iceberg sort keys, parquet row-group pruning, HBase-style key scans).
+This is the 100 TB reason the engine keeps Hilbert cells sortable longs
+(geo/cells.py): at scale you don't join against a cover table — you
+read the few key ranges the cover compresses into. Hilbert's locality
+is exactly what minimizes the range count vs Z-order/row-major (the
+classic Faloutsos-Roseman result, measured in ARCHITECTURE.md).
+
+Plan shape: the cover enumerates with ``sequence`` explodes (column
+math), Hilbert d is one Arrow-batched kernel (the same
+:func:`~landlensdb_spark.geo.cells.np_hilbert_d` the index uses), and
+maximal runs come from the classic distinct-integers islands trick
+(``d - row_number()`` is constant exactly on a contiguous run). The
+islands window is globally ordered, which is fine HERE and only here:
+a range-decomposition cover is a PLANNER artifact, bounded by
+``max_cells`` with a loud runtime refusal — same single-task-budget
+discipline as geo/cells.compact_cells' documented phase 2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from landlensdb_spark.geo.cells import _RES_SHIFT, np_hilbert_d
+
+#: refuse covers beyond this many cells — a planner artifact should be
+#: small; decompose bigger areas at a coarser level first.
+MAX_COVER_CELLS = 1 << 21
+
+
+def hilbert_d_udf(level: int):
+    """Arrow-batched Hilbert xy -> tagged sortable key at ``level``."""
+
+    @F.pandas_udf(LongType())
+    def _d(x: pd.Series, y: pd.Series) -> pd.Series:
+        d = np_hilbert_d(x.to_numpy(np.int64), y.to_numpy(np.int64), level)
+        return pd.Series((np.int64(level) << _RES_SHIFT) | d)
+
+    return _d
+
+
+def hilbert_ranges(
+    bounds: DataFrame, level: int, max_cells: int = MAX_COVER_CELLS
+) -> DataFrame:
+    """``(range_start, range_end, n_cells)`` — the maximal contiguous
+    Hilbert-key runs covering the tile bbox. ``bounds`` is a ONE-ROW
+    DataFrame with integer tile columns ``x0 <= x1``, ``y0 <= y1`` at
+    ``level`` (derive them with geo.tiles.tile_x/tile_y column math so
+    any lon/lat -> tile conversion stays engine-consistent). Covers
+    larger than ``max_cells`` raise at runtime."""
+    n = (F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)
+    # the guard gates x1 itself (not a side column Catalyst would prune
+    # away unevaluated): the explode below cannot run without tripping it
+    guarded = bounds.select(
+        "x0",
+        F.when(n <= F.lit(int(max_cells)), F.col("x1"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("hilbert_ranges: cover of "),
+                    n.cast("string"),
+                    F.lit(f" cells exceeds max_cells={max_cells}; "),
+                    F.lit("decompose at a coarser level"),
+                )
+            )
+        )
+        .alias("x1"),
+        "y0",
+        "y1",
+    )
+    xy = guarded.select(
+        F.explode(F.sequence("x0", "x1")).alias("x"), "y0", "y1"
+    ).select("x", F.explode(F.sequence("y0", "y1")).alias("y"))
+    keys = xy.select(hilbert_d_udf(level)(F.col("x"), F.col("y")).alias("k"))
+    # distinct integers: k - row_number(k) is constant exactly on a
+    # contiguous run (bounded planner cover -> global window is fine)
+    isl = keys.select(
+        "k", (F.col("k") - F.row_number().over(Window.orderBy("k"))).alias("_i")
+    )
+    return (
+        isl.groupBy("_i")
+        .agg(
+            F.min("k").alias("range_start"),
+            F.max("k").alias("range_end"),
+            F.count("*").alias("n_cells"),
+        )
+        .drop("_i")
+    )
