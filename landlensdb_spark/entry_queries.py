@@ -941,6 +941,42 @@ FROM t JOIN a USING (g) JOIN b USING (g)
 """
 
 
+def _hll_pyramid_oracle() -> str:
+    from landlensdb_spark.operators.sketch import hll_distinct_sql
+
+    pts = f"({_PTS_SQL.replace('orders', 'orders')}) t"
+    parts = []
+    for z in range(6, 10):
+        g = (
+            f"{z * (1 << 52)} + {synth.tile_x_sql('lon', z)} * {1 << 26}"
+            f" + {synth.tile_y_sql('lat', z)}"
+        )
+        parts.append(hll_distinct_sql(pts, "key", group_expr=g, p=6))
+    return " UNION ALL ".join(f"SELECT * FROM ({s})" for s in parts)
+
+
+@query("tile_hll_pyramid", _hll_pyramid_oracle())
+def q_tile_hll_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP without rescan (operators/sketch.py hll_pyramid):
+    per-tile HLL registers computed once at zoom 9, merged up the
+    ancestor chain to zoom 6 by register max — the mergeability that
+    makes pyramid/OLAP-cube sketch rollups touch m register rows per
+    tile instead of the data. Max is associative, so every level's
+    estimate must be BIT-identical to running the sketch directly on
+    that level's groups — the ORACLE does exactly that (four direct
+    hll_distinct_sql computations, one per zoom), so any merge error,
+    register drop or double-count breaks the hash."""
+    from landlensdb_spark.geo.tiles import tile_x, tile_y
+    from landlensdb_spark.operators.sketch import hll_pyramid
+
+    pts = _points(spark, sf_dir).select(
+        "key",
+        tile_x("lon", 9).alias("tile_x"),
+        tile_y("lat", 9).alias("tile_y"),
+    )
+    return hll_pyramid(pts, "key", zoom=9, min_zoom=6, p=6)
+
+
 @query("hll_lang_docs", _hll_docs_oracle())
 def q_hll_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog (operators/sketch.py) per language at two

@@ -140,6 +140,12 @@ def hll_distinct(
         .groupBy(*gcols, "_b")
         .agg(F.max("_rho").alias("_M"))
     )
+    return _hll_fold(regs, gcols, m, out)
+
+
+def _hll_fold(regs: DataFrame, gcols: list, m: int, out: str) -> DataFrame:
+    """Registers ``(gcols..., _b, _M)`` -> per-group estimate (the shared
+    last mile of :func:`hll_distinct` and :func:`hll_pyramid`)."""
     folded = regs.groupBy(*gcols).agg(
         F.sum(F.expr(f"cast(shiftleft(1, {_SHIFT} - _M) as bigint)")).alias("_s"),
         F.count("*").alias("_n"),
@@ -153,6 +159,77 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
     return folded.select(*gcols, F.round(est, 6).alias(out))
+
+
+#: zoom / x / y packing for hll_pyramid's group key (x, y < 2^26).
+_PYR_Z_SHIFT, _PYR_X_SHIFT = 52, 26
+
+
+def hll_pyramid(
+    df: DataFrame,
+    key: str,
+    x: str = "tile_x",
+    y: str = "tile_y",
+    zoom: int = 12,
+    min_zoom: int = 8,
+    p: int = 8,
+    key_kind: str = "long",
+    out: str = "hll_distinct",
+) -> DataFrame:
+    """Distinct-count tile pyramid WITHOUT rescanning: per-tile HLL
+    registers are computed ONCE at ``zoom`` from the input rows
+    ``(x, y, key)``, then merged up the ancestor chain (register max per
+    bucket — HLL's mergeability is the whole point of a sketch at
+    100 TB: the rollup touches ``m`` register rows per tile, never the
+    data again). Because max is associative, the estimate at EVERY
+    level is bit-identical to running :func:`hll_distinct` directly on
+    that level's groups — which is exactly what the driver oracle
+    asserts. Output: ``(g, <out>)`` for every zoom in
+    [``min_zoom``, ``zoom``], with ``g = zoom << 52 | x << 26 | y``."""
+    if not 0 <= min_zoom <= zoom:
+        raise ValueError(f"hll_pyramid: need 0 <= min_zoom <= zoom, got {min_zoom}/{zoom}")
+    if not 2 <= p <= 12:
+        raise ValueError(f"hll: p must be in [2, 12], got {p}")
+    m = 1 << p
+    base = _base(key, key_kind)
+    ha = _fin(base, _FIN_A)
+    hb = _fin(F.pmod(base + F.lit(_TWEAK), F.lit(MIX_MOD)), _FIN_B)
+    bucket = F.pmod(hb, F.lit(m))
+    rho = F.lit(_SHIFT) - F.when(ha > 0, F.length(F.bin(ha))).otherwise(F.lit(0))
+    regs = (
+        df.select(
+            F.col(x).cast("long").alias("_x"),
+            F.col(y).cast("long").alias("_y"),
+            bucket.alias("_b"),
+            rho.alias("_rho"),
+        )
+        .groupBy("_x", "_y", "_b")
+        .agg(F.max("_rho").alias("_M"))
+    )
+    levels = []
+    for z in range(zoom, min_zoom - 1, -1):
+        if z < zoom:  # merge one level up: register max over the 4 children
+            regs = (
+                regs.select(
+                    (F.col("_x") / 2).cast("long").alias("_x"),
+                    (F.col("_y") / 2).cast("long").alias("_y"),
+                    "_b",
+                    "_M",
+                )
+                .groupBy("_x", "_y", "_b")
+                .agg(F.max("_M").alias("_M"))
+            )
+            regs = regs.localCheckpoint(eager=True)  # truncate the chain
+        g = (
+            F.lit(z) * F.lit(1 << _PYR_Z_SHIFT)
+            + F.col("_x") * F.lit(1 << _PYR_X_SHIFT)
+            + F.col("_y")
+        )
+        levels.append(_hll_fold(regs.withColumn("g", g), ["g"], m, out))
+    res = levels[0]
+    for lv in levels[1:]:
+        res = res.unionByName(lv)
+    return res
 
 
 def hll_distinct_sql(

@@ -287,3 +287,62 @@ def test_hist_quantiles_validation(spark):
         hist_quantiles(df, "x", 1.0, 1.0, 4, [0.5])
     with pytest.raises(ValueError, match="qs"):
         hist_quantiles_sql("t", "x", 0.0, 1.0, 4, [0.0])
+
+
+def test_hll_pyramid_merge_equals_direct(spark):
+    """Register-max rollup must be BIT-identical to computing the sketch
+    directly at every level (max associativity), incl. tiles crossing
+    parent boundaries and both estimator branches."""
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.operators.sketch import hll_distinct, hll_pyramid
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 48271) % 23).alias("tile_x"),
+        ((F.col("id") * 16807) % 17).alias("tile_y"),
+    )
+    got = {
+        r["g"]: r["hll_distinct"]
+        for r in hll_pyramid(df, "k", zoom=5, min_zoom=2, p=4).collect()
+    }
+    for z in range(2, 6):
+        shift = 5 - z
+        direct = hll_distinct(
+            df.select(
+                "k",
+                (
+                    F.lit(z) * F.lit(1 << 52)
+                    + F.shiftright(F.col("tile_x").cast("int"), shift).cast("long")
+                    * F.lit(1 << 26)
+                    + F.shiftright(F.col("tile_y").cast("int"), shift).cast("long")
+                ).alias("g"),
+            ),
+            "k",
+            group="g",
+            p=4,
+        )
+        for r in direct.collect():
+            assert got[r["g"]] == r["hll_distinct"], (z, r["g"])
+    # every level present, counts of groups match the coarsening
+    zs = sorted({g >> 52 for g in got})
+    assert zs == [2, 3, 4, 5]
+
+
+def test_hll_pyramid_guards(spark):
+    from pyspark.sql import functions as F
+
+    from landlensdb_spark.operators.sketch import hll_pyramid
+
+    df = spark.range(4).select(
+        F.col("id").alias("k"),
+        F.lit(0).alias("tile_x"),
+        F.lit(0).alias("tile_y"),
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_zoom"):
+        hll_pyramid(df, "k", zoom=3, min_zoom=5)
+    with _pt.raises(ValueError, match="p must be"):
+        hll_pyramid(df, "k", zoom=3, min_zoom=3, p=1)
