@@ -474,3 +474,14 @@ def test_focal_hotspots_driver_query_plan(spark, sf_dir):
     plan = _plan(QUERIES["focal_hotspots"](spark, sf_dir))
     assert _n_nodes(plan, "CartesianProduct") == 0, plan
     assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_tile_hll_pyramid_driver_query_plan(spark, sf_dir):
+    """tile_hll_pyramid: the whole sketch pipeline is JVM column math —
+    no Python stage, no cartesian; rollup steps are plain aggregations."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["tile_hll_pyramid"](spark, sf_dir))
+    assert _n_nodes(plan, "ArrowEvalPython") == 0, plan
+    assert _n_nodes(plan, "BatchEvalPython") == 0, plan
+    assert _n_nodes(plan, "CartesianProduct") == 0, plan
