@@ -1619,30 +1619,76 @@ def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hilbert_ranges_oracle() -> str:
-    lvl = 12
-    x0 = synth.PARCEL_X0 + 5 * synth.PARCEL_DX
-    x1 = synth.PARCEL_X0 + 6 * synth.PARCEL_DX
-    y0 = synth.PARCEL_Y0 + 7 * synth.PARCEL_DY
-    y1 = synth.PARCEL_Y0 + 8 * synth.PARCEL_DY
-    pts = (
+def _RANGES_BBOX():
+    return (
+        synth.PARCEL_X0 + 5 * synth.PARCEL_DX,
+        synth.PARCEL_X0 + 6 * synth.PARCEL_DX,
+        synth.PARCEL_Y0 + 7 * synth.PARCEL_DY,
+        synth.PARCEL_Y0 + 8 * synth.PARCEL_DY,
+    )
+
+
+def _ranges_xy_sql(lvl: int) -> str:
+    x0, x1, y0, y1 = _RANGES_BBOX()
+    return (
         f"SELECT x * 100000 + y AS key, x, y FROM"
         f" (SELECT unnest(generate_series({synth.tile_x_sql(repr(x0), lvl)},"
         f" {synth.tile_x_sql(repr(x1), lvl)})) AS x) a CROSS JOIN"
         f" (SELECT unnest(generate_series({synth.tile_y_sql(repr(y1), lvl)},"
         f" {synth.tile_y_sql(repr(y0), lvl)})) AS y) b"
     )
-    h = oracles.hilbert_sql(pts, "x", "y", lvl)
+
+
+def _ranges_bounds(spark: SparkSession, lvl: int) -> DataFrame:
+    from landlensdb_spark.geo.tiles import tile_x, tile_y
+
+    x0, x1, y0, y1 = _RANGES_BBOX()
+    return spark.range(1).select(
+        tile_x(F.lit(x0), lvl).alias("x0"),
+        tile_x(F.lit(x1), lvl).alias("x1"),
+        tile_y(F.lit(y1), lvl).alias("y0"),
+        tile_y(F.lit(y0), lvl).alias("y1"),
+    )
+
+
+def _islands_sql(inner: str, keycol: str) -> str:
     return f"""
-WITH h AS ({h}),
+WITH h AS ({inner}),
 r AS (
-  SELECT hilbert_cell AS k,
-         hilbert_cell - ROW_NUMBER() OVER (ORDER BY hilbert_cell) AS isl
+  SELECT {keycol} AS k,
+         {keycol} - ROW_NUMBER() OVER (ORDER BY {keycol}) AS isl
   FROM h
 )
 SELECT MIN(k) AS range_start, MAX(k) AS range_end, COUNT(*) AS n_cells
 FROM r GROUP BY isl
 """
+
+
+def _morton_ranges_oracle() -> str:
+    lvl = 12
+    inner = (
+        f"SELECT {_quadkey_sql('x', 'y', lvl)} AS qk FROM ({_ranges_xy_sql(lvl)}) t"
+    )
+    return _islands_sql(inner, "qk")
+
+
+@query("morton_scan_ranges", _morton_ranges_oracle())
+def q_morton_scan_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order twin of hilbert_scan_ranges on the SAME bbox — pure
+    codegen keys (bit interleave, no kernel), but the measured cost is
+    fragmentation: this query returns 262 ranges where the Hilbert
+    decomposition returns 117 (ARCHITECTURE.md) — both counts now under
+    the hard driver signal, so the locality comparison is a verified
+    artifact, not a claim."""
+    from landlensdb_spark.operators.ranges import sfc_ranges
+
+    return sfc_ranges(_ranges_bounds(spark, 12), 12, order="morton")
+
+
+def _hilbert_ranges_oracle() -> str:
+    lvl = 12
+    h = oracles.hilbert_sql(_ranges_xy_sql(lvl), "x", "y", lvl)
+    return _islands_sql(h, "hilbert_cell")
 
 
 @query("hilbert_scan_ranges", _hilbert_ranges_oracle())
@@ -1657,21 +1703,9 @@ def q_hilbert_scan_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotation steps as integer CASE math, and compresses runs with the
     same islands identity — both sides must produce the IDENTICAL
     maximal-run set or the hash breaks."""
-    from landlensdb_spark.geo.tiles import tile_x, tile_y
     from landlensdb_spark.operators.ranges import hilbert_ranges
 
-    lvl = 12
-    x0 = synth.PARCEL_X0 + 5 * synth.PARCEL_DX
-    x1 = synth.PARCEL_X0 + 6 * synth.PARCEL_DX
-    y0 = synth.PARCEL_Y0 + 7 * synth.PARCEL_DY
-    y1 = synth.PARCEL_Y0 + 8 * synth.PARCEL_DY
-    b = spark.range(1).select(
-        tile_x(F.lit(x0), lvl).alias("x0"),
-        tile_x(F.lit(x1), lvl).alias("x1"),
-        tile_y(F.lit(y1), lvl).alias("y0"),
-        tile_y(F.lit(y0), lvl).alias("y1"),
-    )
-    return hilbert_ranges(b, lvl)
+    return hilbert_ranges(_ranges_bounds(spark, 12), 12)
 
 
 @query("s2_cells", oracles.s2_sql(_PTS_SQL, 13))

@@ -57,3 +57,19 @@ def test_ranges_are_maximal_disjoint_complete(spark):
 def test_cover_budget_guard(spark):
     with pytest.raises(Exception, match="max_cells"):
         R.hilbert_ranges(_bounds(spark, 0, 999, 0, 999), 10, max_cells=1000).collect()
+
+
+def test_morton_order_and_guard(spark):
+    got = sorted(
+        (r["range_start"], r["range_end"], r["n_cells"])
+        for r in R.sfc_ranges(_bounds(spark, 3, 9, 2, 12), 4, order="morton").collect()
+    )
+    # completeness + contiguity under the Z-order keys
+    assert sum(n for _, _, n in got) == 7 * 11
+    for lo, hi, n in got:
+        assert hi - lo + 1 == n
+    # morton fragments more than hilbert on the same bbox
+    h = R.hilbert_ranges(_bounds(spark, 3, 9, 2, 12), 4).count()
+    assert len(got) >= h
+    with pytest.raises(ValueError, match="order must be"):
+        R.sfc_ranges(_bounds(spark, 0, 1, 0, 1), 4, order="peano")
