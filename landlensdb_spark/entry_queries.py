@@ -4364,6 +4364,69 @@ def q_track_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESAMPLE_STEP_US = 6 * 3600 * 1_000_000
+
+
+def _track_resample_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         {synth.lon_sql('event_id')} AS lon,
+         {synth.lat_sql('event_id')} AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id, t AS t0,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t) AS t1,
+         lon AS lon0, lat AS lat0,
+         lead(lon) OVER (PARTITION BY user_id ORDER BY t) AS lon1,
+         lead(lat) OVER (PARTITION BY user_id ORDER BY t) AS lat1
+  FROM e
+),
+tk AS (
+  SELECT user_id, t0, t1, lon0, lat0, lon1, lat1,
+         unnest(generate_series(
+           ((t0 + {_RESAMPLE_STEP_US - 1}) // {_RESAMPLE_STEP_US}) * {_RESAMPLE_STEP_US},
+           t1 - 1, {_RESAMPLE_STEP_US})) AS tick
+  FROM seg WHERE t1 > t0
+)
+SELECT user_id, tick,
+       lon0 + (lon1 - lon0) * (CAST(tick - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) AS lon,
+       lat0 + (lat1 - lat0) * (CAST(tick - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) AS lat
+FROM tk
+"""
+
+
+@query("track_resample", _track_resample_oracle())
+def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory resampling (operators/tracks.py): every user's
+    irregular fix sequence re-emitted at global epoch-aligned 6 h ticks
+    by segment lerp — the regularization step before trajectory
+    featurization. Half-open segments mean every tick appears exactly
+    once; tick math is pure int64 (epoch MICROseconds — (user, ts_us)
+    is collision-free in this corpus, so the window order is total);
+    the lerp is one fixed IEEE expression, so the doubles are
+    bit-identical to the DuckDB twin. One window + one guarded sequence
+    explode; per-user shuffle state is the fix count, never the tick
+    count."""
+    from landlensdb_spark.operators.tracks import resample_tracks
+
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        # ts is TIMESTAMP_NTZ; the session tz is pinned UTC (session.py),
+        # so the cast is the identity instant DuckDB's epoch_us() reads
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        synth.lon_col(k).alias("lon"),
+        synth.lat_col(k).alias("lat"),
+    )
+    return resample_tracks(
+        pts, entity="user_id", t="t", coords=("lon", "lat"),
+        step_s=_RESAMPLE_STEP_US,
+    )
+
+
 ORACLES["track_lengths"] = f"""
     WITH e AS (
       SELECT user_id, ts, event_id,
