@@ -2610,6 +2610,85 @@ def q_focal_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOTSPOT_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT {synth.tile_x_sql('lon', 5)} AS tile_x,
+         {synth.tile_y_sql('lat', 5)} AS tile_y,
+         least(greatest(cast(floor(((lon + 180.0)/360.0*32 - {synth.tile_x_sql('lon', 5)}) * 16) as bigint), 0), 15) AS px,
+         least(greatest(cast(floor(((1.0 - ({_MVT_ASINH})/pi())/2.0*32 - {synth.tile_y_sql('lat', 5)}) * 16) as bigint), 0), 15) AS py
+  FROM pts
+),
+inten AS (
+  SELECT tile_x * 16 + px AS gx, tile_y * 16 + py AS gy,
+         least(count(*) * 255 // 64, 255) AS intensity
+  FROM t GROUP BY 1, 2
+),
+gstats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(intensity) AS BIGINT) AS sv,
+         CAST(SUM(intensity * intensity) AS BIGINT) AS svv
+  FROM inten
+),
+foc AS (
+  SELECT c.gx // 16 AS tile_x, c.gy // 16 AS tile_y,
+         CAST(c.gx % 16 AS INT) AS px, CAST(c.gy % 16 AS INT) AS py,
+         CAST(SUM(n.intensity) AS BIGINT) AS focal_sum,
+         COUNT(*) AS n_nbrs
+  FROM inten c JOIN inten n
+    ON abs(c.gx - n.gx) <= 1 AND abs(c.gy - n.gy) <= 1
+  GROUP BY c.gx, c.gy
+)
+SELECT f.tile_x, f.tile_y, f.px, f.py, f.focal_sum, f.n_nbrs,
+  CASE WHEN g.n > 1
+        AND (CAST(g.svv AS DOUBLE) / CAST(g.n AS DOUBLE)
+             - (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))
+               * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))) > 0
+        AND ((CAST(g.n AS DOUBLE) * CAST(f.n_nbrs AS DOUBLE)
+              - CAST(f.n_nbrs AS DOUBLE) * CAST(f.n_nbrs AS DOUBLE))
+             / (CAST(g.n AS DOUBLE) - 1.0)) > 0
+  THEN (CAST(f.focal_sum AS DOUBLE)
+        - CAST(f.n_nbrs AS DOUBLE) * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE)))
+       / (sqrt(CAST(g.svv AS DOUBLE) / CAST(g.n AS DOUBLE)
+               - (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE)))
+          * sqrt((CAST(g.n AS DOUBLE) * CAST(f.n_nbrs AS DOUBLE)
+                  - CAST(f.n_nbrs AS DOUBLE) * CAST(f.n_nbrs AS DOUBLE))
+                 / (CAST(g.n AS DOUBLE) - 1.0)))
+  ELSE NULL END AS z
+FROM foc f CROSS JOIN gstats g
+"""
+
+
+@query("hotspot_zscores", _HOTSPOT_SQL)
+def q_hotspot_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gi*-style hotspot z-scores (operators/raster.py focal_zscores)
+    over the decoded density raster: focal 3x3 sums scored against the
+    GLOBAL populated-pixel moments — exact int64 sums, z as one fixed
+    IEEE expression (bit-identical cross-engine, the group_trend
+    discipline); sparse-zero population documented. The global moments
+    ride the engine-wide one-row broadcast-crossJoin pattern. Oracle:
+    the identical closed form in pure SQL over recomputed bins — still
+    never touching a PNG byte while the engine path runs through real
+    wire bytes."""
+    from landlensdb_spark.operators.raster import (
+        focal_zscores,
+        raster_to_pixels,
+        tile_density_raster,
+    )
+
+    pts = _points(spark, sf_dir)
+    pix = raster_to_pixels(tile_density_raster(pts, zoom=5, grid=16, cap=64))
+    return focal_zscores(pix, radius=1, grid=16).select(
+        "tile_x",
+        "tile_y",
+        "px",
+        "py",
+        F.col("focal_sum").cast("long").alias("focal_sum"),
+        F.col("n_nbrs").cast("long").alias("n_nbrs"),
+        "z",
+    )
+
+
 @query("zonal_stats", _ZONAL_SQL)
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — the full raster->vector roundtrip: points ->

@@ -396,3 +396,50 @@ def focal_sum(
         .groupBy("tile_x", "tile_y", "px", "py")
         .agg(F.sum("_v").alias("focal_sum"), F.count("*").alias("n_nbrs"))
     )
+
+
+def focal_zscores(
+    pixels: DataFrame,
+    radius: int = 1,
+    value: str = "intensity",
+    grid: int | None = None,
+) -> DataFrame:
+    """Getis-Ord-Gi*-style hotspot z-scores over the sparse raster: for
+    each populated pixel, how far its window sum sits above what a
+    random draw of ``n_nbrs`` populated pixels would give —
+    ``z = (S_i - k_i*mean) / (s * sqrt((n*k_i - k_i^2)/(n-1)))`` with
+    mean/s the GLOBAL moments over populated pixels (sparse-zero
+    convention: empty cells are not part of the population, documented
+    divergence from textbook Gi* which scans the dense grid — the dense
+    form is unrepresentable at web scale and the sparse form ranks
+    hotspots identically on fixed-occupancy rasters).
+
+    Exactness: the global moments are exact int64 sums (intensity <=
+    255 keeps n*Sv^2 far from the boundary), and z is ONE fixed IEEE
+    expression over them — bit-identical cross-engine, the
+    `operators.stats.group_trend` discipline. NULL z when the variance
+    is zero, n < 2, or the window covers the whole population.
+
+    Scale shape: :func:`focal_sum`'s explode + equi-join, then one
+    1-row global aggregate broadcast-crossJoined (the engine-wide
+    one-row pattern, cf. BM25 totals)."""
+    f = focal_sum(pixels, radius=radius, value=value, grid=grid)
+    g = pixels.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value).cast("long")).alias("_sv"),
+        F.sum((F.col(value).cast("long") * F.col(value).cast("long"))).alias("_svv"),
+    )
+    j = f.crossJoin(F.broadcast(g))
+    nd = F.col("_n").cast("double")
+    kd = F.col("n_nbrs").cast("double")
+    sd = F.col("focal_sum").cast("double")
+    mean = F.col("_sv").cast("double") / nd
+    var = F.col("_svv").cast("double") / nd - mean * mean
+    u2 = (nd * kd - kd * kd) / (nd - F.lit(1.0))
+    z = F.when(
+        (F.col("_n") > 1) & (var > 0) & (u2 > 0),
+        (sd - kd * mean) / (F.sqrt(var) * F.sqrt(u2)),
+    )
+    return j.select(
+        "tile_x", "tile_y", "px", "py", "focal_sum", "n_nbrs", z.alias("z")
+    )

@@ -250,3 +250,48 @@ def test_focal_sum_operator(spark):
         focal_sum(pix, radius=-1, grid=4)
     with _pt.raises(ValueError, match="grid"):
         focal_sum(pix, radius=1)
+
+
+def test_focal_zscores_semantics(spark):
+    """z from global moments: closed-form check on a tiny raster, NULL
+    when the window covers the whole population or variance is 0."""
+    import math
+
+    from landlensdb_spark.operators.raster import focal_zscores
+
+    # global coords (grid=4): (0,0), (3,3), (4,2) [adjacent to (3,3)
+    # across the tile border], (8,0) [isolated]
+    pix = spark.createDataFrame(
+        [(0, 0, 0, 0, 10), (0, 0, 3, 3, 20), (1, 0, 0, 2, 40), (2, 0, 0, 0, 10)],
+        "tile_x long, tile_y long, px int, py int, intensity int",
+    )
+    rows = {
+        (r["tile_x"], r["px"], r["py"]): r
+        for r in focal_zscores(pix, radius=1, grid=4).collect()
+    }
+    n, sv, svv = 4, 80, 2200
+    mean, var = sv / n, svv / n - (sv / n) ** 2
+    # isolated pixel (2,0,0): S=10, k=1
+    r = rows[(2, 0, 0)]
+    want = (10 - 1 * mean) / (math.sqrt(var) * math.sqrt((n * 1 - 1) / (n - 1)))
+    assert r["z"] == want and r["focal_sum"] == 10
+    # pair across the tile border: S=60, k=2
+    r = rows[(0, 3, 3)]
+    want = (60 - 2 * mean) / (math.sqrt(var) * math.sqrt((n * 2 - 4) / (n - 1)))
+    assert r["z"] == want
+    # constant raster -> var 0 -> NULL z
+    flat = spark.createDataFrame(
+        [(0, 0, 0, 0, 5), (0, 0, 2, 2, 5)],
+        "tile_x long, tile_y long, px int, py int, intensity int",
+    )
+    assert all(
+        r["z"] is None for r in focal_zscores(flat, radius=1, grid=4).collect()
+    )
+    # window covering the whole population -> u2 = 0 -> NULL z
+    tight = spark.createDataFrame(
+        [(0, 0, 0, 0, 5), (0, 0, 1, 1, 9)],
+        "tile_x long, tile_y long, px int, py int, intensity int",
+    )
+    assert all(
+        r["z"] is None for r in focal_zscores(tight, radius=1, grid=4).collect()
+    )
