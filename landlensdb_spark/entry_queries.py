@@ -4443,6 +4443,54 @@ def q_track_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type AS ev FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(CASE WHEN ev = 'view' THEN t END) AS t_1
+  FROM e GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MAX(t_1) AS t_1,
+         MIN(CASE WHEN ev = 'click' AND t > t_1 THEN t END) AS t_2
+  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MAX(t_1) AS t_1, MAX(t_2) AS t_2,
+         MIN(CASE WHEN ev = 'purchase' AND t > t_2 THEN t END) AS t_3
+  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+)
+SELECT user_id, t_1, t_2, t_3,
+       CAST((CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+FROM s3
+"""
+
+
+@query("funnel_depths", _FUNNEL_SQL)
+def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (operators/funnel.py): per user, the
+    earliest strictly-increasing view -> click -> purchase chain and the
+    completed depth — greedy-earliest is provably complete (module
+    docstring), so depth is THE funnel answer, not a heuristic. One
+    shuffle: chained window aggregates on the entity partitioning +
+    one groupBy on the same key; epoch-microsecond ties are
+    collision-free in this corpus so 'strictly after' is total. The
+    ORACLE builds the identical chain with successive DuckDB grouped
+    joins (t_1 carried via MAX over the constant), exact integer
+    timestamps end to end."""
+    from landlensdb_spark.operators.funnel import funnel
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_type",
+    )
+    return funnel(ev, ("view", "click", "purchase"))
+
+
 _RESAMPLE_STEP_US = 6 * 3600 * 1_000_000
 
 

@@ -1,0 +1,60 @@
+"""Ordered funnel (operators/funnel.py) — chain semantics, greedy
+completeness, depth edges."""
+
+from __future__ import annotations
+
+import pytest
+
+from landlensdb_spark.operators.funnel import funnel
+
+
+def _run(spark, rows, steps=("a", "b", "c")):
+    df = spark.createDataFrame(rows, "user_id int, t long, event_type string")
+    return {
+        r["user_id"]: tuple(r[c] for c in ("t_1", "t_2", "t_3", "depth"))
+        for r in funnel(df, steps).collect()
+    }
+
+
+def test_chain_semantics(spark):
+    rows = [
+        # u1: full chain, earliest picks
+        (1, 10, "a"), (1, 5, "a"), (1, 7, "b"), (1, 20, "b"), (1, 30, "c"),
+        # u2: b before any a -> depth 1 only
+        (2, 3, "b"), (2, 8, "a"),
+        # u3: a then c (no b) -> depth 1, t_3 NULL even though c exists
+        (3, 1, "a"), (3, 9, "c"),
+        # u4: no step-1 at all -> depth 0
+        (4, 2, "b"), (4, 3, "c"),
+    ]
+    got = _run(spark, rows)
+    assert got[1] == (5, 7, 30, 3)  # earliest a=5, earliest b after it = 7
+    assert got[2] == (8, None, None, 1)
+    assert got[3] == (1, None, None, 1)
+    assert got[4] == (None, None, None, 0)
+
+
+def test_chain_earliest_is_seven(spark):
+    # explicit: with a at 5, the first b after it is 7 (not 20)
+    rows = [(1, 5, "a"), (1, 7, "b"), (1, 20, "b"), (1, 30, "c")]
+    got = _run(spark, rows)
+    assert got[1] == (5, 7, 30, 3)
+
+
+def test_strictly_after(spark):
+    # b at the SAME timestamp as a does not count
+    rows = [(1, 5, "a"), (1, 5, "b"), (1, 9, "b")]
+    got = _run(spark, rows)
+    assert got[1] == (5, 9, None, 2)
+
+
+def test_greedy_is_complete(spark):
+    # later a (8) would chain to b at 9, but greedy a=2 also reaches it
+    rows = [(1, 2, "a"), (1, 8, "a"), (1, 9, "b"), (1, 10, "c")]
+    assert _run(spark, rows)[1] == (2, 9, 10, 3)
+
+
+def test_empty_steps_raise(spark):
+    df = spark.createDataFrame([(1, 1, "a")], "user_id int, t long, event_type string")
+    with pytest.raises(ValueError, match="steps"):
+        funnel(df, ())
