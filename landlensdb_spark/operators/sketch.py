@@ -211,8 +211,8 @@ def hll_pyramid(
         if z < zoom:  # merge one level up: register max over the 4 children
             regs = (
                 regs.select(
-                    (F.col("_x") / 2).cast("long").alias("_x"),
-                    (F.col("_y") / 2).cast("long").alias("_y"),
+                    F.shiftright(F.col("_x").cast("int"), 1).cast("long").alias("_x"),
+                    F.shiftright(F.col("_y").cast("int"), 1).cast("long").alias("_y"),
                     "_b",
                     "_M",
                 )

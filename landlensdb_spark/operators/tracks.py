@@ -56,9 +56,10 @@ def resample_tracks(
         *[F.col(c).alias(f"_a_{c}") for c in coords],
         *[F.lead(c).over(w).alias(f"_b_{c}") for c in coords],
     ).filter(F.col("_t1") > F.col("_t0"))
-    first = (
-        F.floor((F.col("_t0") + F.lit(step_s - 1)) / F.lit(step_s)) * F.lit(step_s)
-    ).cast("long")
+    # pure-int ceil-to-multiple: no double division anywhere near the
+    # 2^53 boundary (epoch-microsecond inputs)
+    up = F.col("_t0") + F.lit(step_s - 1)
+    first = up - F.pmod(up, F.lit(step_s))
     n_ticks = F.floor((F.col("_t1") - 1 - first) / F.lit(step_s)) + 1
     guarded = seg.select(
         entity,
