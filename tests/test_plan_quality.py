@@ -485,3 +485,22 @@ def test_tile_hll_pyramid_driver_query_plan(spark, sf_dir):
     assert _n_nodes(plan, "ArrowEvalPython") == 0, plan
     assert _n_nodes(plan, "BatchEvalPython") == 0, plan
     assert _n_nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_user_trends_single_shuffle(spark, sf_dir):
+    """group_trend's claim that the groupBy reuses the min-x window's
+    hash partitioning: exactly ONE Exchange in the whole plan."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["user_trends"](spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+
+
+def test_funnel_depths_single_shuffle(spark, sf_dir):
+    """funnel: chained windows + same-key groupBy ride one entity
+    exchange; no joins anywhere."""
+    from landlensdb_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["funnel_depths"](spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert _n_nodes(plan, "Join") == 0, plan
