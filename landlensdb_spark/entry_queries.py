@@ -4491,6 +4491,41 @@ def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ("view", "click", "purchase"))
 
 
+_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id,
+         (CAST(FLOOR(epoch(ts)) AS BIGINT)
+          - ((CAST(FLOOR(epoch(ts)) AS BIGINT) % 21600 + 21600) % 21600))
+         // 21600 AS p
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (SELECT user_id, MIN(p) AS c FROM e GROUP BY user_id),
+d AS (SELECT DISTINCT e.user_id, f.c, e.p - f.c AS o
+      FROM e JOIN f USING (user_id))
+SELECT c AS cohort, o AS offset, COUNT(*) AS n_users
+FROM d GROUP BY c, o
+"""
+
+
+@query("retention_cohorts", _RETENTION_SQL)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/funnel.py retention_cohorts): users
+    grouped by the epoch-aligned 6 h period of their first PURCHASE,
+    counted in every later period they purchased in — the retention
+    matrix next to the funnel and trend rows (the analytics trio). All
+    integer arithmetic (pmod-subtraction period index), counts
+    engine-exact; one min aggregate + one entity equi-join + distinct +
+    map-side-combined groupBy."""
+    from landlensdb_spark.operators.funnel import retention_cohorts
+
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_timestamp("ts").alias("t"))
+    )
+    return retention_cohorts(ev, entity="user_id", ts="t", period_s=21_600)
+
+
 _RESAMPLE_STEP_US = 6 * 3600 * 1_000_000
 
 

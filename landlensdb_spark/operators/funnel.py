@@ -58,3 +58,40 @@ def funnel(
         (F.when(F.col(n).isNotNull(), 1).otherwise(0) for n in names), F.lit(0)
     )
     return agg.select(entity, *names, depth.cast("long").alias("depth"))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts: str = "t",
+    period_s: int = 604_800,
+) -> DataFrame:
+    """Cohort retention — ``(cohort, offset, n_users)``: entities grouped
+    by the epoch-aligned period of their FIRST event (``cohort`` = that
+    period's index, ``floor(first_ts / period_s)``), counted in every
+    later period they were active in (``offset`` = periods since the
+    cohort period; offset 0 is the cohort size itself). The
+    retention-matrix staple next to :func:`funnel`.
+
+    All arithmetic is integer (period index via ``pmod`` subtraction,
+    never a double division), so counts are engine-exact. Scale shape:
+    one min-per-entity aggregate, one equi-join back on the entity key,
+    one distinct and one map-side-combined groupBy — per-entity state
+    through every shuffle is O(1); no windows over the raw event
+    stream."""
+    if period_s <= 0:
+        raise ValueError(f"period_s must be > 0, got {period_s}")
+    p = F.lit(int(period_s))
+    # (t - pmod(t, p)) is an EXACT multiple of p, and an exact-ratio
+    # double division returns the integer quotient exactly (|t| < 2^53),
+    # so the period index is floor(t / p) for any sign with no rounding
+    per = ((F.col(ts) - F.pmod(F.col(ts), p)).cast("long") / p).cast("long")
+    ev = df.select(F.col(entity).alias("_e"), per.alias("_p"))
+    first = ev.groupBy("_e").agg(F.min("_p").alias("_c"))
+    return (
+        ev.join(first, "_e")
+        .select("_e", "_c", (F.col("_p") - F.col("_c")).alias("_o"))
+        .distinct()
+        .groupBy(F.col("_c").alias("cohort"), F.col("_o").alias("offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

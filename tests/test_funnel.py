@@ -58,3 +58,27 @@ def test_empty_steps_raise(spark):
     df = spark.createDataFrame([(1, 1, "a")], "user_id int, t long, event_type string")
     with pytest.raises(ValueError, match="steps"):
         funnel(df, ())
+
+
+def test_retention_cohorts_semantics(spark):
+    from landlensdb_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        # u1 first in period 0, active 0 and 2
+        (1, 5), (1, 25),
+        # u2 first in period 1, active 1 only (two events same period
+        # count once)
+        (2, 11), (2, 13),
+        # u3 first in period 0, active 0,1,2
+        (3, 0), (3, 10), (3, 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, t long")
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in retention_cohorts(df, period_s=10).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="period_s"):
+        retention_cohorts(df, period_s=0)
