@@ -82,3 +82,39 @@ def test_retention_cohorts_semantics(spark):
 
     with _pt.raises(ValueError, match="period_s"):
         retention_cohorts(df, period_s=0)
+
+
+def test_funnel_random_streams_match_bruteforce(spark):
+    """Randomized property check: the window-chain plan equals the
+    obvious per-user greedy python fold on arbitrary event streams."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    evs = ["a", "b", "c", "x"]
+    rows = []
+    for u in range(25):
+        n = int(rng.integers(0, 15))
+        ts = rng.choice(10_000, size=n, replace=False)
+        for t in ts:
+            rows.append((u, int(t), evs[int(rng.integers(0, 4))]))
+    rows.append((99, 1, "x"))  # user with no funnel steps at all
+    got = _run(spark, rows)
+
+    def brute(user_rows):
+        seq = sorted(user_rows)
+        out, prev = [], None
+        for step in ("a", "b", "c"):
+            cand = [t for t, e in seq if e == step and (prev is None or t > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            out.append(prev)
+        return tuple(out + [None] * (3 - len(out)) + [len(out)])
+
+    import collections
+
+    by_u = collections.defaultdict(list)
+    for u, t, e in rows:
+        by_u[u].append((t, e))
+    for u, ur in by_u.items():
+        assert got[u] == brute(ur), u
