@@ -118,3 +118,33 @@ def test_funnel_random_streams_match_bruteforce(spark):
         by_u[u].append((t, e))
     for u, ur in by_u.items():
         assert got[u] == brute(ur), u
+
+
+def test_retention_random_match_bruteforce(spark):
+    import collections
+
+    import numpy as np
+
+    from landlensdb_spark.operators.funnel import retention_cohorts
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for u in range(40):
+        n = int(rng.integers(1, 20))
+        for t in rng.choice(3_000, size=n, replace=False):
+            rows.append((u, int(t)))
+    df = spark.createDataFrame(rows, "user_id int, t long")
+    period = 100
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in retention_cohorts(df, period_s=period).collect()
+    }
+    by_u = collections.defaultdict(set)
+    for u, t in rows:
+        by_u[u].add(t // period)
+    want = collections.Counter()
+    for u, ps in by_u.items():
+        c = min(ps)
+        for p in ps:
+            want[(c, p - c)] += 1
+    assert got == dict(want)

@@ -57,3 +57,36 @@ def test_fanout_guard_and_step_validation(spark):
         resample_tracks(df, step_s=10, max_ticks_per_segment=100).collect()
     with pytest.raises(ValueError, match="step_s"):
         resample_tracks(df, step_s=0)
+
+
+def test_resample_random_tracks_match_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for u in range(12):
+        n = int(rng.integers(1, 12))
+        ts = np.sort(rng.choice(5_000, size=n, replace=False))
+        for t in ts:
+            rows.append((u, int(t), float(rng.integers(0, 100)), float(rng.integers(0, 100))))
+    df = spark.createDataFrame(rows, "user_id int, t long, lon double, lat double")
+    step = 37
+    got = sorted(
+        (r["user_id"], r["tick"], r["lon"], r["lat"])
+        for r in resample_tracks(df, step_s=step).collect()
+    )
+    import collections
+
+    by_u = collections.defaultdict(list)
+    for u, t, lo, la in rows:
+        by_u[u].append((t, lo, la))
+    want = []
+    for u, fixes in by_u.items():
+        fixes.sort()
+        for (t0, lo0, la0), (t1, lo1, la1) in zip(fixes, fixes[1:]):
+            k = -(-t0 // step) * step
+            while k < t1:
+                f = float(k - t0) / float(t1 - t0)
+                want.append((u, k, lo0 + (lo1 - lo0) * f, la0 + (la1 - la0) * f))
+                k += step
+    assert got == sorted(want)
