@@ -4526,6 +4526,80 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev, entity="user_id", ts="t", period_s=21_600)
 
 
+@query(
+    "dissolve_parcels",
+    f"SELECT DISTINCT (parcel_id % 4) AS region, cell"
+    f" FROM ({oracles.hex_polyfill_sql(6, 50, 35)}) t",
+)
+def q_dissolve_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve (operators/polyfill.py dissolve): geopandas
+    ``dissolve``'s cell-indexed form — parcels grouped into 4 regions,
+    each region's footprint = the DISTINCT union of its member covers
+    (internal boundaries vanish exactly because shared cells dedupe).
+    One distinct shuffle keyed by (region, cell); no shapely/PostGIS
+    union step, which is the non-distributable part of the reference's
+    dissolve at 10^12 rows. The ORACLE reuses the total polyfill
+    enumeration (hex_polyfill_sql) and dissolves in SQL — any dropped
+    or leaked boundary cell breaks the hash."""
+    from landlensdb_spark.operators.polyfill import dissolve, hex_polyfill
+
+    polys = synth.parcel_polygons(spark).select(
+        (F.col("parcel_id") % 4).alias("region"), "ring"
+    )
+    return dissolve(hex_polyfill(polys, res=6), "region")
+
+
+_OD_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         {{qk}} AS cell
+  FROM (SELECT user_id, ts,
+               {synth.lon_sql('event_id')} AS lon,
+               {synth.lat_sql('event_id')} AS lat
+        FROM events) p
+),
+seq AS (
+  SELECT cell AS from_cell,
+         lead(cell) OVER (PARTITION BY user_id ORDER BY t) AS to_cell
+  FROM e
+)
+SELECT from_cell, to_cell, COUNT(*) AS n_trips
+FROM seq
+WHERE to_cell IS NOT NULL AND from_cell <> to_cell
+GROUP BY from_cell, to_cell
+"""
+
+
+@query(
+    "od_tile_flows",
+    _OD_SQL.format(
+        qk=_quadkey_sql(synth.tile_x_sql("lon", 8), synth.tile_y_sql("lat", 8), 8)
+    ),
+)
+def q_od_tile_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/tracks.py od_matrix):
+    every user's consecutive-fix transition between zoom-8 quadkey
+    tiles, loops dropped — the movement-analytics rollup over
+    cell-indexed tracks. One lead window per user + one
+    map-side-combined groupBy on the (from, to) pair; epoch-microsecond
+    order is total (collision-free corpus). Oracle is the identical
+    lead-window construction in DuckDB over the same quadkey column
+    math."""
+    from landlensdb_spark.geo.tiles import quadkey, tile_x, tile_y
+    from landlensdb_spark.operators.tracks import od_matrix
+
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        quadkey(
+            tile_x(synth.lon_col(k), 8), tile_y(synth.lat_col(k), 8), 8
+        ).alias("cell"),
+    )
+    return od_matrix(pts, entity="user_id", t="t", cell="cell")
+
+
 _RESAMPLE_STEP_US = 6 * 3600 * 1_000_000
 
 

@@ -131,3 +131,15 @@ def hex_polyfill(
     n = polys.rdd.getNumPartitions()
     src = polys if n >= 4 else polys.repartition(8)
     return src.mapInPandas(_fill, out_schema)
+
+
+def dissolve(df: DataFrame, by: str, cell_col: str = "cell") -> DataFrame:
+    """Dissolve cell covers by an attribute — the cell-indexed form of
+    geopandas ``dissolve``: the union of every member polygon's cover
+    with internal boundaries removed is exactly the DISTINCT cell set
+    per group (``(by, cell)`` rows; footprint area in cells =
+    ``count(*)`` per group). One distinct-aggregation shuffle keyed by
+    (group, cell); no geometry unions, no driver work — which is the
+    point at 10^12 rows, where the vector union the reference runs via
+    shapely/PostGIS is the non-distributable step this replaces."""
+    return df.select(by, cell_col).distinct()

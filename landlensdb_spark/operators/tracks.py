@@ -102,3 +102,35 @@ def resample_tracks(
             for c in coords
         ],
     )
+
+
+def od_matrix(
+    df: DataFrame,
+    entity: str = "user_id",
+    t: str = "t",
+    cell: str = "cell",
+    drop_loops: bool = True,
+) -> DataFrame:
+    """Origin-destination flow matrix — ``(from_cell, to_cell, n_trips)``
+    over every consecutive-fix transition of every entity's time-ordered
+    track (the movement-analytics staple over cell-indexed trajectories;
+    reference parity: the pandas shift+groupby OD counting run over
+    geoimageframe tracks). ``drop_loops`` (default) excludes
+    within-cell steps, keeping only actual moves.
+
+    One lead window per entity + one map-side-combined groupBy on the
+    (from, to) pair; per-entity shuffle state is the fix count and the
+    matrix is bounded by occupied cell pairs, not rows. Ties on ``t``
+    within an entity make the transition order ambiguous — use
+    collision-free timestamps (epoch micros) or pre-dedupe, as with
+    :func:`resample_tracks`."""
+    w = Window.partitionBy(entity).orderBy(t)
+    seg = df.select(
+        F.col(cell).alias("from_cell"),
+        F.lead(cell).over(w).alias("to_cell"),
+    ).filter(F.col("to_cell").isNotNull())
+    if drop_loops:
+        seg = seg.filter(F.col("from_cell") != F.col("to_cell"))
+    return seg.groupBy("from_cell", "to_cell").agg(
+        F.count("*").alias("n_trips")
+    )

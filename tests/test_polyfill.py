@@ -152,3 +152,13 @@ def test_estimate_is_an_upper_bound():
             float(r[:, 0].max()), float(r[:, 1].max()), RES,
         ).size
         assert est >= actual
+
+
+def test_dissolve_dedupes_shared_cells(spark):
+    from landlensdb_spark.operators.polyfill import dissolve
+
+    cov = spark.createDataFrame(
+        [(0, 7), (0, 7), (0, 8), (1, 7), (0, 9)], "region int, cell long"
+    )
+    got = sorted(map(tuple, dissolve(cov, "region").collect()))
+    assert got == [(0, 7), (0, 8), (0, 9), (1, 7)]

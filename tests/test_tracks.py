@@ -90,3 +90,23 @@ def test_resample_random_tracks_match_bruteforce(spark):
                 want.append((u, k, lo0 + (lo1 - lo0) * f, la0 + (la1 - la0) * f))
                 k += step
     assert got == sorted(want)
+
+
+def test_od_matrix_semantics(spark):
+    from landlensdb_spark.operators.tracks import od_matrix
+
+    rows = [
+        (1, 1, 10), (1, 2, 20), (1, 3, 20), (1, 4, 10),  # 10->20, 20=20 loop, 20->10
+        (2, 1, 10), (2, 2, 20),                           # 10->20
+    ]
+    df = spark.createDataFrame(rows, "user_id int, t long, cell long")
+    got = {
+        (r["from_cell"], r["to_cell"]): r["n_trips"]
+        for r in od_matrix(df).collect()
+    }
+    assert got == {(10, 20): 2, (20, 10): 1}
+    with_loops = {
+        (r["from_cell"], r["to_cell"]): r["n_trips"]
+        for r in od_matrix(df, drop_loops=False).collect()
+    }
+    assert with_loops == {(10, 20): 2, (20, 20): 1, (20, 10): 1}
