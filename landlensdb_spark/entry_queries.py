@@ -4600,6 +4600,78 @@ def q_od_tile_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od_matrix(pts, entity="user_id", t="t", cell="cell")
 
 
+_GRID_NX, _GRID_NY, _SSSP_ROUNDS = 16, 12, 28
+
+
+def _grid_routes_oracle() -> str:
+    ctes = [
+        f"""g AS MATERIALIZED (
+      SELECT ii.i AS i, jj.j AS j
+      FROM (SELECT unnest(generate_series(0, {_GRID_NX - 1})) AS i) ii
+      CROSS JOIN (SELECT unnest(generate_series(0, {_GRID_NY - 1})) AS j) jj)""",
+        f"""e AS MATERIALIZED (
+      SELECT i*100 + j AS s, (i+1)*100 + j AS d,
+             5 + (i*31 + j*17) % 5 AS w FROM g WHERE i < {_GRID_NX - 1}
+      UNION ALL
+      SELECT i*100 + j, i*100 + j + 1,
+             5 + (i*13 + j*41) % 5 FROM g WHERE j < {_GRID_NY - 1})""",
+        "l0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for t in range(_SSSP_ROUNDS):
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT e.d AS node, MIN(l.dist + e.w) AS nd"
+            f" FROM e JOIN l{t} l ON e.s = l.node GROUP BY e.d)"
+        )
+        # MATERIALIZED is load-bearing: l{t} is referenced twice per
+        # round, and CTE inlining would double the work each round
+        # (2^rounds blowup)
+        ctes.append(
+            f"l{t + 1} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM"
+            f" (SELECT node, dist FROM l{t}"
+            f"  UNION ALL SELECT node, nd FROM m{t}) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM l{_SSSP_ROUNDS}"
+    )
+
+
+@query("grid_routes", _grid_routes_oracle())
+def q_grid_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed single-source shortest paths (operators/graph.py
+    shortest_paths): join-based Bellman-Ford over a deterministic
+    weighted grid DAG (16x12 street grid, integer weights 5-9, source =
+    the corner) — the routing primitive of the graph family
+    (pagerank / triangles / CC / now SSSP; reference parity: the
+    networkx routing behind road_network.py, distributed because a
+    10^9-edge road graph fits no driver). The DAG's 26-hop diameter
+    bounds the rounds provably (28 with margin) and the convergence
+    guard certifies the fixpoint = true distances; all-integer weights
+    keep every distance hashable. The ORACLE unrolls the same
+    relaxation to the same certified fixpoint — Bellman-Ford's
+    fixpoint-uniqueness makes the shared round count immaterial."""
+    from landlensdb_spark.operators.graph import shortest_paths
+
+    n = spark.range(_GRID_NX * _GRID_NY).selectExpr(
+        f"id div {_GRID_NY} as i", f"id % {_GRID_NY} as j"
+    )
+    i, j = F.col("i"), F.col("j")
+    right = n.filter(i < _GRID_NX - 1).select(
+        (i * 100 + j).alias("src"),
+        ((i + 1) * 100 + j).alias("dst"),
+        (5 + (i * 31 + j * 17) % 5).alias("w"),
+    )
+    up = n.filter(j < _GRID_NY - 1).select(
+        (i * 100 + j).alias("src"),
+        (i * 100 + j + 1).alias("dst"),
+        (5 + (i * 13 + j * 41) % 5).alias("w"),
+    )
+    sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return shortest_paths(
+        right.unionByName(up), sources, iterations=_SSSP_ROUNDS
+    )
+
+
 _RESAMPLE_STEP_US = 6 * 3600 * 1_000_000
 
 

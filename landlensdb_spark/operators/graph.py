@@ -185,3 +185,79 @@ def triangle_counts(
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
         )
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    iterations: int = 20,
+    directed: bool = True,
+    verify_convergence: bool = True,
+) -> DataFrame:
+    """Single/multi-source shortest paths — join-based Bellman-Ford:
+    ``(node, dist)`` for every node reachable from ``sources`` (a
+    one-column ``node`` DataFrame; unreachable nodes are absent). The
+    routing primitive next to :func:`pagerank` / :func:`triangle_counts`
+    (reference parity: the networkx shortest-path calls behind
+    road_network.py's nearest-road routing — here distributed, because
+    a 10^9-edge road graph fits no driver).
+
+    Per round: one edge equi-join + two map-side-combined min
+    aggregates — label state is (node, dist), never paths. With
+    integral weights every distance is exact int64 (hashable
+    cross-engine). Like :func:`~landlensdb_spark.operators.dedup.
+    dup_clusters`, the round count is FIXED (a pure function of the
+    input, reproducible by an unrolled-SQL oracle) and
+    ``verify_convergence`` runs one extra relaxation and raises if any
+    distance would still drop — a converged Bellman-Ford fixpoint IS
+    the true distance vector, so the guard turns the fixed-round result
+    into a certified answer. Negative weights raise immediately
+    (Bellman-Ford detects nothing useful here; the engine's graphs are
+    metric)."""
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).alias("_w")
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("_s"), F.col(src).alias("_d"), F.col(w).alias("_w")
+            )
+        )
+    neg = e.filter(F.col("_w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("shortest_paths: negative edge weights are not supported")
+    e = e.localCheckpoint(eager=True)
+    dists = sources.select(F.col("node"), F.lit(0).cast("long").alias("dist"))
+
+    def _relax(d: DataFrame) -> DataFrame:
+        nd = (
+            e.join(d, e["_s"] == d["node"])
+            .select(F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        return (
+            d.unionByName(nd).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+
+    for it in range(iterations):
+        if it and it % 4 == 0:
+            dists = dists.localCheckpoint(eager=True)
+        dists = _relax(dists)
+    if verify_convergence:
+        dists = dists.localCheckpoint(eager=True)
+        improved = (
+            _relax(dists)
+            .join(dists.withColumnRenamed("dist", "_old"), "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .count()
+        )
+        if improved:
+            raise ValueError(
+                f"shortest_paths did not converge in {iterations} iterations: "
+                f"{improved} distances would still drop; raise `iterations`"
+            )
+    return dists

@@ -137,3 +137,62 @@ def test_triangles_plan_shape(spark):
     plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shortest_paths_matches_dijkstra(spark):
+    """Random weighted graphs (directed and undirected) vs a plain heap
+    Dijkstra; unreachable nodes absent; convergence guard raises when
+    under-provisioned; negative weights refused."""
+    import heapq
+
+    import numpy as np
+    import pytest as _pt
+
+    from landlensdb_spark.operators.graph import shortest_paths
+
+    rng = np.random.default_rng(31)
+
+    def dijkstra(edges, n, directed):
+        adj = {}
+        for s, d, w in edges:
+            adj.setdefault(s, []).append((d, w))
+            if not directed:
+                adj.setdefault(d, []).append((s, w))
+        dist, heap = {0: 0}, [(0, 0)]
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = du + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        return dist
+
+    for directed in (True, False):
+        n = 30
+        m = 70
+        edges = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n)), int(rng.integers(1, 20)))
+            for _ in range(m)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        srcs = spark.createDataFrame([(0,)], "node long")
+        got = {
+            r["node"]: r["dist"]
+            for r in shortest_paths(
+                df, srcs, iterations=n, directed=directed
+            ).collect()
+        }
+        assert got == dijkstra(edges, n, directed), directed
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(6)], "src long, dst long, w long"
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    with _pt.raises(ValueError, match="did not converge"):
+        shortest_paths(chain, srcs, iterations=3)
+    neg = spark.createDataFrame([(0, 1, -2)], "src long, dst long, w long")
+    with _pt.raises(ValueError, match="negative"):
+        shortest_paths(neg, srcs, iterations=2)
