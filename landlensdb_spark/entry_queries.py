@@ -4600,6 +4600,75 @@ def q_od_tile_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od_matrix(pts, entity="user_id", t="t", cell="cell")
 
 
+_KCORE_K, _KCORE_ROUNDS = 45, 8
+
+
+def _core_users_oracle() -> str:
+    ctes = [
+        """ub AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u, CAST(FLOOR(epoch(ts)/300) AS BIGINT) AS b
+      FROM events)""",
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a.u AS s, bb.u AS d
+      FROM ub a JOIN ub bb ON a.b = bb.b AND a.u < bb.u)""",
+    ]
+    for t in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM
+        (SELECT s AS node FROM e{t} UNION ALL SELECT d AS node FROM e{t})
+      GROUP BY node)"""
+        )
+        ctes.append(
+            f"""k{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE deg >= {_KCORE_K})"""
+        )
+        ctes.append(
+            f"""e{t + 1} AS MATERIALIZED (
+      SELECT e.s, e.d FROM e{t} e
+      JOIN k{t} ka ON ka.node = e.s JOIN k{t} kb ON kb.node = e.d)"""
+        )
+    n = _KCORE_ROUNDS
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT node, COUNT(*) AS degree FROM
+  (SELECT s AS node FROM e{n} UNION ALL SELECT d AS node FROM e{n})
+GROUP BY node
+"""
+    )
+
+
+@query("core_users", _core_users_oracle())
+def q_core_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (operators/graph.py k_core) on the 5-minute
+    co-activity graph - the density filter behind web-community /
+    spam-farm detection on host graphs, here peeling users below 45
+    in-core contacts. Per round one degree aggregate + two semi-joins;
+    fixed rounds + convergence guard (an all-degrees>=k fixpoint IS
+    the k-core, so the result is certified, never silently unpeeled).
+    The ORACLE unrolls the same peel per-round-MATERIALIZED; the input
+    graph is nontrivially peeled at sf0.01 (4 rounds, 141-node core)
+    and degenerate at the other sfs (empty core / zero rounds), so the
+    guard margin is exercised across scales."""
+    from landlensdb_spark.operators.graph import k_core
+
+    ev = tables.load(spark, sf_dir, "events")
+    ub = ev.select(
+        F.col("user_id").alias("u"),
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 300).alias("b"),
+    ).distinct()
+    e = (
+        ub.alias("a")
+        .join(
+            ub.alias("bb"),
+            (F.col("a.b") == F.col("bb.b")) & (F.col("a.u") < F.col("bb.u")),
+        )
+        .select(F.col("a.u").alias("src"), F.col("bb.u").alias("dst"))
+        .distinct()
+    )
+    return k_core(e, _KCORE_K, iterations=_KCORE_ROUNDS)
+
+
 _GRID_NX, _GRID_NY, _SSSP_ROUNDS = 16, 12, 28
 
 

@@ -261,3 +261,71 @@ def shortest_paths(
                 f"{improved} distances would still drop; raise `iterations`"
             )
     return dists
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 20,
+    verify_convergence: bool = True,
+) -> DataFrame:
+    """The k-core — the maximal subgraph in which every node has degree
+    >= ``k`` — by iterative degree peeling (the density filter behind
+    web-community extraction / spam-farm detection on host graphs).
+    Input is an undirected edge list (direction/duplicates/self-loops
+    normalized away, same canonicalization as :func:`triangle_counts`);
+    output is ``(node, degree)`` within the surviving core (empty when
+    the core is empty).
+
+    Per round: one degree aggregate + two semi-joins dropping edges
+    incident to sub-``k`` nodes — edge-list-sized state, no adjacency
+    materialization. The round count is FIXED (SQL-reproducible by an
+    unrolled oracle) and ``verify_convergence`` runs one extra peel and
+    raises if any node would still fall — a fixpoint where every degree
+    is >= ``k`` IS the k-core (it is the union of all such subgraphs),
+    so the fixed-round result is certified, never silently unpeeled."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    e = (
+        edges.select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _peel(cur: DataFrame) -> DataFrame:
+        deg = (
+            cur.select(F.col("_a").alias("node"))
+            .unionByName(cur.select(F.col("_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("_deg"))
+        )
+        keep = deg.filter(F.col("_deg") >= F.lit(int(k))).select("node")
+        return cur.join(
+            keep.withColumnRenamed("node", "_a"), "_a", "left_semi"
+        ).join(keep.withColumnRenamed("node", "_b"), "_b", "left_semi")
+
+    cur = e
+    for it in range(iterations):
+        if it and it % 4 == 0:
+            cur = cur.localCheckpoint(eager=True)
+        cur = _peel(cur)
+    cur = cur.localCheckpoint(eager=True)
+    if verify_convergence:
+        dropped = cur.count() - _peel(cur).count()
+        if dropped:
+            raise ValueError(
+                f"k_core did not converge in {iterations} iterations: "
+                f"{dropped} edges would still peel; raise `iterations`"
+            )
+    return (
+        cur.select(F.col("_a").alias("node"))
+        .unionByName(cur.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )

@@ -196,3 +196,55 @@ def test_shortest_paths_matches_dijkstra(spark):
     neg = spark.createDataFrame([(0, 1, -2)], "src long, dst long, w long")
     with _pt.raises(ValueError, match="negative"):
         shortest_paths(neg, srcs, iterations=2)
+
+
+def test_k_core_matches_bruteforce(spark):
+    """Random graphs vs an in-python peel; empty core; guard raises
+    when rounds are too few; canonicalization (dup/self-loop/reversed
+    edges) handled."""
+    import collections
+
+    import numpy as np
+    import pytest as _pt
+
+    from landlensdb_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(37)
+
+    def brute(edges, k):
+        es = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+        while True:
+            deg = collections.Counter()
+            for s, d in es:
+                deg[s] += 1
+                deg[d] += 1
+            keep = {n for n, c in deg.items() if c >= k}
+            ns = {(s, d) for s, d in es if s in keep and d in keep}
+            if ns == es:
+                break
+            es = ns
+        deg = collections.Counter()
+        for s, d in es:
+            deg[s] += 1
+            deg[d] += 1
+        return dict(deg)
+
+    for k in (2, 3, 5):
+        edges = [
+            (int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(80)
+        ]
+        # duplicates + reversed copies + self-loops must not matter
+        noisy = edges + [(d, s) for s, d in edges[:20]] + [(7, 7)]
+        df = spark.createDataFrame(noisy, "src long, dst long")
+        got = {r["node"]: r["degree"] for r in k_core(df, k, iterations=25).collect()}
+        assert got == brute(edges, k), k
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    # 2-core of a path is empty but needs several peel rounds
+    with _pt.raises(ValueError, match="did not converge"):
+        k_core(chain, 2, iterations=1)
+    assert k_core(chain, 2, iterations=8).count() == 0
+    with _pt.raises(ValueError, match="k must be"):
+        k_core(chain, 0)
