@@ -128,6 +128,12 @@ class _SquareGrid:
     def r2_col(self, r1: Column) -> Column:
         return F.ceil(F.sqrt(F.lit(2.0)) * (r1 + 1)).cast("int")
 
+    def bound_m(self, r1: int) -> float:
+        """Upper bound (meters) on the k-th neighbor distance of a probe
+        whose box ``r1`` holds >= k points: every such point is within
+        sqrt(2)*(r1+1) cell sides (the certificate geometry above)."""
+        return math.sqrt(2.0) * (r1 + 1) * (WORLD / (1 << self.res))
+
 
 class _HexGrid:
     """Isotropic hex-ring expansion on the hexagonal index (geo/hex.py).
@@ -178,6 +184,12 @@ class _HexGrid:
             "int"
         )
 
+    def bound_m(self, r1: int) -> float:
+        """k-th-distance bound for a probe whose ring ``r1`` holds >= k
+        points: sqrt(3)*e*r1 + 2e (certificate geometry above)."""
+        e = WORLD / ((1 << self.res) * SQRT3)
+        return SQRT3 * e * r1 + 2.0 * e
+
 
 def _auto_res(points: DataFrame, lon: str, lat: str, k: int) -> int:
     return _auto_res_info(points, lon, lat, k)[0]
@@ -220,13 +232,19 @@ def _auto_res_info(points: DataFrame, lon: str, lat: str, k: int) -> tuple[int, 
     except Exception:  # pragma: no cover - semanticHash unavailable
         memo_key = None
 
-    cands = list(range(6, 25, 2))
+    cands = list(range(6, 25))
     base = max(cands)
     # one trig pass at the finest candidate res; every coarser cell id is a
     # bit-shift of it (per-res transcendental projections otherwise dominate
     # the probe). Coarse HLL precision (rsd 0.15) is plenty: occupancy moves
-    # ~4x per resolution step, and the cheap sketches cut the probe from
-    # ~1.9s to ~0.4s on the 150k-point bench field.
+    # ~4x per even/odd ladder step, and the cheap sketches cut the probe
+    # from ~1.9s to ~0.4s on the 150k-point bench field. Step 1 (r08): the
+    # old step-2 ladder quantized occupancy by 4x, so a field whose true
+    # k/2 crossing sits between rungs landed a rung low and quadrupled the
+    # candidate rows (bench field: step-2 picked res 18 at ~20 pts/cell =
+    # 2.0M candidates where res 19 at ~5 pts/cell certifies identically
+    # with ~0.5M) — nine extra shift-derived HLL sketches in the same pass
+    # are far cheaper than 4x the candidate join.
     xy = points.select(tile_x(lon, base).alias("_x"), tile_y(lat, base).alias("_y"))
     row = xy.agg(
         F.count(F.lit(1)).alias("_n"),
@@ -283,30 +301,65 @@ def _certify_join(pts, prb_sub, grid, r1c, k, maybe_bc, w):
     (_pid, _nid, dist2, rank) rows only."""
     r2c = grid.r2_int(r1c)
     probe_cells = (
-        prb_sub.withColumn("_dx", F.explode(F.sequence(F.lit(-r2c), F.lit(r2c))))
-        .withColumn(
-            "_dy",
+        prb_sub.select(
+            "_pid",
+            "_px",
+            "_py",
+            "_pcell",
+            F.explode(F.sequence(F.lit(-r2c), F.lit(r2c))).alias("_dx"),
+        )
+        .select(
+            "_pid",
+            "_px",
+            "_py",
+            "_pcell",
+            "_dx",
             F.explode(
                 F.sequence(
                     grid.db_lo(F.lit(r2c), F.col("_dx")),
                     grid.db_hi(F.lit(r2c), F.col("_dx")),
                 )
-            ),
+            ).alias("_dy"),
         )
-        .withColumn("_ring", grid.ring(F.col("_dx"), F.col("_dy")))
-        .withColumn("_jc", grid.shift(F.col("_pcell"), F.col("_dx"), F.col("_dy")))
+        .select(
+            "_pid",
+            "_px",
+            "_py",
+            grid.ring(F.col("_dx"), F.col("_dy")).alias("_ring"),
+            grid.shift(F.col("_pcell"), F.col("_dx"), F.col("_dy")).alias("_jc"),
+        )
         .filter(F.col("_jc").isNotNull())
-        .select("_pid", "_px", "_py", "_ring", "_jc")
     )
-    wp = Window.partitionBy("_pid")
-    cand = (
-        pts.join(maybe_bc(probe_cells), F.col("_ncell") == F.col("_jc"), "inner")
-        .withColumn(
-            "_nclose",
-            F.sum(F.when(F.col("_ring") <= r1c, 1).otherwise(0)).over(wp),
-        )
-        .withColumn("dist2", _dist2())
-        .withColumn("rank", F.row_number().over(w))
+    # the within-r1c count is order-independent, so it can ride the SAME
+    # (partition, order) spec as the top-k row_number with an explicit
+    # whole-partition frame — one Sort feeds both Window operators instead
+    # of the unordered sum forcing its own second sort of the candidate set
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # certificate pre-filter BEFORE the exchange+sort: a certified probe's
+    # k-th distance is <= grid.bound_m(r1c) (>= k points inside radius r1c,
+    # each within the bound), so any candidate beyond it can only ever rank
+    # > k — dropping it changes neither the kept rows nor their ranks, and
+    # every ring-<=r1c row (the _nclose evidence) is itself within the
+    # bound, so certification is unchanged. Cuts the box-r2c corner mass
+    # (~half the candidate rows on a uniform field) out of the shuffle and
+    # the window sort (guide §2.3: shuffle fewer bytes). The +1cm slack
+    # covers the 1e-3 m mercator rounding of both endpoints.
+    bound2 = (grid.bound_m(r1c) + 0.01) ** 2
+    cand = pts.join(
+        maybe_bc(probe_cells), F.col("_ncell") == F.col("_jc"), "inner"
+    ).select(
+        "_pid",
+        "_nid",
+        "_ring",
+        _dist2().alias("dist2"),
+    ).filter(
+        F.col("dist2") <= F.lit(bound2)
+    ).select(
+        "_pid",
+        "_nid",
+        "dist2",
+        F.sum(F.when(F.col("_ring") <= r1c, 1).otherwise(0)).over(wp).alias("_nclose"),
+        F.row_number().over(w).alias("rank"),
     )
     return cand.filter((F.col("_nclose") >= k) & (F.col("rank") <= k)).select(
         "_pid", "_nid", "dist2", "rank"
@@ -470,13 +523,30 @@ def knn_join(
         # topk feeds BOTH the result union and the unresolved anti-join's
         # broadcast build; without a materialization point the candidate
         # join + window pipeline executes twice inside the one action
-        # (measured ~2x the whole operator's wall at bench scale). Lazy
-        # local checkpoint: the broadcast-build job computes it first, the
-        # union branch reuses the checkpointed blocks (released by the
-        # ContextCleaner when the result is GC'd).
+        # (measured ~2x the whole operator's wall at bench scale). The
+        # checkpoint is EAGER deliberately: under AQE a lazy checkpoint's
+        # toRdd already materializes every query stage at construct time
+        # (measured r08 — the "lazy" variant cost the same 0.6-0.7s here),
+        # and an eager one lets the driver ask the cheap question below.
         topk = _certify_join(pts, prb, g, fixed_ring, k, maybe_bc, w)
-        topk = topk.localCheckpoint(eager=False)
+        topk = topk.localCheckpoint(eager=True)
         unresolved = prb.join(maybe_bc(topk.select("_pid")), "_pid", "left_anti")
+        # driver short-circuit: when the primary pass certified EVERY probe
+        # (the overwhelmingly common case at a sane res — the density probe
+        # targets >= k/2 points/cell exactly so box 1 certifies), the
+        # escalation + brute-force branches are provably empty. Asking
+        # isEmpty() here is one probe-side job over the already-
+        # materialized checkpoint; skipping the two extra branches saves
+        # their Catalyst planning + AQE stage materialization (~0.8s fixed
+        # latency at bench shape) and a second full scan of the point side.
+        # When probes remain, the branches are built exactly as before.
+        if unresolved.isEmpty():
+            return topk.select(
+                F.col("_pid").alias(probe_id),
+                F.col("_nid").alias(point_id),
+                "dist2",
+                "rank",
+            )
         esc_ring = escalate_ring if escalate_ring is not None else max(2 * fixed_ring, 4)
         esc = _certify_join(pts, unresolved, g, esc_ring, k, maybe_bc, w)
         esc = esc.localCheckpoint(eager=False)
