@@ -86,22 +86,20 @@ def extract_geotag_pdf(html: pd.Series) -> pd.DataFrame:
     )
 
 
-def extract_geotag_arrow(html: pd.Series, with_text: bool = True) -> pd.DataFrame:
-    """RE2-vectorized extraction kernel (pyarrow.compute) — same contract as
-    :func:`extract_geotag_pdf` (the pytest oracle asserts identical output).
+def extract_geotag_pa(s, with_text: bool = True) -> tuple:
+    """Arrow-array extraction core: ``s`` is a ``pyarrow`` string array.
 
-    pandas ``.str.extract`` loops Python's ``re`` per row; Arrow's
-    ``extract_regex`` runs RE2 over the whole column in C++, and the
-    binary->string cast replaces the per-row ``bytes.decode`` lambda. This is
-    the hot path at 100 TB: the UDF budget is regex over every page.
-    ``with_text=False`` skips the text regex pass entirely (geo-only
-    pipelines: one fewer full-column RE2 scan and no string payload back).
+    Returns ``(lat, lon, text)`` — lat/lon as float64 numpy arrays (NaN for
+    untagged rows), ``text`` an Arrow string array (None when
+    ``with_text=False``). Shared by the pandas-facing
+    :func:`extract_geotag_arrow` and the ``mapInArrow`` operators
+    (:func:`extract_geotags`, ``operators.fused.extract_pip``), which hand
+    the Spark-delivered Arrow column straight here — no pandas
+    materialization of the (dominant) html payload on the input side.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.array(html.values, type=pa.binary())
-    s = arr.cast(pa.string())
     f = pc.struct_field
     text = (
         f(pc.extract_regex(s, r'<p data-text="1">(?P<t>.*?)</p>'), "t")
@@ -141,6 +139,25 @@ def extract_geotag_arrow(html: pd.Series, with_text: bool = True) -> pd.DataFram
     dms_lat, dms_lon = _dms(dlat, "S"), _dms(dlon, "W")
     lat = np.where(np.isnan(dms_lat), lat, dms_lat)
     lon = np.where(np.isnan(dms_lon), lon, dms_lon)
+    return lat, lon, text
+
+
+def extract_geotag_arrow(html: pd.Series, with_text: bool = True) -> pd.DataFrame:
+    """RE2-vectorized extraction kernel (pyarrow.compute) — same contract as
+    :func:`extract_geotag_pdf` (the pytest oracle asserts identical output).
+
+    pandas ``.str.extract`` loops Python's ``re`` per row; Arrow's
+    ``extract_regex`` runs RE2 over the whole column in C++, and the
+    binary->string cast replaces the per-row ``bytes.decode`` lambda. This is
+    the hot path at 100 TB: the UDF budget is regex over every page.
+    ``with_text=False`` skips the text regex pass entirely (geo-only
+    pipelines: one fewer full-column RE2 scan and no string payload back).
+    """
+    import pyarrow as pa
+
+    arr = pa.array(html.values, type=pa.binary())
+    s = arr.cast(pa.string())
+    lat, lon, text = extract_geotag_pa(s, with_text=with_text)
     out = {"lat": lat, "lon": lon}
     if with_text:
         out["text"] = text.to_pandas()
@@ -163,12 +180,16 @@ def extract_geotags(
     """Attach ``lat``/``lon``/``text_extracted`` columns extracted from ``html``.
 
     ``drop_untagged=True`` filters rows with no geotag (the reference skips
-    GPS-less images, image.py:334-338). Implemented as ONE ``mapInPandas``
+    GPS-less images, image.py:334-338). Implemented as ONE ``mapInArrow``
     pass: the untagged-row filter runs inside the same Arrow batch, and the
     map acts as a plan barrier so Catalyst cannot push a filter beneath the
     projection and re-evaluate the (expensive) extraction twice — the
     double-ArrowEvalPython plan the naive withColumn+filter formulation
-    produces. ``drop_html=True`` drops the heavy binary column on output so
+    produces. mapInArrow (not mapInPandas) so the html payload is never
+    materialized as per-row Python bytes objects: the Spark-delivered
+    Arrow binary column feeds the RE2 kernel directly and the output is
+    an Arrow ``take`` of the pass-through columns (measured r08: the
+    pandas round-trip alone cost ~0.16s/600k rows on 8 cores). ``drop_html=True`` drops the heavy binary column on output so
     downstream shuffles never carry it. ``with_text=False`` omits
     ``text_extracted`` — geo-only pipelines skip one full-column regex pass
     AND the (dominant) Python->JVM string transfer; mapInPandas is a plan
@@ -203,16 +224,27 @@ def extract_geotags(
             df.select(*keep_names)
         )
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ext = extract_geotag_arrow(pdf[html], with_text=with_text)
-            out = pdf[keep_names].copy()
-            out["lat"] = ext["lat"].to_numpy()
-            out["lon"] = ext["lon"].to_numpy()
-            if with_text:
-                out["text_extracted"] = ext["text"]
-            if drop_untagged:
-                out = out[out["lat"].notna() & out["lon"].notna()]
-            yield out
+    def _extract(batches):
+        import pyarrow as pa
 
-    return df.mapInPandas(_extract, out_schema)
+        for b in batches:
+            col = b.column(b.schema.get_field_index(html))
+            s = col.cast(pa.string()) if pa.types.is_binary(col.type) else col
+            lat, lon, text = extract_geotag_pa(s, with_text=with_text)
+            tb = pa.Table.from_batches([b]).select(keep_names)
+            # from_pandas=True: NaN -> null, matching the pandas-path
+            # semantics this operator always had for untagged rows
+            lat_pa = pa.array(lat, type=pa.float64(), from_pandas=True)
+            lon_pa = pa.array(lon, type=pa.float64(), from_pandas=True)
+            if drop_untagged:
+                sel = pa.array(np.flatnonzero(~(np.isnan(lat) | np.isnan(lon))))
+                tb = tb.take(sel)
+                lat_pa, lon_pa = lat_pa.take(sel), lon_pa.take(sel)
+                if with_text:
+                    text = text.take(sel)
+            tb = tb.append_column("lat", lat_pa).append_column("lon", lon_pa)
+            if with_text:
+                tb = tb.append_column("text_extracted", text)
+            yield from tb.combine_chunks().to_batches()
+
+    return df.mapInArrow(_extract, out_schema)

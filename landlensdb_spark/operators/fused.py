@@ -10,9 +10,11 @@ cores, local[16] can't). It also pays a full JVM->python->JVM Arrow round
 trip for the extracted rows plus the candidate rows — including the
 interior-cell majority that the refine immediately short-circuits.
 
-This operator runs the whole chain inside ONE ``mapInPandas`` pass:
+This operator runs the whole chain inside ONE ``mapInArrow`` pass:
 
-1. RE2 geotag extraction (:func:`landlensdb_spark.extract.extract_geotag_arrow`);
+1. RE2 geotag extraction (:func:`landlensdb_spark.extract.extract_geotag_pa`,
+   straight on the Spark-delivered Arrow binary column — mapInArrow, so the
+   html payload is never materialized as per-row Python bytes);
 2. candidate generation: points' cell ids (numpy twin of the column-math
    encoder) hash-merged against the broadcast polygon-cover table — the same
    adaptive-resolution covers :func:`landlensdb_spark.operators.pip_join`
@@ -34,13 +36,10 @@ should see the join (e.g. to push polygon-side filters).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from landlensdb_spark.extract import extract_geotag_arrow
 from landlensdb_spark.geo.cells import np_cell_encode
 from landlensdb_spark.operators.pip_join import (
     _collect_polygons,
@@ -149,12 +148,16 @@ def extract_pip(
         pages.select(*keep_names)
     )
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _run(batches):
+        import pyarrow as pa
+
+        from landlensdb_spark.extract import extract_geotag_pa
+
         cover_pdf, res_sorted, state = _get_state()
-        for pdf in batches:
-            ext = extract_geotag_arrow(pdf[html], with_text=with_text)
-            lat = ext["lat"].to_numpy()
-            lon = ext["lon"].to_numpy()
+        for b in batches:
+            col = b.column(b.schema.get_field_index(html))
+            s = col.cast(pa.string()) if pa.types.is_binary(col.type) else col
+            lat, lon, text = extract_geotag_pa(s, with_text=with_text)
             tagged = np.where(~(np.isnan(lat) | np.isnan(lon)))[0]
             lon, lat = lon[tagged], lat[tagged]
             # candidate (point, polygon) pairs: cell ids at every cover
@@ -176,12 +179,14 @@ def extract_pip(
                 inside[bb] = refine_points(state, lon[ii[bb]], lat[ii[bb]], pids[bb])
             sel = np.where(inside)[0]
             src = tagged[ii[sel]]
-            out = pdf.iloc[src][keep_names].reset_index(drop=True)
-            out["lon"] = lon[ii[sel]]
-            out["lat"] = lat[ii[sel]]
+            # output = Arrow take of the pass-through columns (no pandas
+            # round-trip of the row payload) + the computed columns
+            tb = pa.Table.from_batches([b]).select(keep_names).take(pa.array(src))
+            tb = tb.append_column("lon", pa.array(lon[ii[sel]], type=pa.float64()))
+            tb = tb.append_column("lat", pa.array(lat[ii[sel]], type=pa.float64()))
             if with_text:
-                out["text_extracted"] = ext["text"].to_numpy()[src]
-            out[polygon_id] = pids[sel]
-            yield out
+                tb = tb.append_column("text_extracted", text.take(pa.array(src)))
+            tb = tb.append_column(polygon_id, pa.array(pids[sel], type=pa.int64()))
+            yield from tb.combine_chunks().to_batches()
 
-    return pages.mapInPandas(_run, out_schema)
+    return pages.mapInArrow(_run, out_schema)

@@ -61,8 +61,10 @@ def test_extract_pip_single_python_stage(spark, tmp_path):
         .toString()
     )
     # exactly one python stage end-to-end (the fused map), vs two for the
-    # composable extract |> pip chain
-    assert plan.count("MapInPandas") == 1
+    # composable extract |> pip chain (MapInArrow since r08 — the html
+    # payload stays an Arrow column through the whole kernel)
+    assert plan.count("MapInArrow") == 1
+    assert "MapInPandas" not in plan
     assert "ArrowEvalPython" not in plan
 
 

@@ -58,7 +58,11 @@ def test_extraction_plan_has_single_python_stage(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet)
     out = extract_geotags(pages).filter(F.col("lat") > 0.0)
     plan = _plan(out)
-    n_python_stages = _n_nodes(plan, "MapInPandas") + _n_nodes(plan, "ArrowEvalPython")
+    n_python_stages = (
+        _n_nodes(plan, "MapInPandas")
+        + _n_nodes(plan, "MapInArrow")
+        + _n_nodes(plan, "ArrowEvalPython")
+    )
     assert n_python_stages == 1, plan
 
 
@@ -81,7 +85,11 @@ def test_tile_assignment_is_pure_codegen(spark, pages_parquet):
     tiled = assign_tiles(geo)
     plan = _plan(tiled)
     # tile math must not add any Python stage beyond the extraction itself
-    assert _n_nodes(plan, "MapInPandas") + _n_nodes(plan, "ArrowEvalPython") == 1
+    assert (
+        _n_nodes(plan, "MapInPandas")
+        + _n_nodes(plan, "MapInArrow")
+        + _n_nodes(plan, "ArrowEvalPython")
+    ) == 1
     assert "codegen id" in plan
 
 
@@ -125,7 +133,7 @@ def test_fused_pipeline_pushdown_and_single_stage(spark, pages_parquet):
     out = extract_pip(pages, polys, keep=["url"])
     plan = _plan(out.groupBy("admin_id").count())
     assert "PushedFilters: [IsNotNull(warc_ts), GreaterThanOrEqual(warc_ts" in plan
-    assert _n_nodes(plan, "MapInPandas") == 1
+    assert _n_nodes(plan, "MapInArrow") == 1
     assert _n_nodes(plan, "ArrowEvalPython") == 0
 
 
