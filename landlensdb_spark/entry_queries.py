@@ -3390,6 +3390,17 @@ def corpus_prep_over(docs: DataFrame) -> DataFrame:
     from landlensdb_spark.operators.shards import pack_token_shards
     from landlensdb_spark.operators.textstats import quality_score, token_count
 
+    # parallelize the (expensive) quality + redaction regexes when the input
+    # arrives in fewer splits than the cluster has slots — a small documents
+    # file otherwise runs the whole quality+redact+hash chain in ONE task
+    # (guide §2.5 input skew: repartition immediately after the read). No-op
+    # at scale (a big corpus always scans in >= slots splits); results are
+    # partitioning-invariant (dedup keys on md5(redacted), shard packing is
+    # a global prefix sum over doc_id).
+    spark = docs.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < slots:
+        docs = docs.repartition(slots)
     gated = docs.select(
         "doc_id", "text", quality_score(F.col("text")).alias("quality")
     ).filter(F.col("quality") >= _PREP_QMIN)
