@@ -944,7 +944,7 @@ FROM t JOIN a USING (g) JOIN b USING (g)
 def _hll_pyramid_oracle() -> str:
     from landlensdb_spark.operators.sketch import hll_distinct_sql
 
-    pts = f"({_PTS_SQL.replace('orders', 'orders')}) t"
+    pts = f"({_PTS_SQL}) t"
     parts = []
     for z in range(6, 10):
         g = (

@@ -102,10 +102,26 @@ def sfc_ranges(
         from landlensdb_spark.geo.tiles import quadkey
 
         keys = xy.select(quadkey(F.col("x"), F.col("y"), level).alias("k"))
-    # distinct integers: k - row_number(k) is constant exactly on a
-    # contiguous run (bounded planner cover -> global window is fine)
-    isl = keys.select(
-        "k", (F.col("k") - F.row_number().over(Window.orderBy("k"))).alias("_i")
+    # distinct integers: k - global_row_number(k) is constant exactly on a
+    # contiguous run. The global row number is computed TWO-LEVEL (r08,
+    # closing the engine's last unpartitioned WindowExec): row_number
+    # within a key-prefix bucket plus a per-bucket offset from a bounded
+    # driver prefix sum (<= max_cells tiny rows, usually far fewer) — the
+    # same two-phase scan pack_token_shards uses, so no single task ever
+    # sorts the whole cover.
+    shift = max(0, 2 * level - 10)  # <= ~2^10 prefix buckets over the cover
+    keyed = keys.select("k", F.shiftright(F.col("k"), shift).alias("_p"))
+    counts = keyed.groupBy("_p").count().collect()
+    offs, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_p"]):
+        offs.append((r["_p"], acc))
+        acc += r["count"]
+    spark = bounds.sparkSession
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_p long, _off long")
+    wb = Window.partitionBy("_p").orderBy("k")
+    isl = keyed.join(F.broadcast(off_df), "_p").select(
+        "k",
+        (F.col("k") - (F.row_number().over(wb) + F.col("_off"))).alias("_i"),
     )
     return (
         isl.groupBy("_i")

@@ -188,6 +188,12 @@ def hll_pyramid(
     [``min_zoom``, ``zoom``], with ``g = zoom << 52 | x << 26 | y``."""
     if not 0 <= min_zoom <= zoom:
         raise ValueError(f"hll_pyramid: need 0 <= min_zoom <= zoom, got {min_zoom}/{zoom}")
+    if zoom > 26:
+        # g packs zoom<<52 | x<<26 | y: slippy coords at zoom z satisfy
+        # x, y < 2^z, so zoom > 26 would silently collide group keys (and
+        # the per-level int cast below would truncate) — refuse loudly,
+        # same discipline as cluster._cell_key / sfc_ranges max_cells.
+        raise ValueError(f"hll_pyramid: zoom must be <= 26 (key packs y into 26 bits), got {zoom}")
     if not 2 <= p <= 12:
         raise ValueError(f"hll: p must be in [2, 12], got {p}")
     m = 1 << p

@@ -41,11 +41,12 @@ def resample_tracks(
     max_ticks_per_segment: int = 4096,
 ) -> DataFrame:
     """``(entity, tick, <coords...>)`` — one row per entity per covered
-    epoch-aligned tick. ``t`` must be an integral epoch-seconds column;
-    ties on ``t`` are broken by taking the LAST row per (entity, t)
-    in ``coords`` order of arrival being undefined — callers should
-    de-duplicate fix timestamps first (a zero-length segment emits
-    nothing and is dropped)."""
+    ``step_s``-aligned tick. ``t`` and ``step_s`` are unit-agnostic
+    integral time (epoch seconds, milliseconds, microseconds — ticks are
+    multiples of ``step_s`` in the same unit). Duplicate ``t`` values
+    within an entity give NONDETERMINISTIC segment pairing (the window
+    orders by ``t`` alone), so callers must de-duplicate fix timestamps
+    first; a zero-length segment emits nothing and is dropped."""
     if step_s <= 0:
         raise ValueError(f"step_s must be > 0, got {step_s}")
     w = Window.partitionBy(entity).orderBy(t)

@@ -73,3 +73,14 @@ def test_morton_order_and_guard(spark):
     assert len(got) >= h
     with pytest.raises(ValueError, match="order must be"):
         R.sfc_ranges(_bounds(spark, 0, 1, 0, 1), 4, order="peano")
+
+
+def test_no_unpartitioned_window(spark):
+    """r08: the islands row_number is two-level (bucket window + bounded
+    offset join) — no single-task global WindowExec anywhere in the plan."""
+    df = R.hilbert_ranges(_bounds(spark, 10, 25, 40, 51), 6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # every window spec must carry a partition column
+            assert "_p" in line, f"unpartitioned window: {line}"
