@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: observability hook (tests/profiling): relaxation/peel rounds actually
+#: executed by the most recent shortest_paths / k_core call.
+_LAST_ROUNDS: dict[str, int | None] = {"shortest_paths": None, "k_core": None}
+
 
 #: truncate lineage every N iterations: each power step references the
 #: previous ranks TWICE (dangling mass + contributions), so the logical
@@ -196,6 +200,7 @@ def shortest_paths(
     iterations: int = 20,
     directed: bool = True,
     verify_convergence: bool = True,
+    until_converged: bool = False,
 ) -> DataFrame:
     """Single/multi-source shortest paths — join-based Bellman-Ford:
     ``(node, dist)`` for every node reachable from ``sources`` (a
@@ -216,7 +221,19 @@ def shortest_paths(
     the true distance vector, so the guard turns the fixed-round result
     into a certified answer. Negative weights raise immediately
     (Bellman-Ford detects nothing useful here; the engine's graphs are
-    metric)."""
+    metric).
+
+    ``until_converged=True`` (r08, opt-in — oracle rows keep the fixed
+    round count) checks the fixpoint at every lineage-truncation
+    boundary (every 4 rounds, one bounded ``(count, sum)`` aggregate)
+    and stops early: distances only decrease and nodes only join, so an
+    unchanged (count, sum(dist)) across a boundary proves the label
+    vector is already the Bellman-Ford fixpoint — i.e. the certified
+    answer — and the remaining edge-join rounds are pure waste (a
+    diameter-6 graph under the default ``iterations=20`` otherwise pays
+    14 dead shuffles). The early exit certifies convergence by the same
+    argument, so the ``verify_convergence`` extra relaxation is skipped
+    when it fires."""
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).alias("_w")
     )
@@ -243,11 +260,26 @@ def shortest_paths(
             d.unionByName(nd).groupBy("node").agg(F.min("dist").alias("dist"))
         )
 
+    prev_stats = None
+    converged = False
+    rounds = 0
     for it in range(iterations):
         if it and it % 4 == 0:
             dists = dists.localCheckpoint(eager=True)
+            if until_converged:
+                stats = tuple(dists.agg(F.count("*"), F.sum("dist")).first())
+                if stats == prev_stats:
+                    # count equal -> same node set across the window (nodes
+                    # never leave); then per-node dists are non-increasing,
+                    # so sum equal -> every dist equal -> relax() is a
+                    # no-op: certified fixpoint, stop.
+                    converged = True
+                    break
+                prev_stats = stats
         dists = _relax(dists)
-    if verify_convergence:
+        rounds += 1
+    _LAST_ROUNDS["shortest_paths"] = rounds
+    if verify_convergence and not converged:
         dists = dists.localCheckpoint(eager=True)
         improved = (
             _relax(dists)
@@ -270,6 +302,7 @@ def k_core(
     dst: str = "dst",
     iterations: int = 20,
     verify_convergence: bool = True,
+    until_converged: bool = False,
 ) -> DataFrame:
     """The k-core — the maximal subgraph in which every node has degree
     >= ``k`` — by iterative degree peeling (the density filter behind
@@ -285,7 +318,14 @@ def k_core(
     unrolled oracle) and ``verify_convergence`` runs one extra peel and
     raises if any node would still fall — a fixpoint where every degree
     is >= ``k`` IS the k-core (it is the union of all such subgraphs),
-    so the fixed-round result is certified, never silently unpeeled."""
+    so the fixed-round result is certified, never silently unpeeled.
+
+    ``until_converged=True`` (r08, opt-in — oracle rows keep the fixed
+    round count) checks the edge count at every lineage-truncation
+    boundary (every 4 rounds, one bounded count): edges only ever peel
+    away, so an unchanged count across a boundary proves the peel is a
+    no-op — certified fixpoint — and the remaining rounds are skipped
+    (the ``verify_convergence`` extra peel too)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     a, b = F.col(src).cast("long"), F.col(dst).cast("long")
@@ -311,12 +351,26 @@ def k_core(
         ).join(keep.withColumnRenamed("node", "_b"), "_b", "left_semi")
 
     cur = e
+    prev_cnt = None
+    converged = False
+    rounds = 0
     for it in range(iterations):
         if it and it % 4 == 0:
             cur = cur.localCheckpoint(eager=True)
+            if until_converged:
+                cnt = cur.count()
+                if cnt == prev_cnt:
+                    # edges only peel away: an unchanged count across the
+                    # 4-round window proves _peel is a no-op — certified
+                    # fixpoint, stop.
+                    converged = True
+                    break
+                prev_cnt = cnt
         cur = _peel(cur)
+        rounds += 1
+    _LAST_ROUNDS["k_core"] = rounds
     cur = cur.localCheckpoint(eager=True)
-    if verify_convergence:
+    if verify_convergence and not converged:
         dropped = cur.count() - _peel(cur).count()
         if dropped:
             raise ValueError(

@@ -248,3 +248,43 @@ def test_k_core_matches_bruteforce(spark):
     assert k_core(chain, 2, iterations=8).count() == 0
     with _pt.raises(ValueError, match="k must be"):
         k_core(chain, 0)
+
+
+def test_until_converged_early_exit_identical_output(spark):
+    """r08: opt-in early exit stops at a lineage-truncation boundary once
+    the fixpoint is certified, with output identical to the fixed-round
+    run (oracle rows keep fixed rounds; this is the non-oracle caller's
+    escape from dead shuffle rounds)."""
+    from landlensdb_spark.operators import graph as G
+
+    # small-diameter weighted graph: star + one chain hop (diameter ~3)
+    edges = spark.createDataFrame(
+        [(0, i, 1) for i in range(1, 6)] + [(5, 6, 2), (6, 7, 3)],
+        "src long, dst long, w long",
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    fixed = {
+        (r["node"], r["dist"])
+        for r in G.shortest_paths(edges, srcs, iterations=20).collect()
+    }
+    early = {
+        (r["node"], r["dist"])
+        for r in G.shortest_paths(
+            edges, srcs, iterations=20, until_converged=True
+        ).collect()
+    }
+    assert early == fixed
+    assert G._LAST_ROUNDS["shortest_paths"] < 20  # stopped at a boundary
+
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+    fixed_core = {
+        (r["node"], r["degree"]) for r in G.k_core(tri, 2, iterations=20).collect()
+    }
+    early_core = {
+        (r["node"], r["degree"])
+        for r in G.k_core(tri, 2, iterations=20, until_converged=True).collect()
+    }
+    assert early_core == fixed_core
+    assert G._LAST_ROUNDS["k_core"] < 20
