@@ -114,7 +114,11 @@ def fetch_batched(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         interval = 1.0 / max_rps_per_task if max_rps_per_task else 0.0
-        last = [0.0]
+        # -inf, not 0.0: time.monotonic()'s epoch is arbitrary (host boot on
+        # Linux), so a 0.0 sentinel makes the FIRST request pace whenever
+        # monotonic() < interval — i.e. on any host up for less than the
+        # pacing interval. The first request must always be free.
+        last = [float("-inf")]
 
         def _pace() -> None:
             if interval:
