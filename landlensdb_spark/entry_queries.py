@@ -6205,85 +6205,70 @@ def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in/out split per round is documented in COVERAGE.md.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # --- round-7 rotation (r06 verdict #4) ---
-    # never driver-checked: this round's additions (hex-grid kNN; the
-    # frame-sampling contract under the hard signal)
-    "knn_hex",
-    "media_frame_sampling",
-    "gif_anim_render",
-    "webp_roundtrip",
-    "hex_polyfill_parcels",
-    "group_split_docs",
-    "hll_lang_docs",
-    "cm_user_counts",
-    "kmv_vocab_overlap",
-    "asof_purchase_click",
-    "clicks_before_purchase",
-    "user_triangles",
-    "hist_len_quantiles",
-    "hull_extremes",
-    # changed-path rows: r06-green but their code moved THIS round, so
-    # they re-enter the window — compact_cells went two-phase global
-    # (geo/cells.py), bm25 top=None gained the persist pin
-    # (operators/search.py), corpus_prep was factored through
-    # corpus_prep_over, and the pip cover table is now compacted
-    # (operators/pip_join.py)
-    "compact_cover",
-    "bm25_rank_all",
-    "corpus_prep",
-    "pip_admin_agg",
-    # the 3 rows that yielded their r06 slots (last driver check: round 4)
-    "crawl_schedule",
-    "length_quantiles",
-    "robots_gate",
-    # 40 of the 48 rows whose last driver check was round 5 (two rounds
-    # stale) — changed-path-adjacent ones first (knn/pip/gif families)
-    "knn_points",
-    "pip_admin",
-    "extract_pip",
-    "gif_roundtrip",
-    "tiff_roundtrip",
-    "pipeline_lineage",
-    "geojson_roundtrip",
-    "gpkg_roundtrip",
-    "bpe_merges",
-    "extract_date_filter",
-    "extract_exif_real",
-    "bbox_scan",
-    "filter_dsl",
-    "distinct_priority",
-    "anti_join",
-    "agg_doc_stats",
-    "bounds_agg",
-    "argmin_lineitem",
-    "upsert_orders",
-    "window_events",
-    "dedup_exact",
-    "ngram_jaccard",
-    "minhash_sigs",
-    "simhash_docs",
-    "fingerprint_docs",
-    "line_dedup",
-    "token_stats",
-    "quality_docs",
-    # (lang_pred yielded its slot to the new hull_extremes row — it stays
-    # under the per-pytest parity SUBSET in test_oracle_parity.py and the
-    # full sweep; coverage_ingest, tile_bounds, hilbert_cells, s2_cells,
-    # quad_leaves,
-    # url_normalize, host_stats, tile_pyramid, plus bloom_anti,
-    # gopher_stats, embed_ann_ivf, sessionize_events — which yielded
-    # their slots to the new gif_anim_render, webp_roundtrip,
-    # hex_polyfill_parcels and group_split_docs rows — snap_full, which
-    # yielded its slot to the new hll_lang_docs row (its shared code path
-    # stays hard-checked via the r06-green snap_nearest) — and the
-    # embed_topk / embed_ann_lsh / embed_near_dup family, which yielded
-    # to the new cm_user_counts / kmv_vocab_overlap / asof_purchase_click
-    # rows — knn_self / pip_admin_named, which yielded to the new
-    # clicks_before_purchase / user_triangles rows (their families keep
-    # knn_points/knn_hex and pip_admin/pip_admin_agg/extract_pip under
-    # the hard signal) — and minhash_lsh, which yielded to the new
-    # hist_len_quantiles row (minhash_sigs stays in-window) — all
-    # unchanged, r05-green + local-sweep-green — rotate back next round)
+    # --- round-8 rotation (r07 verdict #1) ---
+    # the 16 round-7 rows that have never carried the driver's hard
+    # signal (rows+schema+hash) lead the window, verbatim per the verdict
+    "core_users",
+    "dissolve_parcels",
+    "focal_hotspots",
+    "funnel_depths",
+    "grid_cluster_pts",
+    "grid_routes",
+    "hilbert_scan_ranges",
+    "hotspot_zscores",
+    "hull_diameter",
+    "morton_scan_ranges",
+    "od_tile_flows",
+    "retention_cohorts",
+    "tile_hll_pyramid",
+    "track_resample",
+    "user_trends",
+    "zonal_stats",
+    # the 20 rows three rounds window-stale (last driver check: round 5)
+    # — the full rotate-back set the round-7 window comment promised
+    "bloom_anti",
+    "coverage_ingest",
+    "embed_ann_ivf",
+    "embed_ann_lsh",
+    "embed_near_dup",
+    "embed_topk",
+    "gopher_stats",
+    "hilbert_cells",
+    "host_stats",
+    "knn_self",
+    "lang_pred",
+    "minhash_lsh",
+    "pip_admin_named",
+    "quad_leaves",
+    "s2_cells",
+    "sessionize_events",
+    "snap_full",
+    "tile_bounds",
+    "tile_pyramid",
+    "url_normalize",
+    # 13 of the 45 two-rounds-stale (r06) rows, changed-path-adjacent
+    # this round first: the r08 fetch-pacing fix re-enters both fetch
+    # rows; extract_geotags/tile_assign/tile_stats/salted_tile_counts/
+    # snap_nearest ride the r08 mapInArrow extraction conversion;
+    # token_shards/pii_redact sit on the repartition-gated corpus path;
+    # pagerank_hosts rides the graph module that gained until_converged;
+    # stream_tiles covers the streaming family; hex_cells/localized_iso
+    # are the verdict-named stale examples. The remaining 32 r06 rows
+    # (all r06-green + local-sweep-green this round) rotate back next
+    # round.
+    "fetch_local",
+    "fetch_plan",
+    "extract_geotags",
+    "tile_assign",
+    "tile_stats",
+    "salted_tile_counts",
+    "snap_nearest",
+    "token_shards",
+    "pii_redact",
+    "stream_tiles",
+    "pagerank_hosts",
+    "hex_cells",
+    "localized_iso",
     # canary: the pinned north-star byte-identical-extracted-text invariant
     "extract_text",
 ]

@@ -25,56 +25,76 @@ def test_every_query_has_an_oracle():
     )
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
-# The round-7 rotation, pinned VERBATIM so a refactor can't silently restore
-# build order: the 13 never-driver-checked round-7 rows first (hex-grid kNN,
-# frame-sampling contract, GIF89a animation compositing, WebP-lossless
-# roundtrip, hex polyfill, leakage-free group split, deterministic HLL,
-# Count-Min skew profile, KMV vocabulary overlap, as-of join, bucketized
-# interval join, degree-oriented triangles, histogram quantiles), the 4
-# changed-path rows re-entering (two-phase global compact, bm25 persist
-# pin, corpus_prep_over refactor, compacted pip covers), the 3 rows that
-# yielded their r06 slots (r04-stale), then 29 of the 48 rows whose last
-# driver check was round 5 (changed-path-adjacent knn/pip/gif families
-# first; the unchanged rows coverage_ingest/tile_bounds/hilbert_cells/
-# s2_cells/quad_leaves/url_normalize/host_stats/tile_pyramid, plus
-# bloom_anti, gopher_stats, embed_ann_ivf, sessionize_events, snap_full,
-# the embed_topk/embed_ann_lsh/embed_near_dup family, knn_self,
-# pip_admin_named and minhash_lsh — which yielded their slots to gif_anim_render,
-# webp_roundtrip, hex_polyfill_parcels, group_split_docs, hll_lang_docs,
-# cm_user_counts, kmv_vocab_overlap, asof_purchase_click,
-# clicks_before_purchase, user_triangles and hist_len_quantiles —
-# rotate back next round),
-# closing with the north-star extract_text canary.
-_R07_WINDOW = [
-    "knn_hex", "media_frame_sampling", "gif_anim_render", "webp_roundtrip",
-    "hex_polyfill_parcels", "group_split_docs", "hll_lang_docs",
-    "cm_user_counts", "kmv_vocab_overlap", "asof_purchase_click",
-    "clicks_before_purchase", "user_triangles", "hist_len_quantiles",
-    "hull_extremes",
-    "compact_cover", "bm25_rank_all", "corpus_prep", "pip_admin_agg",
-    "crawl_schedule", "length_quantiles", "robots_gate",
-    "knn_points", "pip_admin",
-    "extract_pip", "gif_roundtrip", "tiff_roundtrip",
-    "pipeline_lineage", "geojson_roundtrip", "gpkg_roundtrip",
-    "bpe_merges", "extract_date_filter", "extract_exif_real", "bbox_scan",
-    "filter_dsl", "distinct_priority", "anti_join", "agg_doc_stats",
-    "bounds_agg", "argmin_lineitem", "upsert_orders", "window_events",
-    "dedup_exact", "ngram_jaccard", "minhash_sigs",
-    "simhash_docs", "fingerprint_docs", "line_dedup", "token_stats",
-    "quality_docs",
-    # lang_pred yielded its slot to the new hull_extremes row; it stays
-    # under SUBSET below and the full sweep
+# The round-8 rotation, pinned VERBATIM so a refactor can't silently restore
+# build order (r07 verdict #1): the 16 round-7 rows that never carried the
+# driver's hard signal lead, then the full 20-row rotate-back set whose
+# last driver check was round 5 (the r07 window comment's promise), then
+# 13 two-rounds-stale r06 rows prioritized by round-8 changed paths
+# (fetch pacing fix, mapInArrow extraction family, repartition-gated
+# corpus path, until_converged graph module, streaming tiles, plus the
+# verdict-named hex_cells/localized_iso), closing with the north-star
+# extract_text canary. The 32 remaining r06 rows rotate back next round.
+_R08_WINDOW = [
+    "core_users",
+    "dissolve_parcels",
+    "focal_hotspots",
+    "funnel_depths",
+    "grid_cluster_pts",
+    "grid_routes",
+    "hilbert_scan_ranges",
+    "hotspot_zscores",
+    "hull_diameter",
+    "morton_scan_ranges",
+    "od_tile_flows",
+    "retention_cohorts",
+    "tile_hll_pyramid",
+    "track_resample",
+    "user_trends",
+    "zonal_stats",
+    "bloom_anti",
+    "coverage_ingest",
+    "embed_ann_ivf",
+    "embed_ann_lsh",
+    "embed_near_dup",
+    "embed_topk",
+    "gopher_stats",
+    "hilbert_cells",
+    "host_stats",
+    "knn_self",
+    "lang_pred",
+    "minhash_lsh",
+    "pip_admin_named",
+    "quad_leaves",
+    "s2_cells",
+    "sessionize_events",
+    "snap_full",
+    "tile_bounds",
+    "tile_pyramid",
+    "url_normalize",
+    "fetch_local",
+    "fetch_plan",
+    "extract_geotags",
+    "tile_assign",
+    "tile_stats",
+    "salted_tile_counts",
+    "snap_nearest",
+    "token_shards",
+    "pii_redact",
+    "stream_tiles",
+    "pagerank_hosts",
+    "hex_cells",
+    "localized_iso",
     "extract_text",
 ]
 
 
 def test_driver_window_ordering():
-    """The driver hashes the FIRST 50 registered queries; pin the round-7
+    """The driver hashes the FIRST 50 registered queries; pin the round-8
     rotation list verbatim so neither a new registration nor a refactor can
     silently push a window row back out of the hard signal."""
     from landlensdb_spark.entry_queries import _DRIVER_WINDOW_FIRST
 
-    assert _DRIVER_WINDOW_FIRST == _R07_WINDOW
+    assert _DRIVER_WINDOW_FIRST == _R08_WINDOW
     names = list(QUERIES)
     assert names[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
     assert len(_DRIVER_WINDOW_FIRST) == 50
